@@ -1,0 +1,246 @@
+"""Morton (Z-order) cells: the distributed space-filling partitioner.
+
+This layer replaces the reference's sampled top-6-level pivot skeleton
+(``include/cpdd/batch_op/build_tree.hpp:19-70``: sample 2048 points,
+build a 6-level pivot tree, route every point to one of 64 buckets).
+Here the "buckets" are leaves of an **adaptive quadtree over Morton
+codes**: every point gets a full-depth Morton code once (vectorized bit
+interleave), and the directory is a set of variable-depth quadtree
+leaves, each covering a contiguous Morton range.  Assignment is then a
+single ``np.searchsorted`` — the vectorized analog of ``find_bucket``
+(``build_tree.hpp:72-81``).
+
+Skew handling: leaves are split while their (sampled or exact) count
+exceeds ``EngineConfig.split_threshold`` — the distributed mirror of
+the weight-balance imbalance rebuild
+(``include/cpdd/batch_op/inner_tree.hpp:78-148``); clustered (varden)
+inputs therefore get many fine cells in dense regions and few coarse
+cells elsewhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pkd_tree_ray.config import EngineConfig, DEFAULT_CONFIG
+
+_U = np.uint64
+
+
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of each uint64 into even bit positions."""
+    v = v & _U(0xFFFFFFFF)
+    v = (v | (v << _U(16))) & _U(0x0000FFFF0000FFFF)
+    v = (v | (v << _U(8))) & _U(0x00FF00FF00FF00FF)
+    v = (v | (v << _U(4))) & _U(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << _U(2))) & _U(0x3333333333333333)
+    v = (v | (v << _U(1))) & _U(0x5555555555555555)
+    return v
+
+
+def morton_code(
+    x: np.ndarray, y: np.ndarray, depth: int, coord_bits: int = 20
+) -> np.ndarray:
+    """Interleaved Morton code of the top ``depth`` bits of each
+    coordinate -> int64 in [0, 4**depth)."""
+    shift = _U(coord_bits - depth)
+    xs = np.asarray(x, dtype=np.uint64) >> shift
+    ys = np.asarray(y, dtype=np.uint64) >> shift
+    code = (_part1by1(xs) << _U(1)) | _part1by1(ys)
+    return code.astype(np.int64)
+
+
+def morton_cell_box(prefix: int, depth: int, coord_bits: int = 20) -> tuple[int, int, int, int]:
+    """Spatial box (min_x, min_y, max_x, max_y) covered by the quadtree
+    node ``(prefix, depth)`` (prefix = Morton code at that depth)."""
+    x = y = 0
+    for level in range(depth):
+        bits = (prefix >> (2 * (depth - 1 - level))) & 0b11
+        x = (x << 1) | (bits >> 1)
+        y = (y << 1) | (bits & 1)
+    side = 1 << (coord_bits - depth)
+    return (x * side, y * side, x * side + side - 1, y * side + side - 1)
+
+
+class CellDirectory:
+    """Adaptive quadtree leaves over Morton space + per-cell stats.
+
+    The directory is the small broadcastable state of the index — the
+    analog of the reference's InnerTree skeleton
+    (``include/cpdd/batch_op/inner_tree.hpp:8-172``).  Leaves are
+    identified by their Morton range start at ``max_depth`` resolution
+    ("cell id"); each leaf knows (depth, count, exact bbox).
+
+    Invariant: leaves exactly tile [0, 4**max_depth) — assignment by
+    searchsorted is total.
+    """
+
+    def __init__(
+        self,
+        starts: np.ndarray,
+        depths: np.ndarray,
+        config: EngineConfig = DEFAULT_CONFIG,
+        counts: np.ndarray | None = None,
+        bboxes: np.ndarray | None = None,
+    ):
+        order = np.argsort(starts, kind="stable")
+        self.starts = np.asarray(starts, dtype=np.int64)[order]
+        self.depths = np.asarray(depths, dtype=np.int64)[order]
+        self.config = config
+        n = len(self.starts)
+        self.counts = (
+            np.zeros(n, dtype=np.int64) if counts is None else np.asarray(counts, dtype=np.int64)[order]
+        )
+        # bbox = exact bounding box of the rows in the cell (tightened
+        # after the build shuffle); initialised to the cell's spatial
+        # extent.
+        if bboxes is None:
+            self.bboxes = np.stack(
+                [
+                    np.array(
+                        morton_cell_box(
+                            int(s) >> (2 * (config.max_depth - int(d))), int(d), config.coord_bits
+                        ),
+                        dtype=np.int64,
+                    )
+                    for s, d in zip(self.starts, self.depths)
+                ]
+            ) if n else np.zeros((0, 4), dtype=np.int64)
+        else:
+            self.bboxes = np.asarray(bboxes, dtype=np.int64)[order]
+
+    # -- construction ----------------------------------------------------
+
+    @classmethod
+    def from_counts(
+        cls,
+        codes: np.ndarray,
+        weights: np.ndarray | None,
+        config: EngineConfig = DEFAULT_CONFIG,
+        scale: float = 1.0,
+    ) -> "CellDirectory":
+        """Build adaptive leaves from (sampled) full-depth Morton codes.
+
+        ``codes`` are Morton codes at ``config.max_depth``; ``weights``
+        optional per-code multiplicities; ``scale`` inflates sampled
+        counts to full-population estimates.  Mirrors ``pick_pivots`` +
+        ``divide_rotate`` (``build_tree.hpp:18-70``): recursively split
+        any node whose estimated population exceeds the split
+        threshold.
+        """
+        codes = np.asarray(codes, dtype=np.int64)
+        if weights is None:
+            weights = np.ones(len(codes), dtype=np.int64)
+        codes_sorted = np.sort(codes, kind="stable")
+        order = np.argsort(codes, kind="stable")
+        w_sorted = np.asarray(weights, dtype=np.int64)[order]
+        cum = np.concatenate([[0], np.cumsum(w_sorted)])
+
+        threshold = max(config.split_threshold / max(scale, 1e-12), 1.0)
+        max_depth = config.max_depth
+        starts: list[int] = []
+        depths: list[int] = []
+
+        def count_in(lo: int, hi: int) -> int:
+            i = np.searchsorted(codes_sorted, lo, side="left")
+            j = np.searchsorted(codes_sorted, hi, side="left")
+            return int(cum[j] - cum[i])
+
+        stack = [(0, 0)]  # (prefix, depth)
+        while stack:
+            prefix, depth = stack.pop()
+            span = 1 << (2 * (max_depth - depth))
+            lo = prefix * span
+            c = count_in(lo, lo + span)
+            if depth < max_depth and c > threshold:
+                for q in range(4):
+                    stack.append((prefix * 4 + q, depth + 1))
+            else:
+                starts.append(lo)
+                depths.append(depth)
+        return cls(
+            np.array(starts, dtype=np.int64), np.array(depths, dtype=np.int64), config
+        )
+
+    @classmethod
+    def uniform(cls, depth: int, config: EngineConfig = DEFAULT_CONFIG) -> "CellDirectory":
+        """Fixed-resolution grid directory (raster tiling)."""
+        n = 4**depth
+        span = 1 << (2 * (config.max_depth - depth))
+        starts = np.arange(n, dtype=np.int64) * span
+        return cls(starts, np.full(n, depth, dtype=np.int64), config)
+
+    # -- assignment ------------------------------------------------------
+
+    def assign_codes(self, codes: np.ndarray) -> np.ndarray:
+        """Map full-depth Morton codes -> cell id (= leaf range start).
+        Vectorized ``find_bucket`` / ``retrive_tag``
+        (``build_tree.hpp:72-81``, ``batch_helpers.hpp:71-82``)."""
+        idx = np.searchsorted(self.starts, np.asarray(codes, dtype=np.int64), side="right") - 1
+        return self.starts[idx]
+
+    def assign(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        return self.assign_codes(
+            morton_code(x, y, self.config.max_depth, self.config.coord_bits)
+        )
+
+    # -- stats / serialization ------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.starts)
+
+    def index_of(self, cell_ids: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.starts, np.asarray(cell_ids, dtype=np.int64))
+        return idx
+
+    def spatial_boxes(self) -> np.ndarray:
+        """(n,4) spatial extents of the leaves (not tightened)."""
+        return np.stack(
+            [
+                np.array(
+                    morton_cell_box(
+                        int(s) >> (2 * (self.config.max_depth - int(d))),
+                        int(d),
+                        self.config.coord_bits,
+                    ),
+                    dtype=np.int64,
+                )
+                for s, d in zip(self.starts, self.depths)
+            ]
+        ) if len(self) else np.zeros((0, 4), dtype=np.int64)
+
+    def to_records(self) -> list[dict]:
+        return [
+            {
+                "cell": int(s),
+                "depth": int(d),
+                "count": int(c),
+                "bbox": [int(v) for v in bb],
+            }
+            for s, d, c, bb in zip(self.starts, self.depths, self.counts, self.bboxes)
+        ]
+
+    @classmethod
+    def from_records(cls, records: list[dict], config: EngineConfig) -> "CellDirectory":
+        if not records:
+            return cls(np.zeros(0, np.int64), np.zeros(0, np.int64), config)
+        return cls(
+            np.array([r["cell"] for r in records], dtype=np.int64),
+            np.array([r["depth"] for r in records], dtype=np.int64),
+            config,
+            counts=np.array([r["count"] for r in records], dtype=np.int64),
+            bboxes=np.array([r["bbox"] for r in records], dtype=np.int64),
+        )
+
+
+def pick_base_depth(n_rows: int, config: EngineConfig = DEFAULT_CONFIG) -> int:
+    """Resolution so that uniform data yields ~ n / target_cell_rows
+    cells (the analog of choosing BUILD_DEPTH_ONCE rounds)."""
+    import math
+
+    if n_rows <= config.target_cell_rows:
+        return 0
+    return min(
+        config.max_depth,
+        max(0, math.ceil(math.log(n_rows / config.target_cell_rows, 4))),
+    )

@@ -1,0 +1,76 @@
+"""Engine configuration.
+
+Single dataclass replacing the reference's compile-time constants
+(``include/cpdd/kdTreeParallel.h:36-48``: BUILD_DEPTH_ONCE=6,
+LEAVE_WRAP=32, SERIAL_BUILD_CUTOFF=1024, INBALANCE_RATIO=30) and env
+knobs (``tests/test.cpp:248-249``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- coordinate space -------------------------------------------------
+    #: coordinates are int64 in [0, 2**coord_bits); fixtures use [0, 1e6]
+    #: matching the reference generator's integer cube
+    #: (tests/data_generate.cpp:33-42).
+    coord_bits: int = 20
+
+    # --- distributed partitioner (cell layer) ----------------------------
+    #: Morton-code depth of the finest cell the adaptive directory may use.
+    max_depth: int = 16
+    #: rows a cell should hold; directory resolution is picked so that
+    #: cells ~ target_cell_rows (analog of choosing how many 6-level
+    #: rounds to build, kdTreeParallel.h:37).
+    target_cell_rows: int = 65_536
+    #: a cell whose count exceeds split_factor * target_cell_rows is split
+    #: one Morton level deeper (hot-cell handling; the distributed mirror
+    #: of the weight-balance rebuild, tree_node.hpp:117-131).
+    split_factor: float = 4.0
+    #: a cell whose count drops below merge_factor * target_cell_rows is a
+    #: candidate for merging with its siblings on the next compaction
+    #: (mirror of THIN_LEAVE_WRAP, kdTreeParallel.h:40).
+    merge_factor: float = 0.125
+
+    # --- per-cell kd-tree kernel -----------------------------------------
+    #: leaf wrap of the in-partition kd-tree (LEAVE_WRAP=32,
+    #: kdTreeParallel.h:39).
+    leaf_size: int = 32
+    #: below this many rows a partition skips the tree and brute-forces
+    #: (SERIAL_BUILD_CUTOFF analog, kdTreeParallel.h:43).
+    brute_force_cutoff: int = 2_048
+    #: weight-balance alpha: left subtree must hold within
+    #: [alpha, 1-alpha] of the node (INBALANCE_RATIO=30 -> 0.3,
+    #: tree_node.hpp:117-124).  Only used by the invariant checker; the
+    #: median-split builder is always balanced.
+    imbalance_alpha: float = 0.3
+
+    # --- Ray execution ----------------------------------------------------
+    #: rows per Arrow batch in map_batches stages.
+    batch_size: int = 65_536
+    #: actor-pool size for stateful query stages; None -> let Ray size it.
+    query_concurrency: int | None = None
+
+    # --- misc -------------------------------------------------------------
+    seed: int = 42
+
+    @property
+    def coord_max(self) -> int:
+        return (1 << self.coord_bits) - 1
+
+    @property
+    def split_threshold(self) -> int:
+        return int(self.split_factor * self.target_cell_rows)
+
+    def with_(self, **kw) -> "EngineConfig":
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = EngineConfig()
+
+#: config tuned for the sandbox test scales (1e3..1e6 rows on <=32 cpus):
+#: smaller cells so there are >= 2-4x cells per worker.
+SMALL_CONFIG = EngineConfig(target_cell_rows=8_192, batch_size=16_384)

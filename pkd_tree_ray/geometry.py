@@ -1,0 +1,180 @@
+"""Box / circle / polygon algebra and distance kernels (pure numpy).
+
+Semantics mirror the reference exactly:
+
+* boxes are **closed** intervals — inclusive on every face
+  (``include/cpdd/utility/box_op.hpp:33-42``);
+* all distances are **squared** Euclidean — no sqrt anywhere
+  (``include/cpdd/query_op/nn_search.hpp:9-16``);
+* point-to-box min/max distances follow
+  ``nn_search.hpp:18-45`` (clamp per dimension).
+
+Everything is vectorized over numpy arrays; coordinates are int64 so
+comparisons are exact (the reference's float-epsilon comparator,
+``include/cpdd/comparator.h:10-79``, is unnecessary for the int64
+default the reference itself recommends, ``README.md:137``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class Box:
+    """Axis-aligned closed rectangle (min corner, max corner) —
+    ``std::pair<point, point>`` at ``kdTreeParallel.h:28``."""
+
+    min_x: int
+    min_y: int
+    max_x: int
+    max_y: int
+
+    def legal(self) -> bool:  # box_op.hpp:7-12
+        return self.min_x <= self.max_x and self.min_y <= self.max_y
+
+    def as_array(self) -> np.ndarray:
+        return np.array([self.min_x, self.min_y, self.max_x, self.max_y], dtype=np.int64)
+
+
+@dataclass(frozen=True)
+class Circle:
+    """Ball (center, radius) — ``kdTreeParallel.h:30``; membership is
+    ``dist2(p, c) <= r*r`` (``box_op.hpp:104-112``)."""
+
+    cx: int
+    cy: int
+    r: int
+
+
+# --- point predicates (vectorized over point arrays) --------------------
+
+def within_box(x: np.ndarray, y: np.ndarray, box) -> np.ndarray:
+    """Inclusive containment mask — ``box_op.hpp:33-42``.
+
+    ``box`` is a Box or a (min_x, min_y, max_x, max_y) 4-sequence.
+    """
+    mnx, mny, mxx, mxy = _box4(box)
+    return (x >= mnx) & (x <= mxx) & (y >= mny) & (y <= mxy)
+
+
+def within_circle(x: np.ndarray, y: np.ndarray, circle: Circle) -> np.ndarray:
+    dx = x - np.int64(circle.cx)
+    dy = y - np.int64(circle.cy)
+    return dx * dx + dy * dy <= np.int64(circle.r) * np.int64(circle.r)
+
+
+# --- box/box relations (vectorized over box arrays) ---------------------
+# Box arrays are (n, 4) int64: columns min_x, min_y, max_x, max_y.
+
+def boxes_intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise (broadcasting) closed-interval overlap —
+    ``box_op.hpp:44-56``.  a: (n,4) or (4,), b: (m,4) or (4,);
+    returns broadcast mask."""
+    a = np.atleast_2d(np.asarray(a, dtype=np.int64))
+    b = np.atleast_2d(np.asarray(b, dtype=np.int64))
+    ax0, ay0, ax1, ay1 = a[:, 0, None], a[:, 1, None], a[:, 2, None], a[:, 3, None]
+    bx0, by0, bx1, by1 = b[None, :, 0], b[None, :, 1], b[None, :, 2], b[None, :, 3]
+    return (ax0 <= bx1) & (bx0 <= ax1) & (ay0 <= by1) & (by0 <= ay1)
+
+
+def box_contains_box(outer: np.ndarray, inner: np.ndarray) -> np.ndarray:
+    """outer (n,4) fully contains inner (m,4) -> (n, m) mask —
+    ``box_op.hpp:24-31`` (within_box(box, box))."""
+    o = np.atleast_2d(np.asarray(outer, dtype=np.int64))
+    i = np.atleast_2d(np.asarray(inner, dtype=np.int64))
+    return (
+        (o[:, 0, None] <= i[None, :, 0])
+        & (o[:, 1, None] <= i[None, :, 1])
+        & (o[:, 2, None] >= i[None, :, 2])
+        & (o[:, 3, None] >= i[None, :, 3])
+    )
+
+
+# --- distances ----------------------------------------------------------
+
+def p2p_dist2(x1, y1, x2, y2) -> np.ndarray:
+    """Squared Euclidean — ``nn_search.hpp:9-16``."""
+    dx = np.asarray(x1, dtype=np.int64) - np.asarray(x2, dtype=np.int64)
+    dy = np.asarray(y1, dtype=np.int64) - np.asarray(y2, dtype=np.int64)
+    return dx * dx + dy * dy
+
+
+def p2b_min_dist2(qx, qy, boxes: np.ndarray) -> np.ndarray:
+    """Min squared distance from points (qx, qy) to boxes (m,4);
+    broadcasting (n,1) x (1,m) -> (n,m).  ``nn_search.hpp:18-31``."""
+    qx = np.atleast_1d(np.asarray(qx, dtype=np.int64))[:, None]
+    qy = np.atleast_1d(np.asarray(qy, dtype=np.int64))[:, None]
+    b = np.atleast_2d(np.asarray(boxes, dtype=np.int64))
+    dx = np.maximum(np.maximum(b[None, :, 0] - qx, qx - b[None, :, 2]), 0)
+    dy = np.maximum(np.maximum(b[None, :, 1] - qy, qy - b[None, :, 3]), 0)
+    return dx * dx + dy * dy
+
+
+def p2b_max_dist2(qx, qy, boxes: np.ndarray) -> np.ndarray:
+    """Max squared distance point -> box (farthest corner) —
+    ``nn_search.hpp:33-45``."""
+    qx = np.atleast_1d(np.asarray(qx, dtype=np.int64))[:, None]
+    qy = np.atleast_1d(np.asarray(qy, dtype=np.int64))[:, None]
+    b = np.atleast_2d(np.asarray(boxes, dtype=np.int64))
+    dx = np.maximum(np.abs(qx - b[None, :, 0]), np.abs(qx - b[None, :, 2]))
+    dy = np.maximum(np.abs(qy - b[None, :, 1]), np.abs(qy - b[None, :, 3]))
+    return dx * dx + dy * dy
+
+
+def circle_intersect_box(circle: Circle, boxes: np.ndarray) -> np.ndarray:
+    """Ball overlaps box — ``box_op.hpp:114-125`` (min dist <= r)."""
+    d2 = p2b_min_dist2(circle.cx, circle.cy, boxes)[0]
+    return d2 <= np.int64(circle.r) * np.int64(circle.r)
+
+
+def circle_contains_box(circle: Circle, boxes: np.ndarray) -> np.ndarray:
+    """Ball fully contains box (max dist <= r) — used for the
+    contained-cell shortcut in circular range count
+    (``range_count.hpp:108-115``)."""
+    d2 = p2b_max_dist2(circle.cx, circle.cy, boxes)[0]
+    return d2 <= np.int64(circle.r) * np.int64(circle.r)
+
+
+def bbox_of(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Min/max reduce -> (4,) box; ``get_box(slice)`` at
+    ``box_op.hpp:70-80``."""
+    return np.array(
+        [x.min(), y.min(), x.max(), y.max()], dtype=np.int64
+    )
+
+
+# --- convex polygons ----------------------------------------------------
+
+def points_in_convex_polygon(x: np.ndarray, y: np.ndarray, verts: np.ndarray) -> np.ndarray:
+    """Membership of points in a convex polygon given as CCW vertices
+    (k, 2) int64; boundary-inclusive (all cross products >= 0).
+
+    This is the half-plane conjunction form — each edge contributes
+    ``(x2-x1)*(y-y1) - (y2-y1)*(x-x1) >= 0`` — chosen because the exact
+    same conjunction is expressible in ANSI SQL for the DuckDB oracle.
+    """
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    verts = np.asarray(verts, dtype=np.int64)
+    mask = np.ones(x.shape, dtype=bool)
+    k = len(verts)
+    for i in range(k):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % k]
+        mask &= (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1) >= 0
+    return mask
+
+
+def polygon_bbox(verts: np.ndarray) -> np.ndarray:
+    v = np.asarray(verts, dtype=np.int64)
+    return np.array([v[:, 0].min(), v[:, 1].min(), v[:, 0].max(), v[:, 1].max()], dtype=np.int64)
+
+
+def _box4(box) -> tuple:
+    if isinstance(box, Box):
+        return (np.int64(box.min_x), np.int64(box.min_y), np.int64(box.max_x), np.int64(box.max_y))
+    a = np.asarray(box, dtype=np.int64)
+    return (a[0], a[1], a[2], a[3])

@@ -1,0 +1,65 @@
+"""Deterministic vectorized hashing.
+
+All randomness in the engine is derived from row keys through these
+hashes — never ``random()`` in a worker — mirroring the reference's
+hash-based sampling (``include/cpdd/utility/random_support.hpp:8-18``,
+a splitmix-style 64-bit mix) and its seeded query generation
+(``tests/testFramework.h:136``).
+
+Two families:
+
+* :func:`splitmix64` — full-quality 64-bit mix, used by the fixture
+  generator (phash, pixels, varden cluster assignment).
+* :func:`mulhash_coord` — Knuth multiplicative hash reduced mod M.
+  Deliberately weaker but expressible as exact BIGINT arithmetic in
+  ANSI SQL, so the DuckDB oracle can derive the very same coordinates:
+  ``(id * A) % M`` with no intermediate exceeding 2**63.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U = np.uint64
+
+# splitmix64 constants (public domain; Steele et al., "Fast splittable
+# pseudorandom number generators").
+_SM_GAMMA = _U(0x9E3779B97F4A7C15)
+_SM_M1 = _U(0xBF58476D1CE4E5B9)
+_SM_M2 = _U(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray | int, seed: int = 0) -> np.ndarray:
+    """Vectorized splitmix64 of ``x + seed*GAMMA`` -> uint64 array."""
+    offset = _U((int(seed) * 0x9E3779B97F4A7C15) % (1 << 64))
+    z = np.asarray(x, dtype=np.uint64) + offset
+    z = (z + _SM_GAMMA)
+    z = (z ^ (z >> _U(30))) * _SM_M1
+    z = (z ^ (z >> _U(27))) * _SM_M2
+    return z ^ (z >> _U(31))
+
+
+# SQL-expressible coordinate derivation ---------------------------------
+# x = (id * XA) % COORD_MOD ; y = (id * YA) % COORD_MOD.  Exact in both
+# numpy int64 and DuckDB BIGINT for id < 2**63 / YA ~ 4.1e9 (far above
+# any sandbox scale; the 1e12-scale path derives coords from phash via
+# splitmix64 instead).
+COORD_MOD = 1_000_001  # coords in [0, 1e6], reference's cube (data_generate.cpp:33-42)
+XA = 2_654_435_761  # Knuth's 2**32 * golden ratio
+YA = 2_246_822_519  # xxhash PRIME32_2
+
+
+def mulhash_coord(ids: np.ndarray, mult: int, mod: int = COORD_MOD) -> np.ndarray:
+    ids = np.asarray(ids, dtype=np.int64)
+    if ids.size and int(ids.max(initial=0)) > (2**62) // mult:
+        raise OverflowError("id too large for SQL-exact multiplicative hash")
+    return (ids * np.int64(mult)) % np.int64(mod)
+
+
+def sql_coord_exprs(id_expr: str) -> tuple[str, str]:
+    """DuckDB SQL expressions producing the same (x, y) as
+    :func:`mulhash_coord` for a BIGINT id expression."""
+    return (
+        f"(({id_expr}) * {XA}) % {COORD_MOD}",
+        f"(({id_expr}) * {YA}) % {COORD_MOD}",
+    )

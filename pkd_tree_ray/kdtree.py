@@ -1,0 +1,386 @@
+"""Per-partition in-memory kd-tree kernel (pure numpy).
+
+This is the in-actor analog of the reference's recursive subtree build
+and query kernels — one of these lives below every directory cell,
+exactly as a recursively-built subtree lives below every bucket of the
+reference's pivot skeleton:
+
+* build: median split via ``np.argpartition`` with the max-stretch
+  split-dimension rule (``include/cpdd/batch_op/build_tree.hpp:136-274``,
+  ``include/cpdd/utility/dimensinality.hpp:7-33``), leaf wrap
+  ``EngineConfig.leaf_size`` (LEAVE_WRAP=32, kdTreeParallel.h:39);
+* kNN: guided descent with a bounded candidate set, pruning siblings
+  whose box min-distance exceeds the current kth distance
+  (``include/cpdd/query_op/nn_search.hpp:81-126``); distances are
+  squared (``nn_search.hpp:9-16``);
+* range count / report: disjoint -> 0, contained -> subtree size with
+  no scan, partial -> recurse; leaf scans use inclusive bounds
+  (``include/cpdd/query_op/range_count.hpp:8-96``,
+  ``range_query.hpp:28-119``).
+
+The tree is stored as flat numpy arrays (node table + a permutation of
+the point indices), not Python node objects, so building is vectorized
+per level and the whole structure is cheap to hold in an actor.
+Duplicate points are handled naturally: the builder falls back to a
+"dummy leaf" — a single leaf holding all copies — when a split cannot
+separate identical coordinates (``build_tree.hpp:183-186``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pkd_tree_ray.config import EngineConfig, DEFAULT_CONFIG
+
+# node table columns
+_LEFT = 0  # left child node id (-1 for leaf)
+_RIGHT = 1
+_DIM = 2  # split dimension (0=x, 1=y)
+_VAL = 3  # split value: left = coords[dim] < val, right = >= val
+_LO = 4  # [lo, hi) range into the permutation array
+_HI = 5
+_SIZE = 6  # hi - lo
+
+
+class KDTree2D:
+    """Static balanced 2-d tree over int64 points."""
+
+    def __init__(self, x: np.ndarray, y: np.ndarray, config: EngineConfig = DEFAULT_CONFIG):
+        self.x = np.ascontiguousarray(x, dtype=np.int64)
+        self.y = np.ascontiguousarray(y, dtype=np.int64)
+        self.config = config
+        n = len(self.x)
+        self.perm = np.arange(n, dtype=np.int64)
+        # worst case #nodes for leaf_size >= 1 is < 4n/leaf_size + O(log n)
+        cap = max(8, 4 * (n // max(config.leaf_size, 1) + 2))
+        self.nodes = np.empty((cap, 7), dtype=np.int64)
+        self.n_nodes = 0
+        # per-node bbox (tight), filled during build
+        self.node_box = np.empty((cap, 4), dtype=np.int64)
+        if n:
+            self._build(0, n)
+
+    # -- build -----------------------------------------------------------
+
+    def _new_node(self) -> int:
+        if self.n_nodes == len(self.nodes):
+            self.nodes = np.concatenate([self.nodes, np.empty_like(self.nodes)])
+            self.node_box = np.concatenate([self.node_box, np.empty_like(self.node_box)])
+        nid = self.n_nodes
+        self.n_nodes += 1
+        return nid
+
+    def _build(self, lo: int, hi: int) -> int:
+        """Iterative (explicit stack) median-split build over
+        perm[lo:hi); returns root node id."""
+        leaf_size = self.config.leaf_size
+        x, y, perm = self.x, self.y, self.perm
+        root = self._new_node()
+        stack = [(root, lo, hi)]
+        while stack:
+            nid, lo, hi = stack.pop()
+            seg = perm[lo:hi]
+            sx = x[seg]
+            sy = y[seg]
+            box = (sx.min(), sy.min(), sx.max(), sy.max())
+            self.node_box[nid] = box
+            node = self.nodes[nid]
+            node[_LO], node[_HI], node[_SIZE] = lo, hi, hi - lo
+            # leaf: small enough, or all points identical (dummy leaf,
+            # build_tree.hpp:183-186)
+            if hi - lo <= leaf_size or (box[0] == box[2] and box[1] == box[3]):
+                node[_LEFT] = node[_RIGHT] = -1
+                node[_DIM] = -1
+                node[_VAL] = 0
+                continue
+            # max-stretch split dimension (dimensinality.hpp:7-33)
+            dim = 0 if (box[2] - box[0]) >= (box[3] - box[1]) else 1
+            coords = sx if dim == 0 else sy
+            mid = (hi - lo) // 2
+            part = np.argpartition(coords, mid)
+            split_val = coords[part[mid]]
+            # left = strictly < split_val; handles duplicate medians like
+            # serial_build_recursive (build_tree.hpp:149-181): if the
+            # median value crowds one side, re-split on the value
+            # boundary so both sides are non-empty (stretch > 0
+            # guarantees at least one point differs on this dim... only
+            # when dim has stretch; otherwise the other dim was chosen).
+            left_mask = coords < split_val
+            n_left = int(left_mask.sum())
+            if n_left == 0:
+                # split_val is the minimum; move boundary above it
+                split_val = split_val + 1
+                left_mask = coords < split_val
+                n_left = int(left_mask.sum())
+                if n_left == hi - lo:
+                    # all equal on this dim; use the other one
+                    dim = 1 - dim
+                    coords = sy if dim == 1 else sx
+                    split_val = coords[np.argpartition(coords, mid)[mid]]
+                    left_mask = coords < split_val
+                    n_left = int(left_mask.sum())
+                    if n_left == 0:
+                        split_val = split_val + 1
+                        left_mask = coords < split_val
+                        n_left = int(left_mask.sum())
+            # stable partition of the segment
+            order = np.argsort(~left_mask, kind="stable")
+            perm[lo:hi] = seg[order]
+            node[_DIM] = dim
+            node[_VAL] = split_val
+            lid = self._new_node()
+            rid = self._new_node()
+            # re-read: _new_node may have reallocated the table
+            self.nodes[nid, _LEFT] = lid
+            self.nodes[nid, _RIGHT] = rid
+            stack.append((lid, lo, lo + n_left))
+            stack.append((rid, lo + n_left, hi))
+        return root
+
+    def __len__(self) -> int:
+        return len(self.x)
+
+    # -- kNN -------------------------------------------------------------
+
+    def knn(self, qx: int, qy: int, k: int) -> tuple[np.ndarray, np.ndarray, int]:
+        """k nearest point indices by squared distance.
+
+        Returns (indices_into_original_arrays, dist2, nodes_visited),
+        unsorted.  Guided descent + sibling pruning as in
+        ``nn_search.hpp:81-126``.
+        """
+        n = len(self.x)
+        if n == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64), 0
+        k = min(k, n)
+        qx = np.int64(qx)
+        qy = np.int64(qy)
+        best_idx = np.full(k, -1, dtype=np.int64)
+        best_d2 = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+        kth = np.iinfo(np.int64).max
+        visited = 0
+        stack = [(0, 0)]  # (node id, lower-bound dist2 when pushed)
+        nodes = self.nodes
+        boxes = self.node_box
+        x, y, perm = self.x, self.y, self.perm
+        n_found = 0
+        while stack:
+            nid, lb = stack.pop()
+            if n_found >= k and lb > kth:
+                continue
+            visited += 1
+            node = nodes[nid]
+            if node[_LEFT] == -1:
+                seg = perm[node[_LO]: node[_HI]]
+                dx = x[seg] - qx
+                dy = y[seg] - qy
+                d2 = dx * dx + dy * dy
+                # merge into bounded candidate set (kBoundedQueue analog,
+                # nn_search_helpers.h:18-93)
+                all_idx = np.concatenate([best_idx[:n_found], seg])
+                all_d2 = np.concatenate([best_d2[:n_found], d2])
+                if len(all_d2) > k:
+                    sel = np.argpartition(all_d2, k - 1)[:k]
+                    all_idx, all_d2 = all_idx[sel], all_d2[sel]
+                n_found = len(all_d2)
+                best_idx[:n_found] = all_idx
+                best_d2[:n_found] = all_d2
+                if n_found >= k:
+                    kth = int(all_d2.max())
+                continue
+            lid, rid = int(node[_LEFT]), int(node[_RIGHT])
+            lb_l = _box_min_d2(qx, qy, boxes[lid])
+            lb_r = _box_min_d2(qx, qy, boxes[rid])
+            # visit nearer child first (guided descent)
+            if lb_l <= lb_r:
+                near, far, lbn, lbf = lid, rid, lb_l, lb_r
+            else:
+                near, far, lbn, lbf = rid, lid, lb_r, lb_l
+            if n_found < k or lbf <= kth:
+                stack.append((far, lbf))
+            if n_found < k or lbn <= kth:
+                stack.append((near, lbn))
+        return best_idx[:n_found], best_d2[:n_found], visited
+
+    # -- orthogonal range ------------------------------------------------
+
+    def range_count(self, box) -> int:
+        """Inclusive-box count; contained subtrees contribute size with
+        no scan (``range_count.hpp:64-96``)."""
+        if len(self.x) == 0:
+            return 0
+        mnx, mny, mxx, mxy = (int(v) for v in np.asarray(box, dtype=np.int64))
+        total = 0
+        stack = [0]
+        nodes, boxes = self.nodes, self.node_box
+        x, y, perm = self.x, self.y, self.perm
+        while stack:
+            nid = stack.pop()
+            b = boxes[nid]
+            if b[0] > mxx or b[2] < mnx or b[1] > mxy or b[3] < mny:
+                continue  # disjoint
+            if mnx <= b[0] and b[2] <= mxx and mny <= b[1] and b[3] <= mxy:
+                total += int(nodes[nid, _SIZE])  # contained
+                continue
+            node = nodes[nid]
+            if node[_LEFT] == -1:
+                seg = perm[node[_LO]: node[_HI]]
+                px, py = x[seg], y[seg]
+                total += int(
+                    ((px >= mnx) & (px <= mxx) & (py >= mny) & (py <= mxy)).sum()
+                )
+            else:
+                stack.append(int(node[_LEFT]))
+                stack.append(int(node[_RIGHT]))
+        return total
+
+    def range_report(self, box) -> np.ndarray:
+        """Indices (into the original arrays) of points inside the
+        inclusive box (``range_query.hpp:70-119``)."""
+        if len(self.x) == 0:
+            return np.empty(0, np.int64)
+        mnx, mny, mxx, mxy = (int(v) for v in np.asarray(box, dtype=np.int64))
+        out: list[np.ndarray] = []
+        stack = [0]
+        nodes, boxes = self.nodes, self.node_box
+        x, y, perm = self.x, self.y, self.perm
+        while stack:
+            nid = stack.pop()
+            b = boxes[nid]
+            if b[0] > mxx or b[2] < mnx or b[1] > mxy or b[3] < mny:
+                continue
+            node = nodes[nid]
+            if mnx <= b[0] and b[2] <= mxx and mny <= b[1] and b[3] <= mxy:
+                out.append(perm[node[_LO]: node[_HI]])  # flatten (batch_helpers.hpp:10-56)
+                continue
+            if node[_LEFT] == -1:
+                seg = perm[node[_LO]: node[_HI]]
+                px, py = x[seg], y[seg]
+                m = (px >= mnx) & (px <= mxx) & (py >= mny) & (py <= mxy)
+                out.append(seg[m])
+            else:
+                stack.append(int(node[_LEFT]))
+                stack.append(int(node[_RIGHT]))
+        return np.concatenate(out) if out else np.empty(0, np.int64)
+
+    def circle_count(self, cx: int, cy: int, r: int) -> int:
+        """Ball count (``range_count.hpp:98-131``): disjoint/contained
+        tests via box min/max distance, leaf scan by dist2 <= r^2."""
+        if len(self.x) == 0:
+            return 0
+        cx, cy, r2 = np.int64(cx), np.int64(cy), np.int64(r) * np.int64(r)
+        total = 0
+        stack = [0]
+        nodes, boxes = self.nodes, self.node_box
+        x, y, perm = self.x, self.y, self.perm
+        while stack:
+            nid = stack.pop()
+            b = boxes[nid]
+            if _box_min_d2(cx, cy, b) > r2:
+                continue
+            if _box_max_d2(cx, cy, b) <= r2:
+                total += int(nodes[nid, _SIZE])
+                continue
+            node = nodes[nid]
+            if node[_LEFT] == -1:
+                seg = perm[node[_LO]: node[_HI]]
+                dx = x[seg] - cx
+                dy = y[seg] - cy
+                total += int((dx * dx + dy * dy <= r2).sum())
+            else:
+                stack.append(int(node[_LEFT]))
+                stack.append(int(node[_RIGHT]))
+        return total
+
+    # -- invariants / metrics (validation.hpp:8-124) ---------------------
+
+    def validate(self) -> None:
+        """Mirrors ``validate()`` (``validation.hpp:49-70``): every
+        node's box covers its points; child sizes sum; weight balance
+        within alpha for interior nodes above the leaf threshold."""
+        assert self.n_nodes >= 1 or len(self) == 0
+        alpha = self.config.imbalance_alpha
+        for nid in range(self.n_nodes):
+            node = self.nodes[nid]
+            lo, hi = int(node[_LO]), int(node[_HI])
+            seg = self.perm[lo:hi]
+            px, py = self.x[seg], self.y[seg]
+            b = self.node_box[nid]
+            assert px.min() >= b[0] and px.max() <= b[2]
+            assert py.min() >= b[1] and py.max() <= b[3]
+            if node[_LEFT] != -1:
+                ls = int(self.nodes[node[_LEFT], _SIZE])
+                rs = int(self.nodes[node[_RIGHT], _SIZE])
+                assert ls + rs == int(node[_SIZE])
+                if ls + rs > 4 * self.config.leaf_size:
+                    frac = ls / (ls + rs)
+                    assert alpha - 0.05 <= frac <= 1 - alpha + 0.05, (
+                        f"imbalanced node {nid}: {frac}"
+                    )
+
+    def height(self) -> int:
+        """Max depth (``validation.hpp:72-85``)."""
+        if len(self) == 0:
+            return 0
+        depth = np.zeros(self.n_nodes, dtype=np.int64)
+        h = 0
+        for nid in range(self.n_nodes):
+            node = self.nodes[nid]
+            if node[_LEFT] != -1:
+                depth[node[_LEFT]] = depth[nid] + 1
+                depth[node[_RIGHT]] = depth[nid] + 1
+            else:
+                h = max(h, int(depth[nid]))
+        return h
+
+
+def _box_min_d2(qx, qy, b) -> np.int64:
+    dx = max(b[0] - qx, qx - b[2], 0)
+    dy = max(b[1] - qy, qy - b[3], 0)
+    return dx * dx + dy * dy
+
+
+def _box_max_d2(qx, qy, b) -> np.int64:
+    dx = max(abs(qx - b[0]), abs(qx - b[2]))
+    dy = max(abs(qy - b[1]), abs(qy - b[3]))
+    return dx * dx + dy * dy
+
+
+# --- vectorized brute-force kernels (the SERIAL_BUILD_CUTOFF analog) ----
+
+def brute_knn_batch(
+    px: np.ndarray,
+    py: np.ndarray,
+    qx: np.ndarray,
+    qy: np.ndarray,
+    k: int,
+    chunk: int = 256,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k per query over a point block, fully vectorized.
+
+    Returns (idx, d2) each of shape (n_queries, k_eff), k_eff =
+    min(k, n_points); idx are indices into px/py.  Used instead of the
+    tree for small partitions (brute_force_cutoff) and for per-batch
+    partial top-k whose merge happens in a later groupby(qid) stage.
+    """
+    n = len(px)
+    m = len(qx)
+    k_eff = min(k, n)
+    if n == 0 or m == 0:
+        return (np.empty((m, 0), np.int64), np.empty((m, 0), np.int64))
+    out_idx = np.empty((m, k_eff), dtype=np.int64)
+    out_d2 = np.empty((m, k_eff), dtype=np.int64)
+    px = np.asarray(px, dtype=np.int64)
+    py = np.asarray(py, dtype=np.int64)
+    for s in range(0, m, chunk):
+        e = min(s + chunk, m)
+        dx = np.asarray(qx[s:e], dtype=np.int64)[:, None] - px[None, :]
+        dy = np.asarray(qy[s:e], dtype=np.int64)[:, None] - py[None, :]
+        d2 = dx * dx + dy * dy
+        if k_eff < n:
+            part = np.argpartition(d2, k_eff - 1, axis=1)[:, :k_eff]
+        else:
+            part = np.broadcast_to(np.arange(n, dtype=np.int64), (e - s, n)).copy()
+        out_idx[s:e] = part
+        out_d2[s:e] = np.take_along_axis(d2, part, axis=1)
+    return out_idx, out_d2

@@ -1,0 +1,237 @@
+"""Unit tests for the pure-numpy core: hashing, geometry, cells,
+kd-tree kernel, fixtures.  No Ray needed."""
+
+import numpy as np
+import pytest
+
+from pkd_tree_ray.cells import CellDirectory, morton_cell_box, morton_code, pick_base_depth
+from pkd_tree_ray.config import EngineConfig
+from pkd_tree_ray.fixtures import (
+    decode_png_rgb,
+    encode_png_rgb,
+    image_batch,
+    image_pixels,
+    known_cardinality_boxes,
+    phash_to_xy,
+    psnr,
+    uniform_xy,
+    varden_xy,
+)
+from pkd_tree_ray.geometry import (
+    boxes_intersect,
+    box_contains_box,
+    p2b_max_dist2,
+    p2b_min_dist2,
+    points_in_convex_polygon,
+    within_box,
+)
+from pkd_tree_ray.hashing import mulhash_coord, splitmix64, XA, YA
+from pkd_tree_ray.kdtree import KDTree2D, brute_knn_batch
+from tests.oracle import circle_count_oracle, knn_oracle, range_count_oracle, range_report_oracle
+
+
+def _points(n, seed=42, gen=uniform_xy):
+    x, y = gen(np.arange(n, dtype=np.uint64), seed)
+    return x, y
+
+
+class TestHashing:
+    def test_splitmix_deterministic(self):
+        a = splitmix64(np.arange(100, dtype=np.uint64), 42)
+        b = splitmix64(np.arange(100, dtype=np.uint64), 42)
+        assert np.array_equal(a, b)
+        c = splitmix64(np.arange(100, dtype=np.uint64), 43)
+        assert not np.array_equal(a, c)
+
+    def test_splitmix_spread(self):
+        v = splitmix64(np.arange(10_000, dtype=np.uint64), 1)
+        assert len(np.unique(v)) == 10_000
+
+    def test_mulhash_matches_duckdb(self):
+        import duckdb
+
+        ids = np.arange(1, 5_000, dtype=np.int64) * 7
+        x = mulhash_coord(ids, XA)
+        y = mulhash_coord(ids, YA)
+        got = duckdb.sql(
+            f"SELECT (i * {XA}) % 1000001 AS x, (i * {YA}) % 1000001 AS y "
+            "FROM (SELECT unnest(range(1, 5000)) * 7 AS i)"
+        ).fetchnumpy()
+        assert np.array_equal(x, got["x"].astype(np.int64))
+        assert np.array_equal(y, got["y"].astype(np.int64))
+
+
+class TestGeometry:
+    def test_within_box_inclusive(self):
+        x = np.array([0, 5, 10, 11])
+        y = np.array([0, 5, 10, 10])
+        m = within_box(x, y, (0, 0, 10, 10))
+        assert m.tolist() == [True, True, True, False]
+
+    def test_p2b_dists(self):
+        boxes = np.array([[10, 10, 20, 20]])
+        assert p2b_min_dist2(15, 15, boxes)[0, 0] == 0  # inside
+        assert p2b_min_dist2(0, 15, boxes)[0, 0] == 100
+        assert p2b_min_dist2(0, 0, boxes)[0, 0] == 200
+        assert p2b_max_dist2(0, 0, boxes)[0, 0] == 800
+
+    def test_box_relations(self):
+        a = np.array([[0, 0, 10, 10]])
+        b = np.array([[10, 10, 20, 20], [11, 11, 20, 20], [2, 2, 3, 3]])
+        assert boxes_intersect(a, b)[0].tolist() == [True, False, True]
+        assert box_contains_box(a, b)[0].tolist() == [False, False, True]
+
+    def test_convex_polygon(self):
+        tri = np.array([[0, 0], [10, 0], [0, 10]])  # CCW
+        x = np.array([1, 9, 5, 0])
+        y = np.array([1, 9, 4, 0])
+        assert points_in_convex_polygon(x, y, tri).tolist() == [True, False, True, True]
+
+
+class TestCells:
+    def test_morton_roundtrip_box(self):
+        cfg = EngineConfig()
+        for depth in (0, 1, 3, 8):
+            x = np.array([0, 1000, 999_999, 523_123], dtype=np.int64)
+            y = np.array([0, 999_999, 7, 812_337], dtype=np.int64)
+            codes = morton_code(x, y, depth, cfg.coord_bits)
+            for xi, yi, ci in zip(x, y, codes):
+                bx = morton_cell_box(int(ci), depth, cfg.coord_bits)
+                assert bx[0] <= xi <= bx[2] and bx[1] <= yi <= bx[3]
+
+    def test_directory_tiles_space(self):
+        cfg = EngineConfig(target_cell_rows=100)
+        x, y = _points(5_000, gen=varden_xy)
+        codes = morton_code(x, y, cfg.max_depth, cfg.coord_bits)
+        d = CellDirectory.from_counts(codes, None, cfg)
+        # every point maps to exactly one leaf, and leaves tile the space
+        cells = d.assign(x, y)
+        assert len(cells) == len(x)
+        spans = 1 << (2 * (cfg.max_depth - d.depths))
+        assert d.starts[0] == 0
+        assert np.array_equal(d.starts[1:], (d.starts + spans)[:-1])
+        assert int((d.starts + spans)[-1]) == 4**cfg.max_depth
+
+    def test_directory_splits_hot_cells(self):
+        cfg = EngineConfig(target_cell_rows=100, split_factor=2.0)
+        xu, yu = _points(5_000, gen=uniform_xy)
+        xv, yv = _points(5_000, gen=varden_xy)
+        cu = morton_code(xu, yu, cfg.max_depth, cfg.coord_bits)
+        cv = morton_code(xv, yv, cfg.max_depth, cfg.coord_bits)
+        du = CellDirectory.from_counts(cu, None, cfg)
+        dv = CellDirectory.from_counts(cv, None, cfg)
+        # varden needs deeper cells in clusters than uniform's max depth
+        assert dv.depths.max() > du.depths.max()
+        # no cell holds more than the split threshold (or is at max depth)
+        cells = dv.assign(xv, yv)
+        _, counts = np.unique(cells, return_counts=True)
+        assert counts.max() <= cfg.split_threshold or dv.depths.max() == cfg.max_depth
+
+    def test_pick_base_depth(self):
+        cfg = EngineConfig(target_cell_rows=1000)
+        assert pick_base_depth(500, cfg) == 0
+        assert pick_base_depth(4_000, cfg) == 1
+        assert pick_base_depth(1_000_000, cfg) == 5
+
+
+class TestKDTree:
+    @pytest.mark.parametrize("gen", [uniform_xy, varden_xy])
+    @pytest.mark.parametrize("n", [1, 33, 1_000])
+    def test_knn_matches_oracle(self, gen, n):
+        x, y = _points(n, gen=gen)
+        pid = np.arange(n, dtype=np.int64)
+        t = KDTree2D(x, y)
+        qx, qy = _points(20, seed=7, gen=gen)
+        for k in (1, 10, 100):
+            oracle = knn_oracle(x, y, pid, qx, qy, k)
+            for qi in range(len(qx)):
+                idx, d2, _ = t.knn(int(qx[qi]), int(qy[qi]), k)
+                got = sorted(zip(d2.tolist(), idx.tolist()))
+                # compare kth distance (tie sets may differ in members)
+                exp = oracle[qi]
+                assert len(got) == len(exp)
+                assert [g[0] for g in got] == [e[0] for e in exp]
+
+    def test_range_count_and_report(self):
+        n = 2_000
+        x, y = _points(n)
+        pid = np.arange(n, dtype=np.int64)
+        t = KDTree2D(x, y)
+        rng = np.random.RandomState(10)
+        for _ in range(30):
+            a = rng.randint(0, 1_000_000, 2)
+            b = rng.randint(0, 1_000_000, 2)
+            box = (min(a[0], b[0]), min(a[1], b[1]), max(a[0], b[0]), max(a[1], b[1]))
+            assert t.range_count(box) == range_count_oracle(x, y, box)
+            got = set(int(v) for v in t.range_report(box))
+            assert got == range_report_oracle(x, y, pid, box)
+
+    def test_circle_count(self):
+        n = 2_000
+        x, y = _points(n)
+        t = KDTree2D(x, y)
+        rng = np.random.RandomState(11)
+        for _ in range(20):
+            cx, cy = rng.randint(0, 1_000_000, 2)
+            r = rng.randint(1, 400_000)
+            assert t.circle_count(cx, cy, r) == circle_count_oracle(x, y, cx, cy, r)
+
+    def test_duplicates_multiplicity(self):
+        # dummy-leaf semantics: duplicates keep full multiplicity
+        x = np.array([5] * 100 + [9] * 50, dtype=np.int64)
+        y = np.array([5] * 100 + [9] * 50, dtype=np.int64)
+        t = KDTree2D(x, y)
+        assert t.range_count((0, 0, 6, 6)) == 100
+        assert t.range_count((0, 0, 9, 9)) == 150
+        idx, d2, _ = t.knn(5, 5, 10)
+        assert len(idx) == 10 and (d2 == 0).all()
+
+    def test_validate_and_height(self):
+        x, y = _points(3_000)
+        t = KDTree2D(x, y)
+        t.validate()
+        assert 0 < t.height() <= 24
+
+    def test_brute_knn_batch(self):
+        n, m, k = 500, 40, 10
+        x, y = _points(n)
+        qx, qy = _points(m, seed=9)
+        pid = np.arange(n, dtype=np.int64)
+        idx, d2 = brute_knn_batch(x, y, qx, qy, k)
+        oracle = knn_oracle(x, y, pid, qx, qy, k)
+        for qi in range(m):
+            assert sorted(d2[qi].tolist()) == [e[0] for e in oracle[qi]]
+
+
+class TestFixtures:
+    def test_png_roundtrip(self):
+        px = image_pixels(123)
+        data = encode_png_rgb(px)
+        back = decode_png_rgb(data)
+        assert np.array_equal(px, back)
+        assert psnr(px, back) == float("inf")
+
+    def test_image_batch_schema_and_determinism(self):
+        t1 = image_batch(0, 50)
+        t2 = image_batch(0, 50)
+        assert t1.equals(t2)
+        assert t1.column_names == ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+        assert t1["image_id"][0].as_py() == "img000000000000"
+        # chunked generation is consistent with one-shot
+        t3 = image_batch(25, 25)
+        assert t1.slice(25, 25).equals(t3)
+
+    def test_phash_to_xy_range(self):
+        t = image_batch(0, 200)
+        x, y = phash_to_xy(t["phash"].to_numpy())
+        assert x.min() >= 0 and x.max() <= 1_000_000
+        assert y.min() >= 0 and y.max() <= 1_000_000
+
+    def test_known_cardinality_boxes(self):
+        x, y = _points(2_000)
+        boxes, counts = known_cardinality_boxes(x, y, 10, "medium")
+        assert len(boxes) == 10
+        for box, c in zip(boxes, counts):
+            assert range_count_oracle(x, y, box) == c
+        lo, hi = int(2_000**0.25), int(2_000**0.5)
+        assert ((counts >= lo) & (counts < hi)).all()
