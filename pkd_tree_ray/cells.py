@@ -118,6 +118,7 @@ class CellDirectory:
         weights: np.ndarray | None,
         config: EngineConfig = DEFAULT_CONFIG,
         scale: float = 1.0,
+        depth_cap: int | None = None,
     ) -> "CellDirectory":
         """Build adaptive leaves from (sampled) full-depth Morton codes.
 
@@ -136,8 +137,12 @@ class CellDirectory:
         w_sorted = np.asarray(weights, dtype=np.int64)[order]
         cum = np.concatenate([[0], np.cumsum(w_sorted)])
 
-        threshold = max(config.split_threshold / max(scale, 1e-12), 1.0)
+        # bulk build splits down to the target row count; the coarser
+        # split_threshold (split_factor x target) is hysteresis used only
+        # for update-triggered hot-cell splits.
+        threshold = max(config.target_cell_rows / max(scale, 1e-12), 1.0)
         max_depth = config.max_depth
+        cap = max_depth if depth_cap is None else min(depth_cap, max_depth)
         starts: list[int] = []
         depths: list[int] = []
 
@@ -152,7 +157,7 @@ class CellDirectory:
             span = 1 << (2 * (max_depth - depth))
             lo = prefix * span
             c = count_in(lo, lo + span)
-            if depth < max_depth and c > threshold:
+            if depth < cap and c > threshold:
                 for q in range(4):
                     stack.append((prefix * 4 + q, depth + 1))
             else:

@@ -1,0 +1,594 @@
+"""PkdIndex — the distributed two-level spatial index.
+
+Architecture (SURVEY.md §7.1): the reference's single shared-memory
+kd-tree (``include/cpdd/kdTreeParallel.h:242-247``) splits into
+
+1. a **cell layer**: the adaptive Morton directory
+   (:class:`pkd_tree_ray.cells.CellDirectory`) — small driver-side
+   state, broadcast to workers via ``ray.put``; the analog of the
+   sampled pivot skeleton (``build_tree.hpp:19-70``) and the InnerTree
+   update router (``inner_tree.hpp:8-172``);
+2. a **partition layer**: one Parquet file per cell holding
+   ``(cell, <id>, x, y)`` — narrow index rows only; payload columns
+   (image bytes, captions) never transit the shuffle and are re-joined
+   by id at report time (SURVEY.md §7.4.5).  Per-cell kd-trees are
+   (re)built *inside* query actors from these rows.
+
+Build is the one big shuffle: assign cell (vectorized ``find_bucket``)
+-> ``groupby("cell")`` -> per-cell write (the analog of the blocked
+counting-sort ``partition``, ``build_tree.hpp:83-121``, with Ray's hash
+shuffle replacing the hand-rolled scatter).
+
+Batch insert/delete (``batch_insert.hpp:59-191``,
+``batch_delete.hpp:74-359``) become delta pipelines that rewrite ONLY
+the affected cells and bump a manifest version; hot cells split into
+child cells (the distributed mirror of the weight-balance rebuild,
+``tree_node.hpp:117-131``).  The manifest (JSON, atomically swapped)
+records per-cell lineage — rows, bbox, file, latency — so a killed run
+resumes at partition granularity: finished cell files of the target
+version are detected and skipped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+from pkd_tree_ray.cells import CellDirectory, morton_code, pick_base_depth
+from pkd_tree_ray.config import DEFAULT_CONFIG, EngineConfig
+
+_OP_KEEP = 0
+_OP_INSERT = 1
+_OP_DELETE = 2
+
+
+def _cell_file(path: str, cell: int, depth: int, version: int) -> str:
+    # depth is part of the identity: a Morton range start is shared by
+    # cells of different depths (cell 0 at depth 1 vs depth 3), and a
+    # resumed build with a re-planned directory must never reuse a file
+    # written for a different cell extent.
+    return os.path.join(path, "parts", f"cell-{cell:012x}-d{depth}-v{version}.parquet")
+
+
+def _atomic_write_table(table: pa.Table, final: str) -> None:
+    tmp = final + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
+
+
+def _atomic_write_json(obj, final: str) -> None:
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, final)
+
+
+class PkdIndex:
+    """Handle to a built index: directory + on-disk cell partitions."""
+
+    def __init__(
+        self,
+        path: str,
+        directory: CellDirectory,
+        config: EngineConfig,
+        id_col: str,
+        id_type: str,
+        version: int,
+        cell_files: dict[int, str],
+        lineage: list[dict] | None = None,
+    ):
+        self.path = path
+        self.directory = directory
+        self.config = config
+        self.id_col = id_col
+        self.id_type = id_type
+        self.version = version
+        self.cell_files = cell_files
+        self.lineage = lineage or []
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        points,
+        path: str,
+        config: EngineConfig = DEFAULT_CONFIG,
+        id_col: str = "point_id",
+        resume: bool = True,
+    ) -> "PkdIndex":
+        """Bulk build from a Dataset with columns (id_col, x, y).
+
+        Pipeline: exact Morton histogram at a capped depth (partial
+        aggregate inside map_batches, then a tiny groupby — the
+        pre-aggregation pattern) -> adaptive directory -> cell assign
+        (broadcast directory) -> groupby(cell) shuffle -> one Parquet
+        file per cell + manifest.
+        """
+        os.makedirs(os.path.join(path, "parts"), exist_ok=True)
+        t0 = time.perf_counter()
+
+        n = points.count()
+        d0 = pick_base_depth(n, config)
+        dref = min(config.max_depth, d0 + 3)
+        directory = cls._plan_directory(points, config, dref)
+
+        version = 0
+        tagged = _assign_cells(points, directory, config, id_col=id_col)
+        cell_files, lineage = cls._write_cells(
+            tagged, path, directory, config, id_col, version, resume=resume
+        )
+        idx = cls(
+            path,
+            directory,
+            config,
+            id_col,
+            _arrow_type_name(points.schema(), id_col),
+            version,
+            cell_files,
+            lineage,
+        )
+        idx._refresh_directory_stats()
+        idx.save_manifest(build_sec=time.perf_counter() - t0, n_input=n)
+        return idx
+
+    @staticmethod
+    def _plan_directory(points, config: EngineConfig, dref: int) -> CellDirectory:
+        """Exact histogram at depth ``dref`` via per-batch partial
+        counts, then adaptive leaf selection (``pick_pivots`` analog)."""
+        bits = config.coord_bits
+
+        def hist(batch: pa.Table) -> pa.Table:
+            codes = morton_code(
+                batch["x"].to_numpy(), batch["y"].to_numpy(), dref, bits
+            )
+            u, c = np.unique(codes, return_counts=True)
+            return pa.table({"code": u, "cnt": c.astype(np.int64)})
+
+        from ray.data.aggregate import Sum
+
+        agg = (
+            points.select_columns(["x", "y"])
+            .map_batches(hist, batch_format="pyarrow")
+            .groupby("code")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+        )
+        # lift dref-codes to max_depth range starts, weights = counts;
+        # cap splitting at dref (below dref the histogram has no info)
+        codes = agg["code"].to_numpy(dtype=np.int64) << (2 * (config.max_depth - dref))
+        return CellDirectory.from_counts(
+            codes, agg["cnt"].to_numpy(dtype=np.int64), config, depth_cap=dref
+        )
+
+    @staticmethod
+    def _write_cells(
+        tagged,
+        path: str,
+        directory: CellDirectory,
+        config: EngineConfig,
+        id_col: str,
+        version: int,
+        resume: bool,
+        old_index: "PkdIndex | None" = None,
+    ) -> tuple[dict[int, str], list[dict]]:
+        """groupby(cell) -> apply ops -> write one file per cell.
+
+        ``tagged`` has columns (cell, id_col, x, y, __op).  Returns
+        ({cell: file}, lineage rows).  Idempotent per cell: an existing
+        file of the target version is kept as-is (resume).
+        """
+
+        depth_ref = ray.put((directory.starts, directory.depths))
+
+        def write_group(group: pa.Table) -> pa.Table:
+            t_start = time.perf_counter()
+            cell = int(group["cell"][0].as_py())
+            starts, depths = ray.get(depth_ref)
+            depth = int(depths[np.searchsorted(starts, cell)])
+            final = _cell_file(path, cell, depth, version)
+            ops = group["__op"].to_numpy()
+            if (ops == _OP_DELETE).any():
+                group = _apply_deletes(group, id_col)
+            group = group.drop_columns(["__op"])
+            if resume and os.path.exists(final):
+                rows = pq.read_metadata(final).num_rows
+                status = "skipped"
+            else:
+                rows = group.num_rows
+                if rows:
+                    _atomic_write_table(group, final)
+                status = "written"
+            if group.num_rows:
+                x = group["x"].to_numpy()
+                y = group["y"].to_numpy()
+                bbox = [int(x.min()), int(y.min()), int(x.max()), int(y.max())]
+            else:
+                bbox = [0, 0, -1, -1]
+            return pa.table(
+                {
+                    "cell": pa.array([cell], pa.int64()),
+                    "rows": pa.array([rows], pa.int64()),
+                    "min_x": pa.array([bbox[0]], pa.int64()),
+                    "min_y": pa.array([bbox[1]], pa.int64()),
+                    "max_x": pa.array([bbox[2]], pa.int64()),
+                    "max_y": pa.array([bbox[3]], pa.int64()),
+                    "file": pa.array([final if rows else ""], pa.string()),
+                    "status": pa.array([status], pa.string()),
+                    "sec": pa.array([time.perf_counter() - t_start], pa.float64()),
+                }
+            )
+
+        manifest_rows = (
+            tagged.groupby("cell")
+            .map_groups(write_group, batch_format="pyarrow")
+            .to_pandas()
+        )
+        cell_files: dict[int, str] = {}
+        lineage: list[dict] = []
+        for rec in manifest_rows.to_dict("records"):
+            if rec["rows"] > 0:
+                cell_files[int(rec["cell"])] = rec["file"]
+            lineage.append(
+                {
+                    "cell": int(rec["cell"]),
+                    "rows": int(rec["rows"]),
+                    "bbox": [int(rec["min_x"]), int(rec["min_y"]), int(rec["max_x"]), int(rec["max_y"])],
+                    "file": rec["file"],
+                    "status": rec["status"],
+                    "sec": float(rec["sec"]),
+                    "version": version,
+                }
+            )
+        return cell_files, lineage
+
+    def _refresh_directory_stats(self) -> None:
+        """Tighten directory counts/bboxes from lineage (the
+        ``update_inner_tree`` analog, ``batch_helpers.hpp:124-142``)."""
+        by_cell = {rec["cell"]: rec for rec in self.lineage}
+        counts = np.zeros(len(self.directory), dtype=np.int64)
+        bboxes = self.directory.spatial_boxes()
+        for i, cell in enumerate(self.directory.starts):
+            rec = by_cell.get(int(cell))
+            if rec and rec["rows"] > 0:
+                counts[i] = rec["rows"]
+                bboxes[i] = rec["bbox"]
+            else:
+                counts[i] = 0
+        self.directory.counts = counts
+        self.directory.bboxes = bboxes
+
+    # ------------------------------------------------------------------
+    # manifest / open
+    # ------------------------------------------------------------------
+
+    def save_manifest(self, **extra) -> None:
+        manifest = {
+            "format": "pkd_tree_ray/1",
+            "version": self.version,
+            "id_col": self.id_col,
+            "id_type": self.id_type,
+            "config": {
+                "coord_bits": self.config.coord_bits,
+                "max_depth": self.config.max_depth,
+                "target_cell_rows": self.config.target_cell_rows,
+                "split_factor": self.config.split_factor,
+                "merge_factor": self.config.merge_factor,
+                "leaf_size": self.config.leaf_size,
+            },
+            "directory": self.directory.to_records(),
+            "cell_files": {str(k): v for k, v in self.cell_files.items()},
+            "lineage": self.lineage,
+            "extra": extra,
+        }
+        _atomic_write_json(manifest, os.path.join(self.path, "manifest.json"))
+
+    @classmethod
+    def open(cls, path: str) -> "PkdIndex":
+        with open(os.path.join(path, "manifest.json")) as f:
+            m = json.load(f)
+        cfg = EngineConfig(
+            coord_bits=m["config"]["coord_bits"],
+            max_depth=m["config"]["max_depth"],
+            target_cell_rows=m["config"]["target_cell_rows"],
+            split_factor=m["config"]["split_factor"],
+            merge_factor=m["config"]["merge_factor"],
+            leaf_size=m["config"]["leaf_size"],
+        )
+        directory = CellDirectory.from_records(m["directory"], cfg)
+        return cls(
+            path,
+            directory,
+            cfg,
+            m["id_col"],
+            m["id_type"],
+            m["version"],
+            {int(k): v for k, v in m["cell_files"].items()},
+            m["lineage"],
+        )
+
+    # ------------------------------------------------------------------
+    # scans
+    # ------------------------------------------------------------------
+
+    @property
+    def total_rows(self) -> int:
+        return int(self.directory.counts.sum())
+
+    def scan_cells(self, cell_ids, columns: list[str] | None = None):
+        """Dataset over the given cells' partitions — file-level pruning
+        (the distributed analog of descending only into overlapping
+        subtrees)."""
+        import ray.data as rd
+
+        files = [self.cell_files[int(c)] for c in cell_ids if int(c) in self.cell_files]
+        if not files:
+            schema = pa.schema(
+                [("cell", pa.int64()), (self.id_col, _type_from_name(self.id_type)),
+                 ("x", pa.int64()), ("y", pa.int64())]
+            )
+            empty = pa.table({f.name: pa.array([], f.type) for f in schema})
+            if columns:
+                empty = empty.select(columns)
+            return rd.from_arrow(empty)
+        return rd.read_parquet(files, columns=columns)
+
+    def scan_all(self, columns: list[str] | None = None):
+        return self.scan_cells([int(c) for c in self.cell_files], columns)
+
+    # ------------------------------------------------------------------
+    # batch updates
+    # ------------------------------------------------------------------
+
+    def insert(self, delta, resume: bool = True) -> "PkdIndex":
+        """Batch insert (``batch_insert.hpp:59-191``): route the delta
+        through the directory, rewrite only affected cells, split cells
+        that exceed the imbalance threshold.  Returns a NEW PkdIndex
+        (functional update; old version's files remain until vacuum)."""
+        return self._update(delta, op=_OP_INSERT, strict=False, resume=resume)
+
+    def delete(self, delta, strict: bool = True, resume: bool = True) -> "PkdIndex":
+        """Batch delete.  ``strict=True`` = FullCoveredTag semantics
+        (every delete row must exist — ``batch_delete.hpp:74-91``;
+        raises on miss); ``strict=False`` = PartialCoverTag (skip
+        missing rows, ``batch_delete.hpp:93-107``).  Matching is by id
+        when the delta carries the id column, else by coordinate
+        multiset (one delete row removes one instance, the dummy-leaf
+        multiplicity rule, ``batch_delete.hpp:172-177``)."""
+        return self._update(delta, op=_OP_DELETE, strict=strict, resume=resume)
+
+    def _update(self, delta, op: int, strict: bool, resume: bool) -> "PkdIndex":
+        t0 = time.perf_counter()
+        new_version = self.version + 1
+        cfg = self.config
+
+        # 1. route the delta (retrive_tag analog) + per-cell delta counts
+        #    (InnerTree::reduce_sums, inner_tree.hpp:33-76)
+        delta_assigned = _assign_cells(delta, self.directory, cfg, op=op, id_col=self.id_col)
+        from ray.data.aggregate import Sum
+
+        delta_counts = (
+            delta_assigned.select_columns(["cell"])
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "cell": np.unique(t["cell"].to_numpy(), return_counts=True)[0],
+                        "cnt": np.unique(t["cell"].to_numpy(), return_counts=True)[1].astype(np.int64),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("cell")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+        )
+        affected = delta_counts["cell"].to_numpy(dtype=np.int64)
+        dcnt = delta_counts["cnt"].to_numpy(dtype=np.int64)
+
+        # 2. new directory: split cells whose post-insert count exceeds
+        #    the threshold (tag_inbalance_node analog, inner_tree.hpp:78-148)
+        directory = self.directory
+        if op == _OP_INSERT:
+            directory = _split_hot_cells(directory, affected, dcnt, cfg)
+
+        # 3. rewrite affected cells: old rows of affected cells + delta,
+        #    re-assigned under the NEW directory, one file per cell
+        old_rows = self.scan_cells(affected.tolist())
+        old_tagged = old_rows.map_batches(
+            lambda t: t.append_column("__op", pa.array(np.zeros(t.num_rows, np.int8))),
+            batch_format="pyarrow",
+        )
+        union = old_tagged.union(delta_assigned)
+        if len(directory) != len(self.directory):
+            union = _reassign_cells(union, directory, cfg)
+        cell_files, lineage = self._write_cells(
+            union, self.path, directory, cfg, self.id_col, new_version, resume=resume
+        )
+
+        # strict-delete postcondition: total removed == delta size
+        if op == _OP_DELETE and strict:
+            old_in_affected = int(
+                self.directory.counts[self.directory.index_of(affected)].sum()
+            )
+            new_in_affected = sum(r["rows"] for r in lineage)
+            n_delta = int(dcnt.sum())
+            if old_in_affected - new_in_affected != n_delta:
+                raise ValueError(
+                    f"strict (FullCovered) delete: {n_delta} rows requested but "
+                    f"{old_in_affected - new_in_affected} removed — some delete rows "
+                    "do not exist (use strict=False for PartialCover semantics)"
+                )
+
+        # 4. stitch: unaffected cells keep old files (update_inner_tree)
+        new_files = dict(self.cell_files)
+        affected_set = set(int(a) for a in affected)
+        if len(directory) != len(self.directory):
+            # splits only add cells under affected parents; parents removed
+            for cell in list(new_files):
+                if cell in affected_set:
+                    new_files.pop(cell)
+        else:
+            for cell in affected_set:
+                new_files.pop(cell, None)
+        for rec in lineage:
+            if rec["rows"] > 0:
+                new_files[rec["cell"]] = rec["file"]
+
+        merged_lineage = [
+            r for r in self.lineage if r["cell"] not in affected_set and r["cell"] in new_files
+        ] + lineage
+        if directory is self.directory:
+            # functional update: never mutate the old handle's directory
+            directory = CellDirectory(
+                directory.starts.copy(),
+                directory.depths.copy(),
+                cfg,
+                counts=directory.counts.copy(),
+                bboxes=directory.bboxes.copy(),
+            )
+        idx = PkdIndex(
+            self.path, directory, cfg, self.id_col, self.id_type, new_version, new_files, merged_lineage
+        )
+        idx._refresh_directory_stats()
+        idx.save_manifest(update_sec=time.perf_counter() - t0, op="insert" if op == _OP_INSERT else "delete")
+        return idx
+
+
+# ----------------------------------------------------------------------
+# helpers
+# ----------------------------------------------------------------------
+
+
+def _assign_cells(points, directory: CellDirectory, config: EngineConfig, op: int = _OP_KEEP, id_col: str | None = None):
+    """Add the ``cell`` routing column (vectorized find_bucket,
+    ``build_tree.hpp:72-81``) and an ``__op`` tag, and put columns in
+    the canonical (cell, <id>, x, y, __op) order so tagged datasets
+    union cleanly.  The directory's (starts,) array is broadcast once
+    via ``ray.put`` and fetched once per task, not re-shipped per
+    batch."""
+    ref = ray.put((directory.starts, config.max_depth, config.coord_bits))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        starts, max_depth, bits = ray.get(ref)
+        codes = morton_code(batch["x"].to_numpy(), batch["y"].to_numpy(), max_depth, bits)
+        idx = np.searchsorted(starts, codes, side="right") - 1
+        cells = starts[idx]
+        out = batch
+        if "cell" in out.column_names:
+            out = out.drop_columns(["cell"])
+        out = out.append_column("cell", pa.array(cells, pa.int64()))
+        if "__op" not in out.column_names:
+            out = out.append_column("__op", pa.array(np.full(out.num_rows, op, np.int8)))
+        front = ["cell"] + ([id_col] if id_col and id_col in out.column_names else [])
+        front += ["x", "y"]
+        rest = [c for c in out.column_names if c not in front + ["__op"]]
+        return out.select(front + rest + ["__op"])
+
+    return points.map_batches(assign, batch_format="pyarrow")
+
+
+def _reassign_cells(tagged, directory: CellDirectory, config: EngineConfig):
+    ref = ray.put((directory.starts, config.max_depth, config.coord_bits))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        starts, max_depth, bits = ray.get(ref)
+        codes = morton_code(batch["x"].to_numpy(), batch["y"].to_numpy(), max_depth, bits)
+        idx = np.searchsorted(starts, codes, side="right") - 1
+        return batch.set_column(
+            batch.column_names.index("cell"), "cell", pa.array(starts[idx], pa.int64())
+        )
+
+    return tagged.map_batches(assign, batch_format="pyarrow")
+
+
+def _split_hot_cells(
+    directory: CellDirectory, affected: np.ndarray, delta_counts: np.ndarray, config: EngineConfig
+) -> CellDirectory:
+    """Replace overfull leaves with children deep enough that a uniform
+    spread of the new count meets the target (hot-cell split — the
+    weight-balance rebuild analog)."""
+    import math
+
+    idx = directory.index_of(affected)
+    new_counts = directory.counts[idx] + delta_counts
+    over = new_counts > config.split_threshold
+    if not over.any():
+        return directory
+    starts = list(directory.starts)
+    depths = list(directory.depths)
+    pos_to_remove = []
+    additions: list[tuple[int, int]] = []
+    for pos, cnt in zip(idx[over], new_counts[over]):
+        depth = int(directory.depths[pos])
+        levels = max(1, math.ceil(math.log(cnt / config.target_cell_rows, 4)))
+        new_depth = min(config.max_depth, depth + levels)
+        if new_depth == depth:
+            continue
+        span = 1 << (2 * (config.max_depth - new_depth))
+        base = int(directory.starts[pos])
+        n_children = 4 ** (new_depth - depth)
+        pos_to_remove.append(pos)
+        additions.extend((base + q * span, new_depth) for q in range(n_children))
+    if not pos_to_remove:
+        return directory
+    keep = np.ones(len(starts), dtype=bool)
+    keep[pos_to_remove] = False
+    new_starts = np.concatenate(
+        [directory.starts[keep], np.array([a[0] for a in additions], dtype=np.int64)]
+    )
+    new_depths = np.concatenate(
+        [directory.depths[keep], np.array([a[1] for a in additions], dtype=np.int64)]
+    )
+    return CellDirectory(new_starts, new_depths, config)
+
+
+def _apply_deletes(group: pa.Table, id_col: str) -> pa.Table:
+    """Anti-join within one cell.  Id-based when delete rows carry a
+    non-null id; else coordinate-multiset (each delete row removes one
+    instance — dummy-leaf multiplicity, ``batch_delete.hpp:172-177``)."""
+    ops = group["__op"].to_numpy()
+    keep_mask = ops != _OP_DELETE
+    existing = group.filter(pa.array(keep_mask))
+    deletes = group.filter(pa.array(~keep_mask))
+    if deletes.num_rows == 0:
+        return group
+    ids = deletes[id_col]
+    if ids.null_count == deletes.num_rows:
+        # coordinate-multiset delete
+        ex = existing.to_pandas()
+        dl = deletes.to_pandas()
+        ex["_ord"] = ex.groupby(["x", "y"]).cumcount()
+        dl["_need"] = dl.groupby(["x", "y"]).cumcount() + 1
+        need = dl.groupby(["x", "y"])["_need"].max()
+        key = list(zip(ex["x"], ex["y"]))
+        thresh = need.reindex(key, fill_value=0).to_numpy()
+        keep = ex["_ord"].to_numpy() >= thresh
+        return pa.Table.from_pandas(
+            ex[keep].drop(columns=["_ord"]), preserve_index=False
+        ).cast(existing.schema)
+    mask = pc.invert(pc.is_in(existing[id_col], value_set=ids.combine_chunks()))
+    return existing.filter(mask)
+
+
+def _arrow_type_name(schema, col: str) -> str:
+    """Ray's Dataset.schema() wraps names/types; map col -> type name."""
+    if schema is None:
+        return "int64"
+    try:
+        return str(dict(zip(schema.names, schema.types))[col])
+    except Exception:
+        return "int64"
+
+
+def _type_from_name(name: str) -> pa.DataType:
+    return {"string": pa.string(), "large_string": pa.large_string()}.get(name, pa.int64())

@@ -1,0 +1,148 @@
+"""Batch insert / delete conformance (the reference's
+``batchInsert``/``batchDelete`` phases, ``tests/test.cpp:53-74``,
+validated after every step like ``checkCorrectParallel.cpp:139-168``)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pkd_tree_ray.config import EngineConfig
+from pkd_tree_ray.fixtures import uniform_xy, varden_xy, point_pair_boxes
+from tests.oracle import knn_oracle, range_count_oracle
+
+CFG = EngineConfig(target_cell_rows=512, batch_size=4_096)
+
+
+def _table(ids, x, y):
+    return pa.table({"point_id": np.asarray(ids, dtype=np.int64), "x": x, "y": y})
+
+
+def _mk_index(tmp_path, n=3_000, gen=uniform_xy, seed=42):
+    import ray.data as rd
+    from pkd_tree_ray.index import PkdIndex
+
+    x, y = gen(np.arange(n, dtype=np.uint64), seed)
+    ids = np.arange(n, dtype=np.int64)
+    idx = PkdIndex.build(rd.from_arrow(_table(ids, x, y)), str(tmp_path), CFG, id_col="point_id")
+    return idx, ids, x, y
+
+
+class TestInsert:
+    def test_insert_then_query(self, ray_session, tmp_path):
+        """Insert a 10% batch (readInsertFile convention,
+        tests/test.cpp:53-62) and check counts + kNN on the union."""
+        import ray.data as rd
+        from pkd_tree_ray.queries import knn, range_count
+
+        idx, ids, x, y = _mk_index(tmp_path)
+        n = len(ids)
+        m = n // 10
+        # seed=43: the "2.in" second-file convention (FIXTURES.md §2)
+        ix, iy = uniform_xy(np.arange(m, dtype=np.uint64), seed=43)
+        iids = np.arange(n, n + m, dtype=np.int64)
+        idx2 = idx.insert(rd.from_arrow(_table(iids, ix, iy)))
+
+        assert idx2.total_rows == n + m
+        assert idx2.version == idx.version + 1
+        ax = np.concatenate([x, ix])
+        ay = np.concatenate([y, iy])
+        aid = np.concatenate([ids, iids])
+        boxes = point_pair_boxes(ax, ay, 20)
+        got = range_count(idx2, boxes).to_pandas()["cnt"].to_numpy()
+        for q, box in enumerate(boxes):
+            assert got[q] == range_count_oracle(ax, ay, box)
+        qx, qy = ax[:10], ay[:10]
+        df = knn(idx2, qx, qy, 10).to_pandas().sort_values(["qid", "rank"])
+        oracle = knn_oracle(ax, ay, aid, qx, qy, 10)
+        for q in range(len(qx)):
+            assert df[df["qid"] == q]["dist2"].tolist() == [e[0] for e in oracle[q]]
+
+    def test_hot_cell_split(self, ray_session, tmp_path):
+        """Inserting a dense cluster into one cell must split it
+        (the weight-balance rebuild analog): no live cell exceeds the
+        split threshold afterwards, and counts stay exact."""
+        import ray.data as rd
+        from pkd_tree_ray.queries import range_count
+
+        idx, ids, x, y = _mk_index(tmp_path)
+        n = len(ids)
+        m = 4 * CFG.split_threshold
+        # all inserts inside a 100x100 patch -> one hot cell
+        hx = 500_000 + (np.arange(m, dtype=np.int64) % 100)
+        hy = 500_000 + ((np.arange(m, dtype=np.int64) * 7) % 100)
+        iids = np.arange(n, n + m, dtype=np.int64)
+        idx2 = idx.insert(rd.from_arrow(_table(iids, hx, hy)))
+        assert idx2.total_rows == n + m
+        assert len(idx2.directory) > len(idx.directory)
+        ax, ay = np.concatenate([x, hx]), np.concatenate([y, hy])
+        box = np.array([[499_990, 499_990, 500_200, 500_200]])
+        got = range_count(idx2, box).to_pandas()["cnt"][0]
+        assert got == range_count_oracle(ax, ay, box[0])
+
+
+class TestDelete:
+    def test_full_covered_delete(self, ray_session, tmp_path):
+        """FullCoveredTag: delete existing rows by id; counts shrink
+        exactly (batch_delete.hpp:74-91)."""
+        import ray.data as rd
+        from pkd_tree_ray.queries import range_count
+
+        idx, ids, x, y = _mk_index(tmp_path)
+        sel = ids % 10 == 0
+        idx2 = idx.delete(rd.from_arrow(_table(ids[sel], x[sel], y[sel])), strict=True)
+        assert idx2.total_rows == (~sel).sum()
+        boxes = point_pair_boxes(x[~sel], y[~sel], 15)
+        got = range_count(idx2, boxes).to_pandas()["cnt"].to_numpy()
+        for q, box in enumerate(boxes):
+            assert got[q] == range_count_oracle(x[~sel], y[~sel], box)
+
+    def test_strict_delete_missing_raises(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        idx, ids, x, y = _mk_index(tmp_path, n=1_000)
+        ghost = _table(np.array([999_999]), np.array([123_456]), np.array([654_321]))
+        with pytest.raises(ValueError, match="FullCovered"):
+            idx.delete(rd.from_arrow(ghost), strict=True)
+
+    def test_partial_cover_delete_skips_missing(self, ray_session, tmp_path):
+        """PartialCoverTag: missing rows are skipped
+        (batch_delete.hpp:93-107)."""
+        import ray.data as rd
+
+        idx, ids, x, y = _mk_index(tmp_path, n=1_000)
+        mix = pa.concat_tables(
+            [
+                _table(ids[:50], x[:50], y[:50]),
+                _table(np.array([777_777]), np.array([1]), np.array([1])),
+            ]
+        )
+        idx2 = idx.delete(rd.from_arrow(mix), strict=False)
+        assert idx2.total_rows == 950
+
+    def test_insert_delete_roundtrip(self, ray_session, tmp_path):
+        """Insert a batch then delete it -> original point set
+        (incrementalDelete driver, testFramework.h:252-304)."""
+        import ray.data as rd
+
+        idx, ids, x, y = _mk_index(tmp_path, n=1_500, gen=varden_xy)
+        ix, iy = varden_xy(np.arange(200, dtype=np.uint64), seed=43)
+        iids = np.arange(10_000, 10_200, dtype=np.int64)
+        idx2 = idx.insert(rd.from_arrow(_table(iids, ix, iy)))
+        idx3 = idx2.delete(rd.from_arrow(_table(iids, ix, iy)), strict=True)
+        assert idx3.total_rows == 1_500
+        got = set(idx3.scan_all().to_pandas()["point_id"])
+        assert got == set(ids.tolist())
+
+
+class TestFunctionalUpdate:
+    def test_old_handle_unchanged_after_insert(self, ray_session, tmp_path):
+        """insert/delete return NEW handles; the old index keeps
+        serving the old version (functional update contract)."""
+        import ray.data as rd
+
+        idx, ids, x, y = _mk_index(tmp_path, n=1_000)
+        before = idx.total_rows
+        ix, iy = uniform_xy(np.arange(100, dtype=np.uint64), seed=43)
+        idx2 = idx.insert(rd.from_arrow(_table(np.arange(5_000, 5_100), ix, iy)))
+        assert idx.total_rows == before
+        assert idx2.total_rows == before + 100
