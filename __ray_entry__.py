@@ -1,44 +1,308 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship pipeline smoke at sf0.001.
+``queries()`` — one callable per implemented pipeline (SURVEY.md §2);
+each takes ``sf_dir`` and returns a Dataset / DataFrame / pyarrow
+Table.  ``oracle_sql()`` — the DuckDB-equivalent SQL for every
+SQL-expressible query (identical literal workloads, identical
+SQL-exact coordinate derivation — see
+:mod:`pkd_tree_ray.sources` / :mod:`pkd_tree_ray.workloads`).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; no
+``ray.init``/``ray.shutdown`` anywhere down this import tree.
+
+Spatial queries run over points derived from the ``lineitem`` /
+``orders`` / ``customer`` tables with multiplicative hashes that DuckDB
+reproduces exactly (BIGINT arithmetic, no overflow at test scales).
+Indexes are built once per (sf_dir, variant) into /tmp and cached
+in-process; the on-disk layout is resumable so repeated runs reuse
+finished cells.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+from pkd_tree_ray.config import EngineConfig
+from pkd_tree_ray import sources, workloads
+from pkd_tree_ray.index import PkdIndex
+
+_CFG = EngineConfig(target_cell_rows=8_192, batch_size=32_768)
+_INDEX_CACHE: dict[tuple, Any] = {}
+
+
+def _idx_path(sf_dir: str, variant: str) -> str:
+    slug = hashlib.sha1(f"{sf_dir}:{variant}".encode()).hexdigest()[:16]
+    return f"/tmp/pkd_idx/{slug}"
+
+
+def _base_index(sf_dir: str) -> PkdIndex:
+    key = (sf_dir, "lineitem")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = PkdIndex.build(
+            sources.lineitem_points(sf_dir), _idx_path(sf_dir, "lineitem"), _CFG,
+            id_col="point_id",
+        )
+    return _INDEX_CACHE[key]
+
+
+def _inserted_index(sf_dir: str) -> PkdIndex:
+    """Base index + batch insert of the orders-derived points."""
+    key = (sf_dir, "inserted")
+    if key not in _INDEX_CACHE:
+        import shutil
+
+        path = _idx_path(sf_dir, "inserted")
+        shutil.rmtree(path, ignore_errors=True)
+        base = PkdIndex.build(
+            sources.lineitem_points(sf_dir), path, _CFG, id_col="point_id"
+        )
+        _INDEX_CACHE[key] = base.insert(sources.orders_points(sf_dir))
+    return _INDEX_CACHE[key]
+
+
+def _deleted_index(sf_dir: str) -> PkdIndex:
+    """Base index minus rows with point_id % 10 == 0 (FullCovered:
+    delete rows drawn FROM the table, batch_delete.hpp:81-91)."""
+    key = (sf_dir, "deleted")
+    if key not in _INDEX_CACHE:
+        import shutil
+
+        path = _idx_path(sf_dir, "deleted")
+        shutil.rmtree(path, ignore_errors=True)
+        base = PkdIndex.build(
+            sources.lineitem_points(sf_dir), path, _CFG, id_col="point_id"
+        )
+        victims = sources.lineitem_points(sf_dir).map_batches(
+            lambda t: t.filter(pa.array(t["point_id"].to_numpy() % 10 == 0)),
+            batch_format="pyarrow",
+        )
+        _INDEX_CACHE[key] = base.delete(victims, strict=True)
+    return _INDEX_CACHE[key]
+
+
+# ----------------------------------------------------------------------
+# query implementations
+# ----------------------------------------------------------------------
+
+def _q_build_summary(sf_dir: str) -> pa.Table:
+    idx = _base_index(sf_dir)
+    live = idx.directory.counts > 0
+    bb = idx.directory.bboxes[live]
+    return pa.table(
+        {
+            "n": pa.array([idx.total_rows], pa.int64()),
+            "min_x": pa.array([int(bb[:, 0].min())], pa.int64()),
+            "min_y": pa.array([int(bb[:, 1].min())], pa.int64()),
+            "max_x": pa.array([int(bb[:, 2].max())], pa.int64()),
+            "max_y": pa.array([int(bb[:, 3].max())], pa.int64()),
+        }
+    )
+
+
+def _q_range_count(sf_dir: str) -> pa.Table:
+    from pkd_tree_ray.queries import range_count
+
+    return range_count(_base_index(sf_dir), workloads.range_boxes())
+
+
+def _q_range_report(sf_dir: str):
+    from pkd_tree_ray.queries import range_report
+
+    return range_report(_base_index(sf_dir), workloads.report_boxes())
+
+
+def _q_circle_count(sf_dir: str) -> pa.Table:
+    from pkd_tree_ray.queries import circle_count
+
+    return circle_count(_base_index(sf_dir), workloads.circles())
+
+
+def _q_knn(sf_dir: str, k: int):
+    from pkd_tree_ray.queries import knn
+
+    qx, qy = workloads.knn_query_points()
+    return knn(_base_index(sf_dir), qx, qy, k)
+
+
+def _q_insert_range_count(sf_dir: str) -> pa.Table:
+    from pkd_tree_ray.queries import range_count
+
+    return range_count(_inserted_index(sf_dir), workloads.range_boxes())
+
+
+def _q_delete_range_count(sf_dir: str) -> pa.Table:
+    from pkd_tree_ray.queries import range_count
+
+    return range_count(_deleted_index(sf_dir), workloads.range_boxes())
+
+
+def _q_tile_counts(sf_dir: str):
+    from pkd_tree_ray.joins import tile_stats
+
+    return tile_stats(sources.lineitem_points(sf_dir), workloads.TILE_SHIFT)
+
+
+def _q_pip_count(sf_dir: str) -> pa.Table:
+    from pkd_tree_ray.joins import point_in_polygon_count
+
+    return point_in_polygon_count(_base_index(sf_dir), workloads.polygons())
+
+
+def _q_pip_join(sf_dir: str):
+    from pkd_tree_ray.joins import point_in_polygon_join
+
+    return point_in_polygon_join(_base_index(sf_dir), workloads.polygons())
+
+
+def _q_knn_join(sf_dir: str):
+    from pkd_tree_ray.joins import knn_join
+
+    left = (
+        sources.customer_points(sf_dir)
+        .map_batches(
+            lambda t: t.filter(pa.array(t["c_custkey"].to_numpy() % 30 == 0)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    left_tbl = pa.Table.from_pandas(left, preserve_index=False)
+    return knn_join(_base_index(sf_dir), left_tbl, "c_custkey", k=3)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the spatial index over sf0.001 lineitem-derived
+    points, run the k=10 kNN batch, return the result Dataset."""
+    return _q_knn("/root/testdata/sf0.001", 10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "build_summary": _q_build_summary,
+        "range_count": _q_range_count,
+        "range_report": _q_range_report,
+        "circle_count": _q_circle_count,
+        "knn_k1": lambda sf: _q_knn(sf, 1),
+        "knn_k10": lambda sf: _q_knn(sf, 10),
+        "knn_k100": lambda sf: _q_knn(sf, 100),
+        "insert_range_count": _q_insert_range_count,
+        "delete_range_count": _q_delete_range_count,
+        "tile_counts": _q_tile_counts,
+        "pip_count": _q_pip_count,
+        "pip_join": _q_pip_join,
+        "knn_join": _q_knn_join,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ----------------------------------------------------------------------
+# DuckDB oracles
+# ----------------------------------------------------------------------
+
+def _knn_sql(k: int) -> str:
+    qx, qy = workloads.knn_query_points()
+    return f"""
+WITH pts AS ({sources.sql_lineitem_points()}),
+q AS (SELECT * FROM {workloads.sql_values_points(qx, qy)}),
+d AS (
+  SELECT q.qid, p.point_id AS neighbor,
+         (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy) AS dist2,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy),
+                    p.point_id
+         ) AS "rank"
+  FROM pts p CROSS JOIN q
+)
+SELECT qid, "rank", neighbor, dist2 FROM d WHERE "rank" <= {k}
+"""
+
+
+def _range_count_sql(pts_sql: str) -> str:
+    boxes = workloads.range_boxes()
+    return f"""
+WITH pts AS ({pts_sql}),
+q AS (SELECT * FROM {workloads.sql_values_boxes(boxes)})
+SELECT q.qid,
+       (SELECT count(*) FROM pts p
+        WHERE p.x BETWEEN q.min_x AND q.max_x
+          AND p.y BETWEEN q.min_y AND q.max_y) AS cnt
+FROM q
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    boxes_rep = workloads.report_boxes()
+    circ = workloads.circles()
+    polys = workloads.polygons()
+    pip_count_sql = "\nUNION ALL\n".join(
+        f"SELECT {i} AS poly_id, count(*) AS cnt FROM pts WHERE "
+        + workloads.sql_polygon_predicate(v)
+        for i, v in enumerate(polys)
+    )
+    pip_join_sql = "\nUNION ALL\n".join(
+        f"SELECT {i} AS poly_id, point_id FROM pts WHERE "
+        + workloads.sql_polygon_predicate(v, "x", "y")
+        for i, v in enumerate(polys)
+    )
+    return {
+        "build_summary": f"""
+WITH pts AS ({sources.sql_lineitem_points()})
+SELECT count(*) AS n, min(x) AS min_x, min(y) AS min_y,
+       max(x) AS max_x, max(y) AS max_y FROM pts
+""",
+        "range_count": _range_count_sql(sources.sql_lineitem_points()),
+        "range_report": f"""
+WITH pts AS ({sources.sql_lineitem_points()}),
+q AS (SELECT * FROM {workloads.sql_values_boxes(boxes_rep)})
+SELECT q.qid, p.point_id, p.x, p.y
+FROM pts p JOIN q
+  ON p.x BETWEEN q.min_x AND q.max_x AND p.y BETWEEN q.min_y AND q.max_y
+""",
+        "circle_count": f"""
+WITH pts AS ({sources.sql_lineitem_points()}),
+q AS (SELECT * FROM {workloads.sql_values_circles(circ)})
+SELECT q.qid,
+       (SELECT count(*) FROM pts p
+        WHERE (p.x - q.cx) * (p.x - q.cx) + (p.y - q.cy) * (p.y - q.cy)
+              <= CAST(q.r AS BIGINT) * q.r) AS cnt
+FROM q
+""",
+        "knn_k1": _knn_sql(1),
+        "knn_k10": _knn_sql(10),
+        "knn_k100": _knn_sql(100),
+        "insert_range_count": _range_count_sql(
+            f"{sources.sql_lineitem_points()} UNION ALL {sources.sql_orders_points()}"
+        ),
+        "delete_range_count": _range_count_sql(
+            f"SELECT * FROM ({sources.sql_lineitem_points()}) WHERE point_id % 10 <> 0"
+        ),
+        "tile_counts": f"""
+WITH pts AS ({sources.sql_lineitem_points()})
+SELECT x // {workloads.TILE_SHIFT} AS tile_x, y // {workloads.TILE_SHIFT} AS tile_y,
+       count(*) AS cnt
+FROM pts GROUP BY 1, 2
+""",
+        "pip_count": f"WITH pts AS ({sources.sql_lineitem_points()})\n" + pip_count_sql,
+        "pip_join": f"WITH pts AS ({sources.sql_lineitem_points()})\n" + pip_join_sql,
+        "knn_join": f"""
+WITH pts AS ({sources.sql_lineitem_points()}),
+q AS (SELECT * FROM ({sources.sql_customer_points()}) WHERE c_custkey % 30 = 0),
+d AS (
+  SELECT q.c_custkey, p.point_id AS neighbor,
+         (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS dist2,
+         row_number() OVER (
+           PARTITION BY q.c_custkey
+           ORDER BY (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y),
+                    p.point_id
+         ) AS "rank"
+  FROM pts p CROSS JOIN q
+)
+SELECT c_custkey, "rank", neighbor, dist2 FROM d WHERE "rank" <= 3
+""",
+    }

@@ -1,0 +1,264 @@
+"""Spatial joins and tiling — the north-star extensions (SURVEY.md
+§7.2 M5).  All are compositions of the primitive query pipelines, as
+the reference's join-like drivers are compositions of
+``range_count``/``range_query``/``k_nearest`` (SURVEY.md §2.7
+"Joins/lookups").
+
+* point-in-polygon join: polygon -> covering cells via the directory
+  (cells whose bbox lies fully inside the convex polygon are counted /
+  emitted with NO per-point test — the contained-subtree shortcut);
+  boundary cells get the exact vectorized half-plane test;
+* kNN join: the two-phase kNN pipeline with the query side taken from
+  a (small) keyed table, broadcast via ``ray.put``;
+* raster-tile <-> vector assignment: fixed-resolution tile id is pure
+  arithmetic per row; the aggregate is a partial-agg ``map_batches``
+  followed by a tiny ``groupby`` — the pre-aggregation pattern, so the
+  all-to-all shuffle moves one row per (batch, tile) instead of one
+  per point.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from pkd_tree_ray.geometry import points_in_convex_polygon, polygon_bbox
+from pkd_tree_ray.index import PkdIndex
+from pkd_tree_ray.queries import _csr, _iter_cell_runs, _live, _pool_size, knn
+
+
+# ----------------------------------------------------------------------
+# point-in-polygon
+# ----------------------------------------------------------------------
+
+def _classify_polygons(index: PkdIndex, polys: list[np.ndarray]):
+    """Per polygon: contained-cell base counts + partial cells.
+    A cell bbox is inside a convex polygon iff all 4 corners are."""
+    cells, counts, bboxes = _live(index)
+    base = np.zeros(len(polys), dtype=np.int64)
+    full_map: dict[int, list[int]] = {}
+    part_map: dict[int, list[int]] = {}
+    if len(cells) == 0:
+        return base, full_map, part_map
+    corners = [
+        (bboxes[:, 0], bboxes[:, 1]),
+        (bboxes[:, 0], bboxes[:, 3]),
+        (bboxes[:, 2], bboxes[:, 1]),
+        (bboxes[:, 2], bboxes[:, 3]),
+    ]
+    for pi, verts in enumerate(polys):
+        inside = np.ones(len(cells), dtype=bool)
+        for cx, cy in corners:
+            inside &= points_in_convex_polygon(cx, cy, verts)
+        pb = polygon_bbox(verts)
+        overlap = (
+            (bboxes[:, 0] <= pb[2])
+            & (bboxes[:, 2] >= pb[0])
+            & (bboxes[:, 1] <= pb[3])
+            & (bboxes[:, 3] >= pb[1])
+        )
+        partial = overlap & ~inside
+        base[pi] = counts[inside].sum()
+        for cc in np.nonzero(inside)[0]:
+            full_map.setdefault(int(cells[cc]), []).append(pi)
+        for cc in np.nonzero(partial)[0]:
+            part_map.setdefault(int(cells[cc]), []).append(pi)
+    return base, full_map, part_map
+
+
+class _PipScan:
+    """Actor: exact point-in-polygon tests in boundary cells."""
+
+    def __init__(self, ref, id_col: str | None):
+        polys, (cells, offs, qids) = ray.get(ref)
+        self.polys = polys
+        self.cells, self.offs, self.qids = cells, offs, qids
+        self.id_col = id_col  # None -> count mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cell_col = batch["cell"].to_numpy()
+        x = batch["x"].to_numpy()
+        y = batch["y"].to_numpy()
+        out_p: list[np.ndarray] = []
+        out_v: list[np.ndarray] = []
+        for cell, sl in _iter_cell_runs(cell_col):
+            i = np.searchsorted(self.cells, cell)
+            if i >= len(self.cells) or self.cells[i] != cell:
+                continue
+            for pi in self.qids[self.offs[i]: self.offs[i + 1]]:
+                m = points_in_convex_polygon(x[sl], y[sl], self.polys[pi])
+                if self.id_col is None:
+                    out_p.append(np.array([pi], dtype=np.int64))
+                    out_v.append(np.array([int(m.sum())], dtype=np.int64))
+                else:
+                    rows = np.arange(sl.start, sl.stop, dtype=np.int64)[m]
+                    out_p.append(np.full(len(rows), pi, dtype=np.int64))
+                    out_v.append(rows)
+        if self.id_col is None:
+            if not out_p:
+                return pa.table(
+                    {"poly_id": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {"poly_id": np.concatenate(out_p), "cnt": np.concatenate(out_v)}
+            )
+        if not out_p:
+            return pa.table(
+                {
+                    "poly_id": pa.array([], pa.int64()),
+                    self.id_col: pa.array([], batch[self.id_col].type),
+                }
+            )
+        rows_all = np.concatenate(out_v)
+        return pa.table(
+            {
+                "poly_id": pa.array(np.concatenate(out_p), pa.int64()),
+                self.id_col: batch.take(pa.array(rows_all))[self.id_col],
+            }
+        )
+
+
+def point_in_polygon_count(index: PkdIndex, polys: list[np.ndarray]) -> pa.Table:
+    """-> (poly_id, cnt): points inside each convex polygon
+    (boundary-inclusive)."""
+    cfg = index.config
+    base, full_map, part_map = _classify_polygons(index, polys)
+    total = base.copy()
+    if part_map:
+        ref = ray.put((polys, _csr(part_map)))
+        from ray.data.aggregate import Sum
+
+        partial = (
+            index.scan_cells(list(part_map), columns=["cell", "x", "y"])
+            .map_batches(
+                _PipScan,
+                fn_constructor_args=(ref, None),
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                concurrency=_pool_size(cfg),
+            )
+            .groupby("poly_id")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+        )
+        if len(partial):
+            total[partial["poly_id"].to_numpy(dtype=np.int64)] += partial["cnt"].to_numpy(
+                dtype=np.int64
+            )
+    return pa.table({"poly_id": np.arange(len(polys), dtype=np.int64), "cnt": total})
+
+
+def point_in_polygon_join(index: PkdIndex, polys: list[np.ndarray]):
+    """-> streaming Dataset (poly_id, <id>): the join rows.  Cells
+    fully inside a polygon are emitted without per-point tests."""
+    cfg = index.config
+    _, full_map, part_map = _classify_polygons(index, polys)
+    id_col = index.id_col
+
+    full_ref = ray.put((polys, _csr(full_map)))
+    part_ref = ray.put((polys, _csr(part_map)))
+
+    class _PipEmit:
+        def __init__(self):
+            polys_, full = ray.get(full_ref)
+            _, part = ray.get(part_ref)
+            self.inner = _PipScan.__new__(_PipScan)
+            self.inner.polys = polys_
+            self.inner.cells, self.inner.offs, self.inner.qids = part
+            self.inner.id_col = id_col
+            self.f_cells, self.f_offs, self.f_qids = full
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            parts = [self.inner(batch)]
+            cell_col = batch["cell"].to_numpy()
+            for cell, sl in _iter_cell_runs(cell_col):
+                i = np.searchsorted(self.f_cells, cell)
+                if i >= len(self.f_cells) or self.f_cells[i] != cell:
+                    continue
+                ids = batch.slice(sl.start, sl.stop - sl.start)[id_col]
+                for pi in self.f_qids[self.f_offs[i]: self.f_offs[i + 1]]:
+                    parts.append(
+                        pa.table(
+                            {
+                                "poly_id": pa.array(
+                                    np.full(len(ids), pi, dtype=np.int64)
+                                ),
+                                id_col: ids,
+                            }
+                        )
+                    )
+            return pa.concat_tables(parts)
+
+    needed = sorted(set(full_map) | set(part_map))
+    return index.scan_cells(needed, columns=["cell", id_col, "x", "y"]).map_batches(
+        _PipEmit,
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=_pool_size(cfg),
+    )
+
+
+# ----------------------------------------------------------------------
+# kNN join
+# ----------------------------------------------------------------------
+
+def knn_join(index: PkdIndex, left: pa.Table, key_col: str, k: int):
+    """kNN join of a keyed query table (columns key_col, x, y) against
+    the indexed points -> Dataset (<key_col>, rank, neighbor, dist2).
+
+    The left side is assumed broadcast-small (the reference's query
+    batches are 1% of the build side, ``testFramework.h:24``); a
+    both-sides-large kNN join would route left rows to cells by the
+    same directory and co-partition — documented scale path.
+    """
+    keys = left[key_col].to_numpy()
+    qx = left["x"].to_numpy()
+    qy = left["y"].to_numpy()
+    res = knn(index, qx, qy, k)
+    key_arr = ray.put(keys)
+
+    def remap(batch: pa.Table) -> pa.Table:
+        ks = ray.get(key_arr)
+        return pa.table(
+            {
+                key_col: pa.array(ks[batch["qid"].to_numpy()]),
+                "rank": batch["rank"],
+                "neighbor": batch["neighbor"],
+                "dist2": batch["dist2"],
+            }
+        )
+
+    return res.map_batches(remap, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# raster tiles
+# ----------------------------------------------------------------------
+
+def tile_stats(points, tile_side: int):
+    """Raster-tile <-> vector assignment: tile id = (x // side,
+    y // side); -> (tile_x, tile_y, cnt) via partial aggregation then a
+    tiny groupby shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tx = batch["x"].to_numpy() // tile_side
+        ty = batch["y"].to_numpy() // tile_side
+        code = tx * (1 << 20) + ty
+        u, c = np.unique(code, return_counts=True)
+        return pa.table(
+            {
+                "tile_x": u // (1 << 20),
+                "tile_y": u % (1 << 20),
+                "cnt": c.astype(np.int64),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        points.map_batches(partial, batch_format="pyarrow")
+        .groupby(["tile_x", "tile_y"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )

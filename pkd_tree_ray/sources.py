@@ -1,0 +1,130 @@
+"""Point-table sources.
+
+Two ways to obtain the ``(id, x, y)`` point table the engine indexes:
+
+* **image path** (the production shape, per BASELINE.json
+  ``input_hint``): the Lance-style image table geotagged from its
+  ``phash`` column — ``geotag_images``;
+* **oracle path** (driver correctness checks): points derived from the
+  TPC-H-ish testdata tables with SQL-exact multiplicative hashes
+  (:mod:`pkd_tree_ray.hashing`), so DuckDB can reproduce the identical
+  coordinates.  The analog of the reference's file readers
+  (``tests/testFramework.h:992-1022``).
+
+Payload discipline (SURVEY.md §7.4.5): the index path carries ONLY
+(id, x, y); wide payload columns (image bytes, captions, l_comment...)
+never enter the shuffle and are re-joined by id at report time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pkd_tree_ray.fixtures import phash_to_xy
+from pkd_tree_ray.hashing import COORD_MOD, XA, YA, mulhash_coord, sql_coord_exprs
+
+
+# --- image path ---------------------------------------------------------
+
+def geotag_images(images_ds):
+    """images (image_id, ..., phash) -> (image_id, x, y): the geotag
+    stage — stateless, zero-copy arrow in/out, payload pruned at the
+    read by selecting only the two needed columns."""
+
+    def geotag(batch: pa.Table) -> pa.Table:
+        x, y = phash_to_xy(batch["phash"].to_numpy())
+        return pa.table({"image_id": batch["image_id"], "x": x, "y": y})
+
+    return images_ds.select_columns(["image_id", "phash"]).map_batches(
+        geotag, batch_format="pyarrow"
+    )
+
+
+# --- oracle path (SQL-exact) -------------------------------------------
+
+#: lineitem rows get point_id = l_orderkey*8 + l_linenumber (linenumber
+#: is 1..7 in the fixture, so ids are unique and never ≡ 0 mod 8);
+#: orders rows get point_id = o_orderkey*8 (disjoint from lineitem ids).
+LINEITEM_PID = "l_orderkey * 8 + l_linenumber"
+ORDERS_PID = "o_orderkey * 8"
+
+
+def lineitem_points(sf_dir: str):
+    """The main point table: one point per lineitem row."""
+    import ray.data as rd
+
+    def derive(batch: pa.Table) -> pa.Table:
+        pid = (
+            batch["l_orderkey"].to_numpy() * 8
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        return pa.table(
+            {
+                "point_id": pid,
+                "x": mulhash_coord(pid, XA),
+                "y": mulhash_coord(pid, YA),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    ).map_batches(derive, batch_format="pyarrow")
+
+
+def orders_points(sf_dir: str):
+    """Secondary point table (insert-batch source — the reference's
+    second input file convention, ``tests/test.cpp:555-561``)."""
+    import ray.data as rd
+
+    def derive(batch: pa.Table) -> pa.Table:
+        pid = batch["o_orderkey"].to_numpy() * 8
+        return pa.table(
+            {
+                "point_id": pid,
+                "x": mulhash_coord(pid, XA),
+                "y": mulhash_coord(pid, YA),
+            }
+        )
+
+    return rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+
+
+def customer_points(sf_dir: str):
+    """Small query-side table for the kNN join."""
+    import ray.data as rd
+
+    def derive(batch: pa.Table) -> pa.Table:
+        cid = batch["c_custkey"].to_numpy()
+        return pa.table(
+            {
+                "c_custkey": cid,
+                "x": mulhash_coord(cid, XA),
+                "y": mulhash_coord(cid, YA),
+            }
+        )
+
+    return rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+
+
+# SQL fragments the DuckDB oracle composes ------------------------------
+
+def sql_lineitem_points() -> str:
+    x, y = sql_coord_exprs(LINEITEM_PID)
+    return (
+        f"SELECT {LINEITEM_PID} AS point_id, {x} AS x, {y} AS y FROM lineitem"
+    )
+
+
+def sql_orders_points() -> str:
+    x, y = sql_coord_exprs(ORDERS_PID)
+    return f"SELECT {ORDERS_PID} AS point_id, {x} AS x, {y} AS y FROM orders"
+
+
+def sql_customer_points() -> str:
+    x, y = sql_coord_exprs("c_custkey")
+    return f"SELECT c_custkey, {x} AS x, {y} AS y FROM customer"

@@ -1,0 +1,120 @@
+"""Deterministic query workloads shared by the Ray pipelines and the
+DuckDB oracle.
+
+All constants are generated once from fixed seeds (mirroring the
+reference's ``srand(10)`` query generation,
+``tests/testFramework.h:136``) and embedded as literals into BOTH the
+Ray query arrays and the oracle SQL — guaranteeing the two sides
+answer the identical workload.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pkd_tree_ray.hashing import COORD_MOD
+
+C = COORD_MOD - 1  # max coordinate
+
+
+def _rng(seed: int) -> np.random.RandomState:
+    return np.random.RandomState(seed)
+
+
+def range_boxes() -> np.ndarray:
+    """12 boxes: 4 size tiers (reference brackets small/med/large +
+    full-ish, README.md:166-171) at seeded positions."""
+    rng = _rng(10)
+    spans = [C // 100, C // 20, C // 5, (3 * C) // 5]
+    out = []
+    for span in spans:
+        for _ in range(3):
+            x0 = int(rng.randint(0, C - span))
+            y0 = int(rng.randint(0, C - span))
+            out.append([x0, y0, x0 + span, y0 + span])
+    return np.array(out, dtype=np.int64)
+
+
+def report_boxes() -> np.ndarray:
+    """4 small boxes for range report (output stays small)."""
+    rng = _rng(11)
+    span = C // 40
+    out = []
+    for _ in range(4):
+        x0 = int(rng.randint(0, C - span))
+        y0 = int(rng.randint(0, C - span))
+        out.append([x0, y0, x0 + span, y0 + span])
+    return np.array(out, dtype=np.int64)
+
+
+def circles() -> np.ndarray:
+    """8 balls, radii from 1% to 40% of the extent."""
+    rng = _rng(12)
+    out = []
+    for r in [C // 100, C // 25, C // 10, (2 * C) // 5]:
+        for _ in range(2):
+            out.append([int(rng.randint(0, C)), int(rng.randint(0, C)), r])
+    return np.array(out, dtype=np.int64)
+
+
+def knn_query_points(m: int = 20) -> tuple[np.ndarray, np.ndarray]:
+    """m query points at seeded positions (OOD-style: uniform queries
+    regardless of the build distribution, ``tests/test.cpp:494-509``)."""
+    rng = _rng(13)
+    return (
+        rng.randint(0, C, m).astype(np.int64),
+        rng.randint(0, C, m).astype(np.int64),
+    )
+
+
+def polygons() -> list[np.ndarray]:
+    """3 convex CCW polygons (triangle, quad, hexagon) — literal
+    vertices for the point-in-polygon join, expressible as half-plane
+    conjunctions in SQL."""
+    rng = _rng(14)
+    polys = []
+    for k in (3, 4, 6):
+        cx, cy = rng.randint(C // 4, (3 * C) // 4, 2)
+        radius = rng.randint(C // 10, C // 4)
+        ang = np.sort(rng.rand(k) * 2 * np.pi)
+        vx = (cx + radius * np.cos(ang)).astype(np.int64)
+        vy = (cy + radius * np.sin(ang)).astype(np.int64)
+        polys.append(np.stack([np.clip(vx, 0, C), np.clip(vy, 0, C)], axis=1))
+    return polys
+
+
+TILE_SHIFT = 65_536  # fixed raster tile side => 16x16 grid over [0, 1e6]
+
+
+# --- SQL fragments ------------------------------------------------------
+
+def sql_values_boxes(boxes: np.ndarray) -> str:
+    rows = ", ".join(
+        f"({i}, {b[0]}, {b[1]}, {b[2]}, {b[3]})" for i, b in enumerate(boxes)
+    )
+    return f"(VALUES {rows}) AS q(qid, min_x, min_y, max_x, max_y)"
+
+
+def sql_values_circles(cs: np.ndarray) -> str:
+    rows = ", ".join(f"({i}, {c[0]}, {c[1]}, {c[2]})" for i, c in enumerate(cs))
+    return f"(VALUES {rows}) AS q(qid, cx, cy, r)"
+
+
+def sql_values_points(qx: np.ndarray, qy: np.ndarray) -> str:
+    rows = ", ".join(f"({i}, {x}, {y})" for i, (x, y) in enumerate(zip(qx, qy)))
+    return f"(VALUES {rows}) AS q(qid, qx, qy)"
+
+
+def sql_polygon_predicate(verts: np.ndarray, xcol: str = "x", ycol: str = "y") -> str:
+    """Half-plane conjunction for a convex CCW polygon — the same
+    boundary-inclusive test as
+    :func:`pkd_tree_ray.geometry.points_in_convex_polygon`."""
+    terms = []
+    k = len(verts)
+    for i in range(k):
+        x1, y1 = int(verts[i][0]), int(verts[i][1])
+        x2, y2 = int(verts[(i + 1) % k][0]), int(verts[(i + 1) % k][1])
+        terms.append(
+            f"({x2 - x1}) * ({ycol} - {y1}) - ({y2 - y1}) * ({xcol} - {x1}) >= 0"
+        )
+    return "(" + " AND ".join(terms) + ")"
