@@ -1,0 +1,232 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline spatial pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the same suite twice in fresh processes at
+num_cpus=8 and num_cpus=32 and reports both plus the scaling
+efficiency — the sandbox evidence for the two-cluster-size pass rule
+(BASELINE.md; the analog of the reference's 1..192-core study,
+``script/scalability.sh:13-46``).
+
+The suite mirrors the reference's benchmark phases
+(``tests/test.cpp:50-163``): bulk build, self-kNN at 1% query ratio
+with k = 1/10/100, range count, range report, batch insert (1%),
+batch delete (1%).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_suite() -> dict:
+    import numpy as np
+
+    import ray
+    import ray.data as rd
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from pkd_tree_ray.config import EngineConfig
+    from pkd_tree_ray.fixtures import point_pair_boxes, self_query_sample
+    from pkd_tree_ray.hashing import XA, YA, mulhash_coord
+    from pkd_tree_ray.index import PkdIndex
+    from pkd_tree_ray.queries import knn, range_count, range_report
+    from pkd_tree_ray.sources import lineitem_points_amplified
+
+    idx_path = f"/tmp/pkd_bench/{NUM_CPUS}"
+    shutil.rmtree(idx_path, ignore_errors=True)
+
+    # untimed warmup: force the full worker pool to spawn (python +
+    # numpy/pandas import per worker) so the first timed phase doesn't
+    # absorb the session's process-startup storm
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda b: b, batch_size=1
+    ).count()
+
+    # amplify the sf table to >= TARGET_N points so compute dominates
+    # fixed per-job overheads (the suite is a throughput benchmark)
+    target_n = int(os.environ.get("GRAFT_BENCH_N", "20000000"))
+    base_df = rd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    ).to_pandas()  # warms the page cache; 2 int columns only
+    n_raw = len(base_df)
+    rep = min(127, max(1, -(-target_n // n_raw)))
+    points = lineitem_points_amplified(SF_DIR, rep)
+    n = n_raw * rep
+
+    # driver-side coordinate arrays for workload generation only
+    # (query gen is not part of the timed bench)
+    base_pid = (
+        base_df["l_orderkey"].to_numpy() * 8
+        + base_df["l_linenumber"].to_numpy().astype("int64")
+    )
+    from pkd_tree_ray.sources import amplified_pids
+    pid = amplified_pids(base_pid, rep)
+    x = mulhash_coord(pid, XA)
+    y = mulhash_coord(pid, YA)
+    del base_df
+
+    # cell layout depends on the DATA only (never on cluster size) so
+    # the same job graph runs unchanged at N and 4N parallelism
+    cfg = EngineConfig(target_cell_rows=65_536, batch_size=65_536)
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    # 1. bulk build (buildTree, testFramework.h:178-207)
+    idx = timed(
+        "build",
+        lambda: PkdIndex.build(points, idx_path, cfg, id_col="point_id"),
+    )
+
+    # 2. self-kNN, k = 1/10/100 (queryKNN, testFramework.h:470-520)
+    def consume(res):
+        return res.num_rows if hasattr(res, "num_rows") else res.count()
+
+    qx, qy = self_query_sample(x, y, ratio=0.01, max_queries=20_000)
+    for k in (1, 10, 100):
+        timed(f"knn_k{k}", lambda k=k: consume(knn(idx, qx, qy, k)))
+
+    # 3. range count, 1000 point-pair boxes (rangeCount, testFramework.h:522-560)
+    boxes = point_pair_boxes(x, y, 1_000)
+    timed("range_count", lambda: range_count(idx, boxes))
+
+    # 4. range report, 1000 small boxes, consumed streaming
+    # (rangeQuery; small spans keep the output ~ hits, not ~ n x m)
+    rng = np.random.RandomState(10)
+    span = 1_000_000 // 80
+    r0 = rng.randint(0, 1_000_000 - span, (1_000, 2))
+    rboxes = np.concatenate([r0, r0 + span], axis=1).astype(np.int64)
+    timed("range_report", lambda: range_report(idx, rboxes).count())
+
+    # 5. batch insert 1% (orders-derived delta; slot j=127 is never
+    # used by the amplified lineitem ids (j <= 126), so the id spaces
+    # are disjoint — see sources.lineitem_points_amplified)
+    import pandas as pd
+
+    okeys = rd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_orderkey"]).to_pandas()
+    odup = np.tile(okeys["o_orderkey"].to_numpy(), max(1, -(-(n // 100) // len(okeys))))
+    base_d = odup[: max(1, n // 100)].astype("int64")
+    dpid = base_d * 128 + 127
+    dpid = np.unique(dpid)
+    delta_tbl = pd.DataFrame(
+        {"point_id": dpid, "x": mulhash_coord(dpid, XA), "y": mulhash_coord(dpid, YA)}
+    )
+    idx2 = timed("insert", lambda: idx.insert(rd.from_pandas(delta_tbl)))
+
+    # 6. batch delete of the same rows (FullCovered)
+    timed("delete", lambda: idx2.delete(rd.from_pandas(delta_tbl), strict=True))
+
+    # 7. concurrent query streams — the throughput measurement: five
+    # query pipelines in flight at once, so cluster compute of one
+    # stream overlaps driver/setup time of the others (this is how a
+    # serving workload actually drives the engine)
+    from concurrent.futures import ThreadPoolExecutor
+
+    streams = [
+        lambda: consume(knn(idx, qx, qy, 1)),
+        lambda: consume(knn(idx, qx, qy, 10)),
+        lambda: consume(knn(idx, qx, qy, 100)),
+        lambda: range_count(idx, boxes),
+        lambda: consume(range_report(idx, rboxes)),
+    ]
+    n_queries_total = 3 * len(qx) + len(boxes) + len(rboxes)
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=len(streams)) as pool:
+        list(pool.map(lambda f: f(), streams))
+    concurrent_sec = time.perf_counter() - t0
+    timings["concurrent_queries"] = round(concurrent_sec, 4)
+
+    total = round(sum(timings.values()), 4)
+    knn_qps = round(3 * len(qx) / (timings["knn_k1"] + timings["knn_k10"] + timings["knn_k100"]), 1)
+    result = {
+        "metric": "pkd_tree_ray spatial suite (build + kNN 1/10/100 + range count/report + insert/delete)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_points": n,
+        "n_queries": len(qx),
+        "knn_queries_per_sec": knn_qps,
+        "build_rows_per_sec": round(n / timings["build"], 1),
+        "concurrent_queries_per_sec": round(n_queries_total / concurrent_sec, 1),
+        "n_cells": len(idx.directory),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    def run_at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run_at(8), run_at(32)
+    eff_wall = (lo["value"] / hi["value"]) / (32 / 8)
+    # the pass metric: query THROUGHPUT (concurrent streams) per the
+    # north rule; wall-clock efficiency of the full suite also reported
+    eff_tp = (hi["concurrent_queries_per_sec"] / lo["concurrent_queries_per_sec"]) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency, num_cpus 8 -> 32 (N vs 4N)",
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "qps_8": lo["concurrent_queries_per_sec"],
+                "qps_32": hi["concurrent_queries_per_sec"],
+                "queries_8": lo["queries"],
+                "queries_32": hi["queries"],
+                "throughput_scaling_efficiency": round(eff_tp, 3),
+                "wall_scaling_efficiency": round(eff_wall, 3),
+                "scaling_efficiency": round(eff_tp, 3),
+                "pass": eff_tp >= 0.8,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_suite()))

@@ -25,6 +25,31 @@ Nothing here calls ``ray.init``; pipelines run under whatever session
 the caller owns (driver, pytest fixture, bench.py).
 """
 
+def _patch_fsspec_http() -> None:
+    # aiohttp is not installed in this environment, which makes
+    # ``fsspec.implementations.http`` a *failing* import.  Ray Data's path
+    # resolution runs that import inside every read task; under threaded
+    # Dataset execution two threads can race the failing import and one of
+    # them surfaces a plain ImportError that Ray does not catch.  Install a
+    # harmless stub module once, up front, so the import always succeeds and
+    # ``isinstance(fs, HTTPFileSystem)`` is simply False for local reads.
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except Exception:
+        import sys
+        import types
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # pragma: no cover - stub, never instantiated
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
+_patch_fsspec_http()
+
 from pkd_tree_ray.config import EngineConfig
 
 __all__ = ["EngineConfig"]

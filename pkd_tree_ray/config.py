@@ -53,6 +53,12 @@ class EngineConfig:
     batch_size: int = 65_536
     #: actor-pool size for stateful query stages; None -> let Ray size it.
     query_concurrency: int | None = None
+    #: run query scan kernels as an actor pool (True) or as stateless
+    #: tasks over warm workers with a per-worker broadcast cache
+    #: (False, default).  Pools amortize per-actor state on long jobs;
+    #: tasks win on short query jobs where pool spin-up dominates
+    #: (measured ~1-2s x pool size per job on this sandbox).
+    use_actor_pools: bool = False
 
     # --- misc -------------------------------------------------------------
     seed: int = 42

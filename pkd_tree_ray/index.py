@@ -118,10 +118,7 @@ class PkdIndex:
         os.makedirs(os.path.join(path, "parts"), exist_ok=True)
         t0 = time.perf_counter()
 
-        n = points.count()
-        d0 = pick_base_depth(n, config)
-        dref = min(config.max_depth, d0 + 3)
-        directory = cls._plan_directory(points, config, dref)
+        directory, n = cls._plan_directory(points, config)
 
         version = 0
         tagged = _assign_cells(points, directory, config, id_col=id_col)
@@ -143,10 +140,25 @@ class PkdIndex:
         return idx
 
     @staticmethod
-    def _plan_directory(points, config: EngineConfig, dref: int) -> CellDirectory:
-        """Exact histogram at depth ``dref`` via per-batch partial
-        counts, then adaptive leaf selection (``pick_pivots`` analog)."""
+    def _plan_directory(points, config: EngineConfig, dref: int | None = None):
+        """Exact Morton histogram via per-batch partial counts (one
+        pass, pre-aggregated inside map_batches), merged on the driver
+        — the histogram is bounded by 4^dref entries, always tiny
+        relative to the data, so a distributed groupby would pay a
+        shuffle for nothing.  Returns (directory, n_rows) —
+        ``pick_pivots`` analog (``build_tree.hpp:48-70``).
+
+        When ``dref`` is None it is picked from an upfront metadata
+        row-count estimate if cheap, else a fixed depth that bounds the
+        histogram at 4^10 entries.
+        """
         bits = config.coord_bits
+        if dref is None:
+            # 4^7 = 16384 histogram entries: per-batch partials stay
+            # small and the driver merge is O(batches x 16k).  Builds
+            # needing >16k cells (>~1e9 rows at default target) should
+            # pass a deeper dref and accept a distributed merge.
+            dref = 7
 
         def hist(batch: pa.Table) -> pa.Table:
             codes = morton_code(
@@ -155,21 +167,20 @@ class PkdIndex:
             u, c = np.unique(codes, return_counts=True)
             return pa.table({"code": u, "cnt": c.astype(np.int64)})
 
-        from ray.data.aggregate import Sum
-
-        agg = (
+        pdf = (
             points.select_columns(["x", "y"])
             .map_batches(hist, batch_format="pyarrow")
-            .groupby("code")
-            .aggregate(Sum("cnt", alias_name="cnt"))
             .to_pandas()
         )
-        # lift dref-codes to max_depth range starts, weights = counts;
-        # cap splitting at dref (below dref the histogram has no info)
-        codes = agg["code"].to_numpy(dtype=np.int64) << (2 * (config.max_depth - dref))
-        return CellDirectory.from_counts(
-            codes, agg["cnt"].to_numpy(dtype=np.int64), config, depth_cap=dref
+        agg = pdf.groupby("code", sort=False)["cnt"].sum()
+        n = int(agg.sum())
+        d0 = pick_base_depth(n, config)
+        cap = min(config.max_depth, min(dref, d0 + 3))
+        codes = agg.index.to_numpy(dtype=np.int64) << (2 * (config.max_depth - dref))
+        directory = CellDirectory.from_counts(
+            codes, agg.to_numpy(dtype=np.int64), config, depth_cap=cap
         )
+        return directory, n
 
     @staticmethod
     def _write_cells(

@@ -26,7 +26,7 @@ import ray
 
 from pkd_tree_ray.geometry import points_in_convex_polygon, polygon_bbox
 from pkd_tree_ray.index import PkdIndex
-from pkd_tree_ray.queries import _csr, _iter_cell_runs, _live, _pool_size, knn
+from pkd_tree_ray.queries import _Pairs, _csr, _iter_cell_runs, _live, _pool_size, _scan_stage, knn
 
 
 # ----------------------------------------------------------------------
@@ -38,16 +38,16 @@ def _classify_polygons(index: PkdIndex, polys: list[np.ndarray]):
     A cell bbox is inside a convex polygon iff all 4 corners are."""
     cells, counts, bboxes = _live(index)
     base = np.zeros(len(polys), dtype=np.int64)
-    full_map: dict[int, list[int]] = {}
-    part_map: dict[int, list[int]] = {}
     if len(cells) == 0:
-        return base, full_map, part_map
+        empty = _Pairs(np.zeros(0, np.int64), np.zeros(0, np.int64))
+        return base, empty, empty
     corners = [
         (bboxes[:, 0], bboxes[:, 1]),
         (bboxes[:, 0], bboxes[:, 3]),
         (bboxes[:, 2], bboxes[:, 1]),
         (bboxes[:, 2], bboxes[:, 3]),
     ]
+    full_parts, part_parts = [], []
     for pi, verts in enumerate(polys):
         inside = np.ones(len(cells), dtype=bool)
         for cx, cy in corners:
@@ -61,11 +61,11 @@ def _classify_polygons(index: PkdIndex, polys: list[np.ndarray]):
         )
         partial = overlap & ~inside
         base[pi] = counts[inside].sum()
-        for cc in np.nonzero(inside)[0]:
-            full_map.setdefault(int(cells[cc]), []).append(pi)
-        for cc in np.nonzero(partial)[0]:
-            part_map.setdefault(int(cells[cc]), []).append(pi)
-    return base, full_map, part_map
+        ci = np.nonzero(inside)[0]
+        full_parts.append(_Pairs(cells[ci], np.full(len(ci), pi, dtype=np.int64)))
+        ci = np.nonzero(partial)[0]
+        part_parts.append(_Pairs(cells[ci], np.full(len(ci), pi, dtype=np.int64)))
+    return base, _Pairs.concat(full_parts), _Pairs.concat(part_parts)
 
 
 class _PipScan:
@@ -131,13 +131,12 @@ def point_in_polygon_count(index: PkdIndex, polys: list[np.ndarray]) -> pa.Table
         from ray.data.aggregate import Sum
 
         partial = (
-            index.scan_cells(list(part_map), columns=["cell", "x", "y"])
-            .map_batches(
+            _scan_stage(
+                index.scan_cells(part_map.cell_list(), columns=["cell", "x", "y"]),
                 _PipScan,
-                fn_constructor_args=(ref, None),
-                batch_format="pyarrow",
-                batch_size=cfg.batch_size,
-                concurrency=_pool_size(cfg),
+                (ref, None),
+                cfg,
+                len(part_map.cell_list()),
             )
             .groupby("poly_id")
             .aggregate(Sum("cnt", alias_name="cnt"))
@@ -191,12 +190,12 @@ def point_in_polygon_join(index: PkdIndex, polys: list[np.ndarray]):
                     )
             return pa.concat_tables(parts)
 
-    needed = sorted(set(full_map) | set(part_map))
+    needed = sorted(set(full_map.cell_list()) | set(part_map.cell_list()))
     return index.scan_cells(needed, columns=["cell", id_col, "x", "y"]).map_batches(
         _PipEmit,
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=_pool_size(cfg),
+        concurrency=_pool_size(cfg, len(needed)),
     )
 
 
@@ -217,10 +216,8 @@ def knn_join(index: PkdIndex, left: pa.Table, key_col: str, k: int):
     qx = left["x"].to_numpy()
     qy = left["y"].to_numpy()
     res = knn(index, qx, qy, k)
-    key_arr = ray.put(keys)
 
-    def remap(batch: pa.Table) -> pa.Table:
-        ks = ray.get(key_arr)
+    def remap(batch: pa.Table, ks=keys) -> pa.Table:
         return pa.table(
             {
                 key_col: pa.array(ks[batch["qid"].to_numpy()]),
@@ -230,7 +227,12 @@ def knn_join(index: PkdIndex, left: pa.Table, key_col: str, k: int):
             }
         )
 
-    return res.map_batches(remap, batch_format="pyarrow")
+    if isinstance(res, pa.Table):
+        return remap(res)
+    key_ref = ray.put(keys)
+    return res.map_batches(
+        lambda t: remap(t, ray.get(key_ref)), batch_format="pyarrow"
+    )
 
 
 # ----------------------------------------------------------------------

@@ -1,0 +1,140 @@
+"""Multimodal column stages: image/audio/video as opaque ``binary``
+columns with typed metadata (the Lance-style table of
+BASELINE.json ``input_hint``).
+
+The Ray-side plumbing — schema, batch sizing, actor signature, output
+layout — is real and tested; the PNG path decodes for real via the
+stdlib codec in :mod:`pkd_tree_ray.fixtures`.  Codecs this container
+lacks (JPEG/WebP/audio/video) are STUBBED behind
+``NotImplementedError`` with the dispatch structure in place.
+
+Batch-size discipline: rows carry multi-KB..MB payloads, so these
+stages run with SMALL batch sizes (``MM_BATCH``) and actor pools —
+setup (codec tables) once per actor, decode per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pkd_tree_ray.fixtures import decode_png_rgb, encode_png_rgb
+
+MM_BATCH = 256  # payload rows per batch: keep batch x pool in worker heap
+
+
+class DecodeImage:
+    """Actor: bytes -> decoded pixel stats (+ optionally pixels).
+
+    Output: (image_id, w, h, mean_r, mean_g, mean_b) — a feature
+    extraction; decoding real formats other than PNG raises
+    NotImplementedError (no imaging libs in this container).
+    """
+
+    def __init__(self, emit_pixels: bool = False):
+        self.emit_pixels = emit_pixels
+        self.decoders = {"png": decode_png_rgb}
+
+    def decode(self, data: bytes, fmt: str) -> np.ndarray:
+        dec = self.decoders.get(fmt)
+        if dec is None:
+            raise NotImplementedError(
+                f"decoder for format {fmt!r} not available in this environment"
+            )
+        return dec(data)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs = [], [], []
+        means = []
+        pixels = []
+        for i in range(batch.num_rows):
+            px = self.decode(
+                batch["bytes"][i].as_py(), batch["fmt"][i].as_py()
+            )
+            ids.append(batch["image_id"][i].as_py())
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            means.append(px.reshape(-1, 3).mean(axis=0))
+            if self.emit_pixels:
+                pixels.append(px.tobytes())
+        mean_arr = np.stack(means) if means else np.zeros((0, 3))
+        cols = {
+            "image_id": pa.array(ids, pa.string()),
+            "w": pa.array(np.array(ws, dtype=np.int32)),
+            "h": pa.array(np.array(hs, dtype=np.int32)),
+            "mean_r": pa.array(mean_arr[:, 0], pa.float64()),
+            "mean_g": pa.array(mean_arr[:, 1], pa.float64()),
+            "mean_b": pa.array(mean_arr[:, 2], pa.float64()),
+        }
+        if self.emit_pixels:
+            cols["pixels"] = pa.array(pixels, pa.binary())
+        return pa.table(cols)
+
+
+class ResizeImage:
+    """Actor: nearest-neighbor resize, re-encoded as PNG.  Output keeps
+    the input schema (image_id, bytes, w, h, fmt, caption, phash)."""
+
+    def __init__(self, out_w: int, out_h: int):
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_bytes = []
+        for i in range(batch.num_rows):
+            fmt = batch["fmt"][i].as_py()
+            if fmt != "png":
+                raise NotImplementedError(f"resize for format {fmt!r}")
+            px = decode_png_rgb(batch["bytes"][i].as_py())
+            h, w, _ = px.shape
+            yi = (np.arange(self.out_h) * h) // self.out_h
+            xi = (np.arange(self.out_w) * w) // self.out_w
+            out = px[yi][:, xi]
+            out_bytes.append(encode_png_rgb(out))
+        n = batch.num_rows
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "bytes": pa.array(out_bytes, pa.binary()),
+                "w": pa.array(np.full(n, self.out_w, dtype=np.int32)),
+                "h": pa.array(np.full(n, self.out_h, dtype=np.int32)),
+                "fmt": batch["fmt"],
+                "caption": batch["caption"],
+                "phash": batch["phash"],
+            }
+        )
+
+
+class SampleFrames:
+    """Actor STUB: video bytes -> frame sample.  The container has no
+    video codec; the stage signature, batch sizing and output schema
+    are the real plumbing."""
+
+    def __init__(self, every_n: int = 30):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "video frame sampling requires a codec not present in this environment"
+        )
+
+
+def decode_features(images_ds, concurrency=(1, 8)):
+    """images table -> per-image decoded feature rows (actor pool,
+    small batches for wide payload rows)."""
+    return images_ds.map_batches(
+        DecodeImage,
+        batch_format="pyarrow",
+        batch_size=MM_BATCH,
+        concurrency=concurrency,
+    )
+
+
+def resize_images(images_ds, out_w: int, out_h: int, concurrency=(1, 8)):
+    return images_ds.map_batches(
+        ResizeImage,
+        fn_constructor_args=(out_w, out_h),
+        batch_format="pyarrow",
+        batch_size=MM_BATCH,
+        concurrency=concurrency,
+    )

@@ -43,18 +43,65 @@ from pkd_tree_ray.kdtree import KDTree2D, brute_knn_batch
 
 _CLASSIFY_CHUNK = 4_096  # queries classified per driver-side chunk
 
+# Per-worker-process cache of broadcast query state: Ray keeps worker
+# processes warm across tasks, so a plain-function scan stage fetches
+# its ray.put state once per worker — the broadcast-small-side pattern
+# without paying actor-pool spin-up (~1-2s x pool size) on every short
+# query job.  Actor pools (config.use_actor_pools) remain available for
+# long-running jobs where per-actor state amortizes further.
+_WORKER_STATE: dict = {}
 
-def _pool_size(cfg) -> int:
-    """Actor-pool size for stateful query stages: the session's CPU
-    count minus headroom for the read stage (callable classes require
-    explicit ``concurrency`` in Ray Data)."""
+
+def _cached_get(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _WORKER_STATE:
+        if len(_WORKER_STATE) > 64:  # bound worker memory
+            _WORKER_STATE.clear()
+        _WORKER_STATE[key] = ray.get(ref)
+    return _WORKER_STATE[key]
+
+
+def _scan_stage(ds, scan_cls, ctor_args, cfg, n_parts):
+    """Attach a scan kernel to a cell Dataset — as stateless tasks with
+    worker-cached broadcast state (default) or as an actor pool
+    (cfg.use_actor_pools)."""
+    if getattr(cfg, "use_actor_pools", False):
+        return ds.map_batches(
+            scan_cls,
+            fn_constructor_args=ctor_args,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=_pool_size(cfg, n_parts),
+        )
+    ref = ctor_args[0]
+    rest = ctor_args[1:]
+
+    def run(batch: pa.Table) -> pa.Table:
+        key = ("scan", scan_cls.__name__, ref.hex() if hasattr(ref, "hex") else id(ref), rest)
+        if key not in _WORKER_STATE:
+            if len(_WORKER_STATE) > 64:
+                _WORKER_STATE.clear()
+            _WORKER_STATE[key] = scan_cls(ref, *rest)
+        return _WORKER_STATE[key](batch)
+
+    return ds.map_batches(run, batch_format="pyarrow", batch_size=cfg.batch_size)
+
+
+def _pool_size(cfg, n_parts: int | None = None) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds for stateful query stages:
+    (1, min(cpus-1, #partitions scanned)).  Starting at 1 avoids
+    paying ~300ms x N actor start-up for stages whose input is a
+    handful of cells; Ray grows the pool under backpressure."""
     if cfg.query_concurrency:
-        return cfg.query_concurrency
+        return (1, cfg.query_concurrency)
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    return max(2, cpus - 1)
+    cap = max(2, cpus - 1)
+    if n_parts is not None:
+        cap = max(1, min(cap, n_parts))
+    return (1, cap)
 
 
 # ----------------------------------------------------------------------
@@ -68,13 +115,53 @@ def _live(index: PkdIndex) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return d.starts[live], d.counts[live], d.bboxes[live]
 
 
+class _Pairs:
+    """(cell, qid) routing pairs — fully vectorized replacement for a
+    {cell: [qids]} dict; converts to broadcastable CSR in one lexsort."""
+
+    __slots__ = ("cells", "qids")
+
+    def __init__(self, cells: np.ndarray, qids: np.ndarray):
+        self.cells = cells
+        self.qids = qids
+
+    def __bool__(self) -> bool:
+        return len(self.cells) > 0
+
+    def cell_list(self) -> list[int]:
+        return np.unique(self.cells).tolist()
+
+    def to_csr(self):
+        if not len(self.cells):
+            return (np.zeros(0, np.int64), np.zeros(1, np.int64), np.zeros(0, np.int64))
+        order = np.lexsort((self.qids, self.cells))
+        c = self.cells[order]
+        q = self.qids[order]
+        uc, starts = np.unique(c, return_index=True)
+        offs = np.concatenate([starts, [len(c)]]).astype(np.int64)
+        return uc, offs, q
+
+    @classmethod
+    def concat(cls, parts: list["_Pairs"]) -> "_Pairs":
+        if not parts:
+            return cls(np.zeros(0, np.int64), np.zeros(0, np.int64))
+        return cls(
+            np.concatenate([p.cells for p in parts]),
+            np.concatenate([p.qids for p in parts]),
+        )
+
+
+def _csr(pairs: "_Pairs"):
+    return pairs.to_csr()
+
+
 def _classify_boxes(index: PkdIndex, boxes: np.ndarray):
-    """Per query box: contained-cell base count + (cell -> qids) map of
-    partial cells.  Chunked so driver memory stays O(chunk x cells)."""
+    """Per query box: contained-cell base count + partial-cell routing
+    pairs.  Chunked so driver memory stays O(chunk x cells)."""
     cells, counts, bboxes = _live(index)
     m = len(boxes)
     base = np.zeros(m, dtype=np.int64)
-    cell_qids: dict[int, list[int]] = {}
+    parts: list[_Pairs] = []
     for s in range(0, m, _CLASSIFY_CHUNK):
         q = np.asarray(boxes[s: s + _CLASSIFY_CHUNK], dtype=np.int64)
         contained = box_contains_box(q, bboxes)  # (mq, C)
@@ -82,9 +169,8 @@ def _classify_boxes(index: PkdIndex, boxes: np.ndarray):
         partial = overlap & ~contained
         base[s: s + len(q)] = contained @ counts
         qi, ci = np.nonzero(partial)
-        for qq, cc in zip(qi, ci):
-            cell_qids.setdefault(int(cells[cc]), []).append(s + int(qq))
-    return base, cell_qids
+        parts.append(_Pairs(cells[ci], (qi + s).astype(np.int64)))
+    return base, _Pairs.concat(parts)
 
 
 def _classify_circles(index: PkdIndex, circles: np.ndarray):
@@ -93,7 +179,7 @@ def _classify_circles(index: PkdIndex, circles: np.ndarray):
     cells, counts, bboxes = _live(index)
     m = len(circles)
     base = np.zeros(m, dtype=np.int64)
-    cell_qids: dict[int, list[int]] = {}
+    parts: list[_Pairs] = []
     for s in range(0, m, _CLASSIFY_CHUNK):
         q = np.asarray(circles[s: s + _CLASSIFY_CHUNK], dtype=np.int64)
         r2 = (q[:, 2] * q[:, 2])[:, None]
@@ -103,23 +189,8 @@ def _classify_circles(index: PkdIndex, circles: np.ndarray):
         partial = (mind <= r2) & ~contained
         base[s: s + len(q)] = contained @ counts
         qi, ci = np.nonzero(partial)
-        for qq, cc in zip(qi, ci):
-            cell_qids.setdefault(int(cells[cc]), []).append(s + int(qq))
-    return base, cell_qids
-
-
-def _csr(cell_qids: dict[int, list[int]]):
-    """Pack {cell: [qid]} into broadcastable CSR arrays."""
-    if not cell_qids:
-        return (np.zeros(0, np.int64), np.zeros(1, np.int64), np.zeros(0, np.int64))
-    cells = np.array(sorted(cell_qids), dtype=np.int64)
-    offs = np.zeros(len(cells) + 1, dtype=np.int64)
-    chunks = []
-    for i, c in enumerate(cells):
-        qs = np.asarray(cell_qids[int(c)], dtype=np.int64)
-        chunks.append(qs)
-        offs[i + 1] = offs[i] + len(qs)
-    return cells, offs, np.concatenate(chunks)
+        parts.append(_Pairs(cells[ci], (qi + s).astype(np.int64)))
+    return base, _Pairs.concat(parts)
 
 
 def _iter_cell_runs(cell_col: np.ndarray):
@@ -169,13 +240,18 @@ class _RangeCountScan:
                 continue
             fx, fy = x[sl], y[sl]
             qb = self.boxes[qs]
-            if len(qs) >= 8 and len(fx) >= self.cutoff:
+            if len(qs) >= 64 and len(fx) >= 131_072:
                 tree = KDTree2D(fx, fy)
                 cnts = np.array([tree.range_count(b) for b in qb], dtype=np.int64)
             else:
-                inx = (fx[None, :] >= qb[:, 0, None]) & (fx[None, :] <= qb[:, 2, None])
-                iny = (fy[None, :] >= qb[:, 1, None]) & (fy[None, :] <= qb[:, 3, None])
-                cnts = (inx & iny).sum(axis=1).astype(np.int64)
+                cnts = np.empty(len(qs), dtype=np.int64)
+                for s0 in range(0, len(qs), 128):  # bound mask memory
+                    qc = qb[s0: s0 + 128]
+                    inb = (
+                        (fx[None, :] >= qc[:, 0, None]) & (fx[None, :] <= qc[:, 2, None])
+                        & (fy[None, :] >= qc[:, 1, None]) & (fy[None, :] <= qc[:, 3, None])
+                    )
+                    cnts[s0: s0 + 128] = inb.sum(axis=1)
             out_q.append(qs)
             out_c.append(cnts)
         if not out_q:
@@ -199,13 +275,12 @@ def range_count(index: PkdIndex, boxes: np.ndarray, config=None) -> pa.Table:
         from ray.data.aggregate import Sum
 
         partial = (
-            index.scan_cells(list(cell_qids), columns=["cell", "x", "y"])
-            .map_batches(
+            _scan_stage(
+                index.scan_cells(cell_qids.cell_list(), columns=["cell", "x", "y"]),
                 _RangeCountScan,
-                fn_constructor_args=(ref, cfg.leaf_size, cfg.brute_force_cutoff),
-                batch_format="pyarrow",
-                batch_size=cfg.batch_size,
-                concurrency=_pool_size(cfg),
+                (ref, cfg.leaf_size, cfg.brute_force_cutoff),
+                cfg,
+                len(cell_qids.cell_list()),
             )
             .groupby("qid")
             .aggregate(Sum("cnt", alias_name="cnt"))
@@ -241,15 +316,20 @@ class _CircleCountScan:
             qs = self.qids[self.offs[i]: self.offs[i + 1]]
             fx, fy = x[sl], y[sl]
             qc = self.circles[qs]
-            if len(qs) >= 8 and len(fx) >= self.cutoff:
+            if len(qs) >= 64 and len(fx) >= 131_072:
                 tree = KDTree2D(fx, fy)
                 cnts = np.array(
                     [tree.circle_count(c[0], c[1], c[2]) for c in qc], dtype=np.int64
                 )
             else:
-                dx = fx[None, :] - qc[:, 0, None]
-                dy = fy[None, :] - qc[:, 1, None]
-                cnts = (dx * dx + dy * dy <= (qc[:, 2] * qc[:, 2])[:, None]).sum(axis=1)
+                cnts = np.empty(len(qs), dtype=np.int64)
+                for s0 in range(0, len(qs), 128):
+                    qk = qc[s0: s0 + 128]
+                    dx = fx[None, :] - qk[:, 0, None]
+                    dy = fy[None, :] - qk[:, 1, None]
+                    cnts[s0: s0 + 128] = (
+                        dx * dx + dy * dy <= (qk[:, 2] * qk[:, 2])[:, None]
+                    ).sum(axis=1)
             out_q.append(qs)
             out_c.append(cnts.astype(np.int64))
         if not out_q:
@@ -269,13 +349,12 @@ def circle_count(index: PkdIndex, circles: np.ndarray, config=None) -> pa.Table:
         from ray.data.aggregate import Sum
 
         partial = (
-            index.scan_cells(list(cell_qids), columns=["cell", "x", "y"])
-            .map_batches(
+            _scan_stage(
+                index.scan_cells(cell_qids.cell_list(), columns=["cell", "x", "y"]),
                 _CircleCountScan,
-                fn_constructor_args=(ref, cfg.leaf_size, cfg.brute_force_cutoff),
-                batch_format="pyarrow",
-                batch_size=cfg.batch_size,
-                concurrency=_pool_size(cfg),
+                (ref, cfg.leaf_size, cfg.brute_force_cutoff),
+                cfg,
+                len(cell_qids.cell_list()),
             )
             .groupby("qid")
             .aggregate(Sum("cnt", alias_name="cnt"))
@@ -362,24 +441,26 @@ def range_report(index: PkdIndex, boxes: np.ndarray, config=None):
     cfg = config or index.config
     boxes = np.asarray(boxes, dtype=np.int64)
     cells, counts, bboxes = _live(index)
-    full_map: dict[int, list[int]] = {}
-    part_map: dict[int, list[int]] = {}
+    full_parts: list[_Pairs] = []
+    part_parts: list[_Pairs] = []
     for s in range(0, len(boxes), _CLASSIFY_CHUNK):
         q = boxes[s: s + _CLASSIFY_CHUNK]
         contained = box_contains_box(q, bboxes)
         partial = boxes_intersect(q, bboxes) & ~contained
-        for qq, cc in zip(*np.nonzero(contained)):
-            full_map.setdefault(int(cells[cc]), []).append(s + int(qq))
-        for qq, cc in zip(*np.nonzero(partial)):
-            part_map.setdefault(int(cells[cc]), []).append(s + int(qq))
-    needed = sorted(set(full_map) | set(part_map))
+        qi, ci = np.nonzero(contained)
+        full_parts.append(_Pairs(cells[ci], (qi + s).astype(np.int64)))
+        qi, ci = np.nonzero(partial)
+        part_parts.append(_Pairs(cells[ci], (qi + s).astype(np.int64)))
+    full_map = _Pairs.concat(full_parts)
+    part_map = _Pairs.concat(part_parts)
+    needed = sorted(set(full_map.cell_list()) | set(part_map.cell_list()))
     ref = ray.put((boxes, _csr(full_map), _csr(part_map)))
-    return index.scan_cells(needed, columns=["cell", index.id_col, "x", "y"]).map_batches(
+    return _scan_stage(
+        index.scan_cells(needed, columns=["cell", index.id_col, "x", "y"]),
         _RangeReportScan,
-        fn_constructor_args=(ref, index.id_col),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=_pool_size(cfg),
+        (ref, index.id_col),
+        cfg,
+        len(needed),
     )
 
 
@@ -419,7 +500,10 @@ class _KnnScan:
                 continue
             fx, fy = x[sl], y[sl]
             rows = np.arange(sl.start, sl.stop, dtype=np.int64)
-            if len(fx) >= self.cutoff and len(qs) * len(fx) > 4_000_000:
+            # vectorized brute top-k wins until the fragment is very
+            # large AND serves many queries (the numpy kd-tree pays
+            # Python-per-node costs; measured crossover ~1e5 rows)
+            if len(fx) >= 131_072 and len(qs) >= 64:
                 tree = KDTree2D(fx, fy)
                 for q in qs:
                     idx, d2, _ = tree.knn(int(self.qx[q]), int(self.qy[q]), k)
@@ -452,93 +536,235 @@ class _KnnScan:
         )
 
 
-def _seed_cells(index: PkdIndex, qx: np.ndarray, qy: np.ndarray, k: int):
+def _topk_per_qid(qid: np.ndarray, dist2: np.ndarray, neighbor: np.ndarray, k: int):
+    """Vectorized per-qid top-k with (dist2, neighbor) tie-break.
+    Returns (row_indices, ranks 1-based) — no per-group Python calls."""
+    order = np.lexsort((neighbor, dist2, qid))
+    qs = qid[order]
+    uq, starts, cnts = np.unique(qs, return_index=True, return_counts=True)
+    ranks = np.arange(len(qs), dtype=np.int64) - np.repeat(starts, cnts)
+    keep = ranks < k
+    return order[keep], ranks[keep] + 1
+
+
+def _seed_cells(index: PkdIndex, qx: np.ndarray, qy: np.ndarray, k: int) -> "_Pairs":
     """Phase A routing: for each query the nearest cells (by bbox
-    min-distance) whose cumulative count reaches k."""
+    min-distance) whose cumulative count reaches k.  Fully vectorized
+    (mask over the per-query distance-sorted cell order)."""
     cells, counts, bboxes = _live(index)
-    cell_qids: dict[int, list[int]] = {}
+    parts: list[_Pairs] = []
     for s in range(0, len(qx), _CLASSIFY_CHUNK):
         d2 = p2b_min_dist2(qx[s: s + _CLASSIFY_CHUNK], qy[s: s + _CLASSIFY_CHUNK], bboxes)
         order = np.argsort(d2, axis=1, kind="stable")
         csum = np.cumsum(counts[order], axis=1)
-        # first column index where cumulative count >= k
         enough = csum >= k
         last = np.argmax(enough, axis=1)
         last = np.where(enough.any(axis=1), last, len(cells) - 1)
-        for qi in range(d2.shape[0]):
-            for cc in order[qi, : last[qi] + 1]:
-                cell_qids.setdefault(int(cells[cc]), []).append(s + qi)
-    return cell_qids
+        qi, pos = np.nonzero(np.arange(len(cells))[None, :] <= last[:, None])
+        ci = order[qi, pos]
+        parts.append(_Pairs(cells[ci], (qi + s).astype(np.int64)))
+    return _Pairs.concat(parts)
 
 
-def _knn_partials(index: PkdIndex, qx, qy, k, cell_qids, cfg):
-    ref = ray.put((qx, qy, k, *_csr(cell_qids)))
-    return index.scan_cells(list(cell_qids), columns=["cell", index.id_col, "x", "y"]).map_batches(
+def _knn_partials(index: PkdIndex, qx, qy, k, pairs: "_Pairs", cfg):
+    ref = ray.put((qx, qy, k, *_csr(pairs)))
+    needed = pairs.cell_list()
+    return _scan_stage(
+        index.scan_cells(needed, columns=["cell", index.id_col, "x", "y"]),
         _KnnScan,
-        fn_constructor_args=(ref, index.id_col, cfg.leaf_size, cfg.brute_force_cutoff),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=_pool_size(cfg),
+        (ref, index.id_col, cfg.leaf_size, cfg.brute_force_cutoff),
+        cfg,
+        len(needed),
     )
 
 
-def knn(index: PkdIndex, qx: np.ndarray, qy: np.ndarray, k: int, config=None):
-    """Batch kNN -> Dataset (qid, rank, neighbor, dist2); squared
-    distances, ties broken by (dist2, neighbor id), rank 1-based.
+#: above this many result rows (m x k) the final merge stays distributed
+_DRIVER_MERGE_LIMIT = 2_000_000
 
-    Two-phase: seed-cell bound then pruned full scan — the distributed
-    analog of guided descent + sibling pruning
-    (``nn_search.hpp:108-125``).
+
+def _shrink_partials(batch: pa.Table, k: int) -> pa.Table:
+    """Within-batch partial top-k per qid (vectorized) — shrinks the
+    merge input before it leaves the worker (pre-aggregation)."""
+    qid = batch["qid"].to_numpy()
+    d2 = batch["dist2"].to_numpy()
+    nb = batch["neighbor"].to_numpy(zero_copy_only=False)
+    rows, _ = _topk_per_qid(qid, d2, nb, k)
+    return batch.take(pa.array(np.sort(rows)))
+
+
+def _exact_bounds(index: PkdIndex, qx, qy, k, cfg) -> np.ndarray:
+    """Classic phase-A: scan seed cells, return per-query upper bound
+    on the kth distance (the reference's guided-descent first pass)."""
+    m = len(qx)
+    bounds = np.full(m, np.iinfo(np.int64).max, dtype=np.int64)
+    seed = _seed_cells(index, qx, qy, k)
+    if not seed:
+        return bounds
+    apdf = (
+        _knn_partials(index, qx, qy, k, seed, cfg)
+        .map_batches(lambda t: _shrink_partials(t, k), batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(apdf):
+        aqid = apdf["qid"].to_numpy()
+        ad2 = apdf["dist2"].to_numpy()
+        order = np.lexsort((ad2, aqid))
+        qs, ds = aqid[order], ad2[order]
+        uq, starts, cnts = np.unique(qs, return_index=True, return_counts=True)
+        full = cnts >= k
+        bounds[uq[full]] = ds[starts[full] + k - 1]
+    return bounds
+
+
+def _density_bounds(index: PkdIndex, qx, qy, k, safety: int = 4) -> np.ndarray:
+    """Estimated kth-distance bound from directory stats alone (no
+    scan): assume roughly uniform density in the query's home cell,
+    r_k^2 ~ safety * k * area / count.  NOT exact — every query is
+    verified after the scan and repaired exactly if the estimate was
+    too small (see ``knn``)."""
+    d = index.directory
+    idx = d.index_of(d.assign(qx, qy))
+    counts = d.counts[idx]
+    bb = d.bboxes[idx]
+    area = (bb[:, 2] - bb[:, 0] + 1) * (bb[:, 3] - bb[:, 1] + 1)
+    with np.errstate(divide="ignore"):
+        est = (safety * np.int64(k) * area) // np.maximum(counts, 1)
+    est = np.maximum(est, 4)  # never a zero-radius bound
+    # empty home cell -> no basis for an estimate
+    est[counts == 0] = np.iinfo(np.int64).max
+    return est
+
+
+def _candidate_pairs(index: PkdIndex, qx, qy, bounds) -> "_Pairs":
+    cells, counts, bboxes = _live(index)
+    parts: list[_Pairs] = []
+    for s in range(0, len(qx), _CLASSIFY_CHUNK):
+        d2 = p2b_min_dist2(qx[s: s + _CLASSIFY_CHUNK], qy[s: s + _CLASSIFY_CHUNK], bboxes)
+        qi, ci = np.nonzero(d2 <= bounds[s: s + d2.shape[0], None])
+        parts.append(_Pairs(cells[ci], (qi + s).astype(np.int64)))
+    return _Pairs.concat(parts)
+
+
+def _merge_topk_driver(pdf, k):
+    qid = pdf["qid"].to_numpy()
+    d2 = pdf["dist2"].to_numpy()
+    nb = pdf["neighbor"].to_numpy()
+    rows, ranks = _topk_per_qid(qid, d2, nb, k)
+    return qid[rows], ranks, nb[rows], d2[rows]
+
+
+def knn(index: PkdIndex, qx: np.ndarray, qy: np.ndarray, k: int, config=None):
+    """Batch kNN -> (qid, rank, neighbor, dist2); squared distances,
+    ties broken by (dist2, neighbor id), rank 1-based.  Exact.
+
+    Strategy (the distributed analog of guided descent + sibling
+    pruning, ``nn_search.hpp:108-125``):
+
+    1. estimate each query's kth-distance bound from the directory's
+       per-cell density — no data touched;
+    2. ONE scan over cells within the bound, per-fragment partial
+       top-k, vectorized merge;
+    3. verify: a query whose kth found distance exceeds its estimate
+       (or that found < k rows) may have missed a neighbor in an
+       unscanned cell — re-run exactly those queries with the classic
+       two-phase (seed-scan bound, provably sufficient radius).  The
+       repair set is empty for well-estimated uniform data and small
+       under skew, so the common case does one scan instead of two.
+
+    Returns a pyarrow Table when the result fits the driver
+    (m x k <= _DRIVER_MERGE_LIMIT) else a streaming Dataset merged by
+    a distributed groupby (which always uses the provably-sufficient
+    two-phase bound).
     """
     cfg = config or index.config
     qx = np.asarray(qx, dtype=np.int64)
     qy = np.asarray(qy, dtype=np.int64)
     m = len(qx)
 
-    # phase A: upper bound on the kth distance from the seed cells
-    seed = _seed_cells(index, qx, qy, k)
-    bounds = np.full(m, np.iinfo(np.int64).max, dtype=np.int64)
-    if seed:
-        pdf = _knn_partials(index, qx, qy, k, seed, cfg).to_pandas()
-        if len(pdf):
-            grp = pdf.groupby("qid")["dist2"]
-            kth = grp.apply(lambda s: s.nsmallest(min(k, len(s))).iloc[-1])
-            cnt = grp.size()
-            full = cnt[cnt >= k].index
-            bounds[np.asarray(full, dtype=np.int64)] = kth[full].to_numpy(dtype=np.int64)
+    def empty():
+        return pa.table(
+            {
+                "qid": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "neighbor": pa.array([], pa.int64()),
+                "dist2": pa.array([], pa.int64()),
+            }
+        )
 
-    # phase B: all cells within the bound
-    cells, counts, bboxes = _live(index)
-    cell_qids: dict[int, list[int]] = {}
-    for s in range(0, m, _CLASSIFY_CHUNK):
-        d2 = p2b_min_dist2(qx[s: s + _CLASSIFY_CHUNK], qy[s: s + _CLASSIFY_CHUNK], bboxes)
-        qi, ci = np.nonzero(d2 <= bounds[s: s + d2.shape[0], None])
-        for qq, cc in zip(qi, ci):
-            cell_qids.setdefault(int(cells[cc]), []).append(s + int(qq))
-    if not cell_qids:  # empty index
-        import ray.data as rd
+    if index.total_rows == 0 or m == 0:
+        return empty()
 
-        return rd.from_arrow(
-            pa.table(
+    if m * k > _DRIVER_MERGE_LIMIT:
+        # distributed path: exact two-phase + groupby(qid) merge
+        bounds = _exact_bounds(index, qx, qy, k, cfg)
+        pairs = _candidate_pairs(index, qx, qy, bounds)
+        partials = _knn_partials(index, qx, qy, k, pairs, cfg).map_batches(
+            lambda t: _shrink_partials(t, k), batch_format="pyarrow"
+        )
+
+        def topk(group: pa.Table) -> pa.Table:
+            qid = group["qid"].to_numpy()
+            d2 = group["dist2"].to_numpy()
+            nb = group["neighbor"].to_numpy(zero_copy_only=False)
+            rows, ranks = _topk_per_qid(qid, d2, nb, k)
+            out = group.take(pa.array(rows))
+            return pa.table(
                 {
-                    "qid": pa.array([], pa.int64()),
-                    "rank": pa.array([], pa.int64()),
-                    "neighbor": pa.array([], pa.int64()),
-                    "dist2": pa.array([], pa.int64()),
+                    "qid": out["qid"],
+                    "rank": pa.array(ranks, pa.int64()),
+                    "neighbor": out["neighbor"],
+                    "dist2": out["dist2"],
                 }
             )
+
+        return partials.groupby("qid").map_groups(topk, batch_format="pyarrow")
+
+    # fast path: density-estimated bound, one scan, exact repair
+    bounds = _density_bounds(index, qx, qy, k)
+    pairs = _candidate_pairs(index, qx, qy, bounds)
+    pdf = (
+        _knn_partials(index, qx, qy, k, pairs, cfg)
+        .map_batches(lambda t: _shrink_partials(t, k), batch_format="pyarrow")
+        .to_pandas()
+    )
+    rq, rr, rn, rd = (
+        _merge_topk_driver(pdf, k)
+        if len(pdf)
+        else (np.zeros(0, np.int64),) * 4
+    )
+
+    # verification: count + kth distance per query
+    found = np.zeros(m, dtype=np.int64)
+    kth = np.full(m, np.iinfo(np.int64).max, dtype=np.int64)
+    if len(rq):
+        uq, starts, cnts = np.unique(rq, return_index=True, return_counts=True)
+        found[uq] = cnts
+        kth[uq] = rd[starts + cnts - 1]
+    k_eff = min(k, index.total_rows)
+    unsafe = (found < k_eff) | (kth > bounds)
+    if unsafe.any():
+        uidx = np.nonzero(unsafe)[0]
+        b2 = _exact_bounds(index, qx[uidx], qy[uidx], k, cfg)
+        pairs2 = _candidate_pairs(index, qx[uidx], qy[uidx], b2)
+        pdf2 = (
+            _knn_partials(index, qx[uidx], qy[uidx], k, pairs2, cfg)
+            .map_batches(lambda t: _shrink_partials(t, k), batch_format="pyarrow")
+            .to_pandas()
         )
-    partials = _knn_partials(index, qx, qy, k, cell_qids, cfg)
+        q2, r2, n2, d2_ = _merge_topk_driver(pdf2, k)
+        keep = ~np.isin(rq, uidx)
+        rq = np.concatenate([rq[keep], uidx[q2]])
+        rr = np.concatenate([rr[keep], r2])
+        rn = np.concatenate([rn[keep], n2])
+        rd = np.concatenate([rd[keep], d2_])
+        order = np.lexsort((rr, rq))
+        rq, rr, rn, rd = rq[order], rr[order], rn[order], rd[order]
 
-    def topk(group: pa.Table) -> pa.Table:
-        d2 = group["dist2"].to_numpy()
-        nb = group["neighbor"]
-        import pandas as pd
-
-        df = pd.DataFrame({"dist2": d2, "neighbor": nb.to_pandas()})
-        df = df.sort_values(["dist2", "neighbor"], kind="stable").head(k)
-        df.insert(0, "qid", group["qid"][0].as_py())
-        df.insert(1, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
-        return pa.Table.from_pandas(df[["qid", "rank", "neighbor", "dist2"]], preserve_index=False)
-
-    return partials.groupby("qid").map_groups(topk, batch_format="pyarrow")
+    return pa.table(
+        {
+            "qid": pa.array(rq, pa.int64()),
+            "rank": pa.array(rr, pa.int64()),
+            "neighbor": pa.array(rn),
+            "dist2": pa.array(rd, pa.int64()),
+        }
+    )

@@ -72,6 +72,44 @@ def lineitem_points(sf_dir: str):
     ).map_batches(derive, batch_format="pyarrow")
 
 
+AMP_STRIDE = 128  # amplified id = base_pid * 128 + j, j < rep <= 127
+
+
+def amplified_pids(base: np.ndarray, rep: int) -> np.ndarray:
+    return (base[:, None] * AMP_STRIDE + np.arange(rep, dtype=np.int64)[None, :]).ravel()
+
+
+def lineitem_points_amplified(sf_dir: str, rep: int):
+    """Bench-scale point table: ``rep`` deterministic points per
+    lineitem row (point_id = base_pid * 128 + j, j < rep <= 127), so
+    the same sf dir can exercise the engine at tens of millions of
+    rows.  Purely a throughput workload; the oracle-checked pipelines
+    use the 1-point derivation.  Ids stay below 2**62 / YA so the
+    multiplicative hash remains exact."""
+    import ray.data as rd
+
+    if rep > 127:
+        raise ValueError("rep <= 127")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        base = (
+            batch["l_orderkey"].to_numpy() * 8
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        pid = amplified_pids(base, rep)
+        return pa.table(
+            {
+                "point_id": pid,
+                "x": mulhash_coord(pid, XA),
+                "y": mulhash_coord(pid, YA),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    ).map_batches(derive, batch_format="pyarrow")
+
+
 def orders_points(sf_dir: str):
     """Secondary point table (insert-batch source — the reference's
     second input file convention, ``tests/test.cpp:555-561``)."""

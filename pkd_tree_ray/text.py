@@ -1,0 +1,365 @@
+"""Large-scale training-data text operators over the ``documents``
+table — deduplication, token statistics, quality scoring, language
+identification, fingerprinting.
+
+These are the data-pipeline extensions the brief adds beyond the
+reference's spatial surface; they follow the same Ray Data discipline:
+vectorized ``map_batches`` (pandas str kernels / numpy), actor pools
+for stages with compiled state (regexes, stopword tables), partial
+aggregation before any shuffle, and mergeable sketches (MinHash /
+SimHash) emitted per batch.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pkd_tree_ray.hashing import splitmix64
+
+_TOKEN_RE = r"\S+"  # token = maximal run of non-whitespace (SQL: regexp_extract_all)
+
+
+# ----------------------------------------------------------------------
+# exact dedup
+# ----------------------------------------------------------------------
+
+def exact_dedup(docs):
+    """-> (doc_id, dup_cnt): one representative (min doc_id) per
+    distinct text, with its multiplicity.
+
+    Pipeline: content hash per batch (vectorized) -> groupby(hash)
+    aggregate Min/Count — only (hash, doc_id) transits the shuffle,
+    never the text.  Hash = 64-bit splitmix of a stable string digest;
+    collisions are ~n^2/2^64 and the oracle (GROUP BY text) would
+    expose one.
+    """
+    from ray.data.aggregate import Count, Min
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = _text_hash64(batch["text"])
+        return pa.table({"doc_id": batch["doc_id"], "text_hash": h})
+
+    agg = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="dup_cnt"))
+    )
+    return agg.select_columns(["doc_id", "dup_cnt"])
+
+
+def _text_hash64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Stable 64-bit content hash of a string column (vectorized via
+    pandas hashing of the underlying object array)."""
+    s = col.to_pandas()
+    # pandas hash_array is stable across processes for a fixed key
+    from pandas.util import hash_array
+
+    return hash_array(s.to_numpy(dtype=object), hash_key="pkdtreeray000000").view(
+        np.int64
+    )
+
+
+# ----------------------------------------------------------------------
+# token / quality statistics
+# ----------------------------------------------------------------------
+
+class TextStats:
+    """Actor: compiled-regex token statistics.
+
+    Output (doc_id, n_tokens, n_uniq, n_alpha) — each column also
+    expressible in DuckDB (``regexp_extract_all`` / ``list_distinct`` /
+    ``regexp_replace``), making this stage oracle-checkable.
+    """
+
+    def __init__(self):
+        self.token = re.compile(_TOKEN_RE)
+        self.ws = re.compile(r"\s")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.findall(self.token)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": toks.str.len().astype(np.int64),
+                "n_uniq": toks.map(lambda t: len(set(t))).astype(np.int64),
+                "n_alpha": batch["text"]
+                .str.replace(self.ws, "", regex=True)
+                .str.len()
+                .astype(np.int64),
+            }
+        )
+
+
+def token_stats(docs):
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        TextStats, batch_format="pandas", concurrency=(1, 8)
+    )
+
+
+_STOPWORDS = ("the", "a", "and", "of", "to")
+
+
+class QualityScore:
+    """Actor: heuristic quality scoring — stopword ratio, mean token
+    length, uniqueness ratio — integerised (x1000, floor) so the score
+    is SQL-exact."""
+
+    def __init__(self):
+        self.token = re.compile(_TOKEN_RE)
+        self.stop = set(_STOPWORDS)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.findall(self.token)
+        n = toks.str.len().astype(np.int64).clip(lower=1)
+        n_stop = toks.map(lambda t: sum(w in self.stop for w in t)).astype(np.int64)
+        n_uniq = toks.map(lambda t: len(set(t))).astype(np.int64)
+        # integer per-mille ratios: floor(1000 * a / b) == a*1000 // b
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "stop_permille": (n_stop * 1000) // n,
+                "uniq_permille": (n_uniq * 1000) // n,
+            }
+        )
+
+
+def quality_scores(docs):
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        QualityScore, batch_format="pandas", concurrency=(1, 8)
+    )
+
+
+# ----------------------------------------------------------------------
+# language id (heuristic; rows-only check)
+# ----------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "is", "to"},
+    "de": {"der", "die", "und", "das", "ist"},
+    "fr": {"le", "la", "et", "les", "des"},
+    "es": {"el", "los", "las", "una", "es"},
+    "zh": set(),  # CJK detected by codepoint range
+}
+
+
+class LangId:
+    """Actor: stopword/codepoint-range language guesser (n-gram
+    heuristic class; deterministic tie-break by language name)."""
+
+    def __init__(self):
+        self.token = re.compile(r"[a-zA-Z]+")
+        self.cjk = re.compile(r"[一-鿿]")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for text in batch["text"]:
+            if self.cjk.search(text or ""):
+                preds.append("zh")
+                continue
+            words = set(w.lower() for w in self.token.findall(text or ""))
+            scores = {
+                lang: len(words & marks)
+                for lang, marks in _LANG_MARKERS.items()
+                if marks
+            }
+            best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            preds.append(best[0] if best[1] > 0 else "und")
+        return pd.DataFrame({"doc_id": batch["doc_id"], "pred_lang": preds})
+
+
+def lang_id(docs):
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        LangId, batch_format="pandas", concurrency=(1, 8)
+    )
+
+
+# ----------------------------------------------------------------------
+# MinHash-LSH near-dup
+# ----------------------------------------------------------------------
+
+N_HASHES = 64
+N_BANDS = 16  # 4 rows per band
+_PRIME = (1 << 61) - 1
+
+
+class MinHasher:
+    """Actor: word-shingle MinHash signatures + LSH band keys.
+
+    Emits one row per (doc, band): (band_id, band_hash, doc_id) ready
+    for the bucket groupby — the shingle->minhash->band->bucket
+    pipeline.  Permutations are derived from splitmix64(seed) once per
+    actor.
+    """
+
+    def __init__(self, shingle: int = 3, seed: int = 42):
+        self.shingle = shingle
+        self.token = re.compile(_TOKEN_RE)
+        idx = np.arange(N_HASHES, dtype=np.uint64)
+        self.a = (splitmix64(idx, seed) | np.uint64(1)).astype(np.uint64)
+        self.b = splitmix64(idx, seed + 1).astype(np.uint64)
+
+    def signature(self, text: str) -> np.ndarray:
+        toks = self.token.findall(text or "")
+        if len(toks) < self.shingle:
+            shingles = [" ".join(toks)] if toks else [""]
+        else:
+            shingles = [
+                " ".join(toks[i: i + self.shingle])
+                for i in range(len(toks) - self.shingle + 1)
+            ]
+        from pandas.util import hash_array
+
+        hv = hash_array(np.array(shingles, dtype=object), hash_key="pkd_shingle_0000")
+        # one-permutation-per-hash: min over (a*h + b)
+        vals = (self.a[None, :] * hv[:, None].astype(np.uint64) + self.b[None, :])
+        return vals.min(axis=0)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows_band, rows_hash, rows_doc = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            sig = self.signature(text)
+            bands = sig.reshape(N_BANDS, -1)
+            bh = splitmix64(
+                bands.astype(np.uint64).sum(axis=1)
+                ^ bands[:, 0]
+                ^ np.arange(N_BANDS, dtype=np.uint64),
+                7,
+            ).view(np.int64)
+            rows_band.append(np.arange(N_BANDS, dtype=np.int64))
+            rows_hash.append(bh)
+            rows_doc.append(np.full(N_BANDS, doc_id, dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "band_id": np.concatenate(rows_band),
+                "band_hash": np.concatenate(rows_hash),
+                "doc_id": np.concatenate(rows_doc),
+            }
+        )
+
+
+def minhash_candidates(docs):
+    """-> Dataset of candidate near-dup pairs (doc_a, doc_b) from LSH
+    buckets (doc_a < doc_b, distinct)."""
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(group["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+    bands = docs.select_columns(["doc_id", "text"]).map_batches(
+        MinHasher, batch_format="pandas", concurrency=(1, 8)
+    )
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    # dedup pairs found by multiple bands
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def jaccard_verify(docs, pairs: pd.DataFrame, threshold: float = 0.5) -> pd.DataFrame:
+    """Verify candidate pairs with exact word-shingle Jaccard
+    (driver-side; the candidate set is small by construction).
+    -> (doc_a, doc_b, jaccard_permille)."""
+    token = re.compile(_TOKEN_RE)
+    texts = dict(
+        zip(*(lambda df: (df["doc_id"], df["text"]))(
+            docs.select_columns(["doc_id", "text"]).to_pandas()
+        ))
+    )
+
+    def shingles(t):
+        toks = token.findall(t or "")
+        return set(" ".join(toks[i: i + 3]) for i in range(max(1, len(toks) - 2)))
+
+    out = []
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        sa, sb = shingles(texts.get(a, "")), shingles(texts.get(b, ""))
+        j = len(sa & sb) / max(1, len(sa | sb))
+        if j >= threshold:
+            out.append((int(a), int(b), int(j * 1000)))
+    return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard_permille"]).astype(
+        np.int64, errors="ignore"
+    )
+
+
+# ----------------------------------------------------------------------
+# SimHash
+# ----------------------------------------------------------------------
+
+class SimHasher:
+    """Actor: 64-bit SimHash over word hashes -> (doc_id, simhash,
+    bucket16) where bucket16 is the top-16-bit LSH bucket."""
+
+    def __init__(self):
+        self.token = re.compile(_TOKEN_RE)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from pandas.util import hash_array
+
+        sims = np.empty(len(batch), dtype=np.int64)
+        for i, text in enumerate(batch["text"]):
+            toks = self.token.findall(text or "")
+            if not toks:
+                sims[i] = 0
+                continue
+            hv = hash_array(np.array(toks, dtype=object), hash_key="pkd_simhash_0000")
+            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            majority = (bits.sum(axis=0) * 2 > len(toks)).astype(np.uint64)
+            sims[i] = int(
+                np.bitwise_or.reduce(majority << np.arange(64, dtype=np.uint64)).view(np.int64)
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": sims,
+                "bucket16": (sims.view(np.uint64) >> np.uint64(48)).view(np.int64),
+            }
+        )
+
+
+def simhash(docs):
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        SimHasher, batch_format="pandas", concurrency=(1, 8)
+    )
+
+
+# ----------------------------------------------------------------------
+# document fingerprint (rolling hash)
+# ----------------------------------------------------------------------
+
+def fingerprints(docs, window: int = 4):
+    """-> (doc_id, fingerprint): min rolling-hash over word windows
+    (winnowing-style document fingerprint)."""
+
+    token = re.compile(_TOKEN_RE)
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        from pandas.util import hash_array
+
+        out = np.empty(len(batch), dtype=np.int64)
+        for i, text in enumerate(batch["text"]):
+            toks = token.findall(text or "")
+            if not toks:
+                out[i] = 0
+                continue
+            windows = [
+                " ".join(toks[j: j + window]) for j in range(max(1, len(toks) - window + 1))
+            ]
+            hv = hash_array(np.array(windows, dtype=object), hash_key="pkd_fingerpr0000")
+            out[i] = int(hv.min().astype(np.int64))
+        return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": out})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fp, batch_format="pandas"
+    )

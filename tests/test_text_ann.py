@@ -1,0 +1,150 @@
+"""Tests for the training-data operators: dedup, token/quality stats,
+language id, MinHash/SimHash, fingerprints, ANN."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(texts, ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": np.arange(len(texts), dtype=np.int64),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+class TestDedup:
+    def test_exact_dedup(self, ray_session):
+        from pkd_tree_ray.text import exact_dedup
+
+        texts = ["aaa", "bbb", "aaa", "ccc", "bbb", "aaa"]
+        got = (
+            exact_dedup(_docs_ds(texts, ray_session))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == [0, 1, 3]
+        assert got["dup_cnt"].tolist() == [3, 2, 1]
+
+    def test_minhash_finds_near_dups(self, ray_session):
+        from pkd_tree_ray.text import jaccard_verify, minhash_candidates
+
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        texts = [
+            base,
+            base + " extra",  # near-dup of 0
+            "completely different words entirely unrelated content here now",
+            base.replace("quick", "quickest"),  # near-dup of 0
+            "another unrelated document with distinct vocabulary present",
+        ]
+        docs = _docs_ds(texts, ray_session)
+        cand = minhash_candidates(docs).to_pandas()
+        verified = jaccard_verify(docs, cand, threshold=0.4)
+        pairs = set(zip(verified["doc_a"], verified["doc_b"]))
+        assert (0, 1) in pairs
+        assert not any(2 in p for p in pairs)
+
+    def test_simhash_similar_texts_close(self, ray_session):
+        from pkd_tree_ray.text import simhash
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        texts = [base, base + " lambda", "one two three four five six seven"]
+        df = simhash(_docs_ds(texts, ray_session)).to_pandas().sort_values("doc_id")
+        h = df["simhash"].to_numpy().astype(np.uint64)
+        d01 = bin(int(h[0] ^ h[1])).count("1")
+        d02 = bin(int(h[0] ^ h[2])).count("1")
+        assert d01 < d02
+
+    def test_fingerprint_deterministic(self, ray_session):
+        from pkd_tree_ray.text import fingerprints
+
+        texts = ["a b c d e f g", "a b c d e f g", "x y z w v u t"]
+        df = fingerprints(_docs_ds(texts, ray_session)).to_pandas().sort_values("doc_id")
+        fp = df["fingerprint"].tolist()
+        assert fp[0] == fp[1] != fp[2]
+
+
+class TestTextStats:
+    def test_token_stats(self, ray_session):
+        from pkd_tree_ray.text import token_stats
+
+        texts = ["one two  three", " lead trail ", "dup dup dup"]
+        df = token_stats(_docs_ds(texts, ray_session)).to_pandas().sort_values("doc_id")
+        assert df["n_tokens"].tolist() == [3, 2, 3]
+        assert df["n_uniq"].tolist() == [3, 2, 1]
+        assert df["n_alpha"].tolist() == [11, 9, 9]
+
+    def test_quality_scores(self, ray_session):
+        from pkd_tree_ray.text import quality_scores
+
+        texts = ["the cat sat on the mat", "unique words only here"]
+        df = quality_scores(_docs_ds(texts, ray_session)).to_pandas().sort_values("doc_id")
+        # 2x "the" in 6 tokens -> floor(2000/6) = 333
+        assert df["stop_permille"].tolist()[0] == 333
+        assert df["uniq_permille"].tolist()[1] == 1000
+
+    def test_lang_id(self, ray_session):
+        from pkd_tree_ray.text import lang_id
+
+        texts = [
+            "the cat and the dog is here to stay",
+            "der hund und die katze ist da",
+            "le chat et les chiens des villes",
+            "没有外部数据",
+        ]
+        df = lang_id(_docs_ds(texts, ray_session)).to_pandas().sort_values("doc_id")
+        assert df["pred_lang"].tolist() == ["en", "de", "fr", "zh"]
+
+
+class TestAnn:
+    @pytest.fixture()
+    def emb_ds(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.RandomState(7)
+        vecs = rng.randn(300, 16).astype(np.float32)
+        t = pa.table(
+            {
+                "vec_id": np.arange(300, dtype=np.int64),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+                "label": np.zeros(300, dtype=np.int32),
+            }
+        )
+        return rd.from_arrow(t), vecs
+
+    def test_bruteforce_matches_numpy(self, emb_ds):
+        from pkd_tree_ray.ann import QUANT, ann_bruteforce
+
+        ds, vecs = emb_ds
+        q = vecs[:5]
+        got = ann_bruteforce(ds, q, k=10).to_pandas().sort_values(["qid", "rank"])
+        qq = np.floor(q.astype(np.float64) * QUANT).astype(np.int64)
+        pq = np.floor(vecs.astype(np.float64) * QUANT).astype(np.int64)
+        d2 = ((qq[:, None, :] - pq[None, :, :]) ** 2).sum(-1)
+        for qi in range(5):
+            order = np.lexsort((np.arange(300), d2[qi]))[:10]
+            sub = got[got["qid"] == qi]
+            assert sub["score"].tolist() == d2[qi][order].tolist()
+            assert sub["rank"].tolist() == list(range(1, 11))
+
+    def test_ivf_recall(self, emb_ds):
+        from pkd_tree_ray.ann import ann_bruteforce, ann_ivf
+
+        ds, vecs = emb_ds
+        q = vecs[:10]
+        exact = ann_bruteforce(ds, q, k=5).to_pandas()
+        approx = ann_ivf(ds, q, k=5, n_lists=8, nprobe=3).to_pandas()
+        hits = 0
+        for qi in range(10):
+            e = set(exact[exact["qid"] == qi]["neighbor"])
+            a = set(approx[approx["qid"] == qi]["neighbor"])
+            hits += len(e & a) / len(e)
+        assert hits / 10 >= 0.6  # recall with 3/8 probes
