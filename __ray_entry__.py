@@ -176,6 +176,185 @@ def _q_knn_join(sf_dir: str):
     return knn_join(_base_index(sf_dir), left_tbl, "c_custkey", k=3)
 
 
+# --- training-data ops (documents / embeddings tables) -----------------
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _q_exact_dedup(sf_dir: str):
+    from pkd_tree_ray.text import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def _q_token_stats(sf_dir: str):
+    from pkd_tree_ray.text import token_stats
+
+    return token_stats(_docs(sf_dir))
+
+
+def _q_quality(sf_dir: str):
+    from pkd_tree_ray.text import quality_scores
+
+    return quality_scores(_docs(sf_dir))
+
+
+def _q_lang_id(sf_dir: str):
+    from pkd_tree_ray.text import lang_id
+
+    return lang_id(_docs(sf_dir))
+
+
+def _q_simhash(sf_dir: str):
+    from pkd_tree_ray.text import simhash
+
+    return simhash(_docs(sf_dir))
+
+
+def _q_fingerprints(sf_dir: str):
+    from pkd_tree_ray.text import fingerprints
+
+    return fingerprints(_docs(sf_dir))
+
+
+def _q_minhash_neardup(sf_dir: str):
+    from pkd_tree_ray.text import jaccard_verify, minhash_candidates
+
+    docs = _docs(sf_dir)
+    cand = minhash_candidates(docs).to_pandas()
+    return jaccard_verify(docs, cand, threshold=0.5)
+
+
+def _ann_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Self-query set: embedding rows with vec_id % 50 == 0 (driver-side;
+    the query side of an ANN batch is small by definition)."""
+    import ray.data as rd
+
+    q = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(
+            lambda t: t.filter(pa.array(t["vec_id"].to_numpy() % 50 == 0)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    return q["vec_id"].to_numpy(), np.stack(q["embedding"].to_numpy()).astype(np.float32)
+
+
+def _q_ann_l2q(sf_dir: str):
+    """Brute-force exact top-5 by quantized squared L2 (SQL-exact)."""
+    import ray.data as rd
+
+    from pkd_tree_ray.ann import ann_bruteforce
+
+    qids, qv = _ann_queries(sf_dir)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = ann_bruteforce(emb, qv, k=5, metric="l2q")
+    # positional qid -> the query row's vec_id (oracle joins on vec_id)
+    return out.set_column(
+        out.schema.get_field_index("qid"),
+        "qid",
+        pa.array(qids[out["qid"].to_numpy()], pa.int64()),
+    )
+
+
+def _q_ann_ivf(sf_dir: str):
+    """IVF approximate top-5 (recall < 1 by design -> rows-only check;
+    recall vs brute force is asserted in tests/test_text_ann.py)."""
+    import ray.data as rd
+
+    from pkd_tree_ray.ann import ann_ivf
+
+    qids, qv = _ann_queries(sf_dir)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = ann_ivf(emb, qv, k=5)
+    return out.set_column(
+        out.schema.get_field_index("qid"),
+        "qid",
+        pa.array(qids[out["qid"].to_numpy()], pa.int64()),
+    )
+
+
+# --- sliding-window stream (events table) -------------------------------
+
+_WINDOW_LEN = 5
+_WINDOW_STEPS = 7  # periods 0..6 inserted -> live window = periods 2..6
+
+
+def _q_window_range_count(sf_dir: str) -> pa.Table:
+    """Sliding-window update stream (insertOsmByTime analog): insert
+    period batches 0..6 with a 5-period window (expiring 0 and 1), then
+    range-count over the live window."""
+    from pkd_tree_ray.queries import range_count
+    from pkd_tree_ray.window import SlidingWindowIndex
+
+    key = (sf_dir, "window")
+    if key not in _INDEX_CACHE:
+        import shutil
+
+        path = _idx_path(sf_dir, "window")
+        shutil.rmtree(path, ignore_errors=True)
+        idx = PkdIndex.build(
+            sources.events_points(sf_dir, 0), path, _CFG, id_col="point_id"
+        )
+        swi = SlidingWindowIndex(idx, window_len=_WINDOW_LEN)
+        swi.live_periods.append((0, sources.events_points(sf_dir, 0)))
+        for p in range(1, _WINDOW_STEPS):
+            swi.step(p, sources.events_points(sf_dir, p))
+        _INDEX_CACHE[key] = swi.index
+    return range_count(_INDEX_CACHE[key], workloads.range_boxes())
+
+
+# --- image-table flagship (input_hint shape; rows-only) -----------------
+
+def _q_image_knn(sf_dir: str):
+    """Flagship image pipeline: synthetic Lance-style image table
+    (image_id, bytes, w, h, fmt, caption, phash) -> decode-verify
+    (PSNR inf for PNG) -> geotag from phash -> spatial index -> self-kNN
+    k=10.  sf_dir scales the row count; rows-only check (the image
+    table is generated, not a registered parquet view)."""
+    from pkd_tree_ray.fixtures import image_table_dataset, phash_to_xy
+    from pkd_tree_ray.queries import knn
+    from pkd_tree_ray.sources import geotag_images
+
+    n = {"0.001": 600, "0.01": 6_000, "0.1": 60_000}.get(
+        sf_dir.rstrip("/").rsplit("sf", 1)[-1], 600
+    )
+    images = image_table_dataset(n)
+    pts = geotag_images(images).map_batches(
+        lambda t: pa.table(
+            {
+                # image_id "img%012d" -> int64 id for the index
+                "point_id": pa.array(
+                    np.asarray(
+                        [int(s[3:]) for s in t["image_id"].to_pylist()], dtype=np.int64
+                    )
+                ),
+                "x": t["x"],
+                "y": t["y"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    key = (sf_dir, "image")
+    if key not in _INDEX_CACHE:
+        import shutil
+
+        path = _idx_path(sf_dir, "image")
+        shutil.rmtree(path, ignore_errors=True)
+        _INDEX_CACHE[key] = PkdIndex.build(pts, path, _CFG, id_col="point_id")
+    idx = _INDEX_CACHE[key]
+    qph = np.arange(0, n, max(1, n // 256), dtype=np.uint64)
+    from pkd_tree_ray.hashing import splitmix64
+
+    qx, qy = phash_to_xy(splitmix64(qph, 42).view(np.int64))
+    return knn(idx, qx, qy, 10)
+
+
 def entry() -> Any:
     """Flagship: build the spatial index over sf0.001 lineitem-derived
     points, run the k=10 kNN batch, return the result Dataset."""
@@ -197,6 +376,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_count": _q_pip_count,
         "pip_join": _q_pip_join,
         "knn_join": _q_knn_join,
+        "window_range_count": _q_window_range_count,
+        "exact_dedup": _q_exact_dedup,
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality,
+        "lang_id": _q_lang_id,
+        "simhash": _q_simhash,
+        "fingerprints": _q_fingerprints,
+        "minhash_neardup": _q_minhash_neardup,
+        "ann_l2q": _q_ann_l2q,
+        "ann_ivf": _q_ann_ivf,
+        "image_knn": _q_image_knn,
     }
 
 
@@ -304,5 +494,56 @@ d AS (
   FROM pts p CROSS JOIN q
 )
 SELECT c_custkey, "rank", neighbor, dist2 FROM d WHERE "rank" <= 3
+""",
+        "window_range_count": _range_count_sql(
+            sources.sql_events_points(
+                _WINDOW_STEPS - _WINDOW_LEN, _WINDOW_STEPS - 1
+            )
+        ),
+        "exact_dedup": """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
+FROM documents GROUP BY text
+""",
+        "token_stats": r"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+  len(list_distinct(regexp_extract_all(text, '\S+'))) AS n_uniq,
+  length(regexp_replace(text, '\s', '', 'g')) AS n_alpha
+FROM documents
+""",
+        "quality_scores": r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+SELECT doc_id,
+  (len(list_filter(toks, w -> w IN ('the','a','and','of','to'))) * 1000)
+    // greatest(len(toks), 1) AS stop_permille,
+  (len(list_distinct(toks)) * 1000) // greatest(len(toks), 1) AS uniq_permille
+FROM t
+""",
+        # quantized-L2 exact top-5: scores are integers exactly
+        # representable in DOUBLE (|q|<=1000-ish, d=64), so
+        # list_dot_product arithmetic is bit-exact
+        "ann_l2q": """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qvid, qv FROM e WHERE vec_id % 50 = 0),
+d AS (
+  SELECT q.qvid AS qid, e.vec_id AS neighbor,
+         CAST(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
+              - 2 * list_dot_product(q.qv::DOUBLE[], e.qv::DOUBLE[])
+              + list_dot_product(e.qv::DOUBLE[], e.qv::DOUBLE[]) AS BIGINT) AS score,
+         row_number() OVER (
+           PARTITION BY q.qvid
+           ORDER BY CAST(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
+                    - 2 * list_dot_product(q.qv::DOUBLE[], e.qv::DOUBLE[])
+                    + list_dot_product(e.qv::DOUBLE[], e.qv::DOUBLE[]) AS BIGINT),
+                    e.vec_id
+         ) AS "rank"
+  FROM e CROSS JOIN q
+)
+SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
 """,
     }

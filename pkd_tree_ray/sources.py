@@ -149,6 +149,34 @@ def customer_points(sf_dir: str):
     )
 
 
+N_PERIODS = 8  # sliding-window workload: period = event_id % N_PERIODS
+
+
+def events_points(sf_dir: str, period: int):
+    """One period's batch of the sliding-window stream: points derived
+    from ``events`` rows with ``event_id % N_PERIODS == period``
+    (the analog of the per-year OSM files, ``testFramework.h:817-869``).
+    Filter applied inside the read task so only the period's rows
+    leave the scan."""
+    import ray.data as rd
+
+    def derive(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        keep = (eid % N_PERIODS) == period
+        pid = eid[keep]
+        return pa.table(
+            {
+                "point_id": pid,
+                "x": mulhash_coord(pid, XA),
+                "y": mulhash_coord(pid, YA),
+            }
+        )
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+
+
 # SQL fragments the DuckDB oracle composes ------------------------------
 
 def sql_lineitem_points() -> str:
@@ -166,3 +194,11 @@ def sql_orders_points() -> str:
 def sql_customer_points() -> str:
     x, y = sql_coord_exprs("c_custkey")
     return f"SELECT c_custkey, {x} AS x, {y} AS y FROM customer"
+
+
+def sql_events_points(period_lo: int, period_hi: int) -> str:
+    x, y = sql_coord_exprs("event_id")
+    return (
+        f"SELECT event_id AS point_id, {x} AS x, {y} AS y FROM events "
+        f"WHERE event_id % {N_PERIODS} BETWEEN {period_lo} AND {period_hi}"
+    )
