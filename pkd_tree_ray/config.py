@@ -42,6 +42,15 @@ class EngineConfig:
     #: below this many rows a partition skips the tree and brute-forces
     #: (SERIAL_BUILD_CUTOFF analog, kdTreeParallel.h:43).
     brute_force_cutoff: int = 2_048
+    #: a cell accumulates insert sidecar files (O(delta) batch insert,
+    #: the leaves-absorb path of batch_insert.hpp:139-155) until it has
+    #: this many files; the next insert/delete compacts it into one
+    #: (the flatten+rebuild analog, batch_insert.hpp:94-105).
+    max_cell_files: int = 8
+    #: split-dimension policy of the in-partition kd-tree:
+    #: "max_stretch" (MAX_STRETCH_DIM, the reference default) or
+    #: "rotate" (ROTATE_DIM by depth) — kdTreeParallel.h:78,245-246.
+    split_rule: str = "max_stretch"
     #: weight-balance alpha: left subtree must hold within
     #: [alpha, 1-alpha] of the node (INBALANCE_RATIO=30 -> 0.3,
     #: tree_node.hpp:117-124).  Only used by the invariant checker; the

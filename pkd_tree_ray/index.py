@@ -82,7 +82,7 @@ class PkdIndex:
         id_col: str,
         id_type: str,
         version: int,
-        cell_files: dict[int, str],
+        cell_files: dict[int, list[str]],
         lineage: list[dict] | None = None,
     ):
         self.path = path
@@ -93,6 +93,9 @@ class PkdIndex:
         self.version = version
         self.cell_files = cell_files
         self.lineage = lineage or []
+        #: optional resident serving layer (shards.ShardedQueryPool);
+        #: attached by the pool itself, never persisted.
+        self.pool = None
 
     # ------------------------------------------------------------------
     # construction
@@ -245,11 +248,11 @@ class PkdIndex:
             .map_groups(write_group, batch_format="pyarrow")
             .to_pandas()
         )
-        cell_files: dict[int, str] = {}
+        cell_files: dict[int, list[str]] = {}
         lineage: list[dict] = []
         for rec in manifest_rows.to_dict("records"):
             if rec["rows"] > 0:
-                cell_files[int(rec["cell"])] = rec["file"]
+                cell_files[int(rec["cell"])] = [rec["file"]]
             lineage.append(
                 {
                     "cell": int(rec["cell"]),
@@ -265,17 +268,28 @@ class PkdIndex:
 
     def _refresh_directory_stats(self) -> None:
         """Tighten directory counts/bboxes from lineage (the
-        ``update_inner_tree`` analog, ``batch_helpers.hpp:124-142``)."""
-        by_cell = {rec["cell"]: rec for rec in self.lineage}
+        ``update_inner_tree`` analog, ``batch_helpers.hpp:124-142``).
+        A cell may carry several lineage records (base file + insert
+        sidecars): counts add, bboxes union."""
+        pos = {int(c): i for i, c in enumerate(self.directory.starts)}
         counts = np.zeros(len(self.directory), dtype=np.int64)
         bboxes = self.directory.spatial_boxes()
-        for i, cell in enumerate(self.directory.starts):
-            rec = by_cell.get(int(cell))
-            if rec and rec["rows"] > 0:
-                counts[i] = rec["rows"]
-                bboxes[i] = rec["bbox"]
+        seen = np.zeros(len(self.directory), dtype=bool)
+        for rec in self.lineage:
+            i = pos.get(int(rec["cell"]))
+            if i is None or rec["rows"] <= 0:
+                continue
+            counts[i] += rec["rows"]
+            b = rec["bbox"]
+            if not seen[i]:
+                bboxes[i] = b
+                seen[i] = True
             else:
-                counts[i] = 0
+                bboxes[i, 0] = min(bboxes[i, 0], b[0])
+                bboxes[i, 1] = min(bboxes[i, 1], b[1])
+                bboxes[i, 2] = max(bboxes[i, 2], b[2])
+                bboxes[i, 3] = max(bboxes[i, 3], b[3])
+        counts[~seen] = 0
         self.directory.counts = counts
         self.directory.bboxes = bboxes
 
@@ -324,7 +338,7 @@ class PkdIndex:
             m["id_col"],
             m["id_type"],
             m["version"],
-            {int(k): v for k, v in m["cell_files"].items()},
+            {int(k): (v if isinstance(v, list) else [v]) for k, v in m["cell_files"].items()},
             m["lineage"],
         )
 
@@ -342,7 +356,9 @@ class PkdIndex:
         subtrees)."""
         import ray.data as rd
 
-        files = [self.cell_files[int(c)] for c in cell_ids if int(c) in self.cell_files]
+        files = [
+            f for c in cell_ids for f in self.cell_files.get(int(c), [])
+        ]
         if not files:
             schema = pa.schema(
                 [("cell", pa.int64()), (self.id_col, _type_from_name(self.id_type)),
@@ -405,33 +421,70 @@ class PkdIndex:
         )
         affected = delta_counts["cell"].to_numpy(dtype=np.int64)
         dcnt = delta_counts["cnt"].to_numpy(dtype=np.int64)
+        affected_set = set(int(a) for a in affected)
 
-        # 2. new directory: split cells whose post-insert count exceeds
-        #    the threshold (tag_inbalance_node analog, inner_tree.hpp:78-148)
+        # 2. new directory + per-cell plan (tag_inbalance_node analog,
+        #    inner_tree.hpp:78-148): an INSERT delta is absorbed as an
+        #    O(delta) per-cell sidecar file (the leaves-absorb path,
+        #    batch_insert.hpp:139-155) UNLESS the cell must be compacted
+        #    — it split (weight-balance violation) or it already carries
+        #    max_cell_files fragments (the flatten+rebuild analog,
+        #    batch_insert.hpp:94-105).  DELETE always compacts its
+        #    affected cells (the anti-join rewrite).
         directory = self.directory
         if op == _OP_INSERT:
             directory = _split_hot_cells(directory, affected, dcnt, cfg)
+            new_starts = set(int(c) for c in directory.starts.tolist())
+            split_parents = {c for c in affected_set if c not in new_starts}
+            many_files = {
+                c
+                for c in affected_set
+                if len(self.cell_files.get(c, [])) + 1 > cfg.max_cell_files
+            }
+            compact_set = split_parents | many_files
+            sidecar_set = affected_set - compact_set
+        else:
+            compact_set = set(affected_set)
+            sidecar_set = set()
 
-        # 3. rewrite affected cells: old rows of affected cells + delta,
-        #    re-assigned under the NEW directory, one file per cell
-        old_rows = self.scan_cells(affected.tolist())
-        old_tagged = old_rows.map_batches(
-            lambda t: t.append_column("__op", pa.array(np.zeros(t.num_rows, np.int8))),
-            batch_format="pyarrow",
-        )
-        union = old_tagged.union(delta_assigned)
-        if len(directory) != len(self.directory):
-            union = _reassign_cells(union, directory, cfg)
-        cell_files, lineage = self._write_cells(
-            union, self.path, directory, cfg, self.id_col, new_version, resume=resume
-        )
+        side_lineage: list[dict] = []
+        comp_lineage: list[dict] = []
+
+        # 3a. sidecar path: write ONE delta file per cell — touches only
+        #     the delta rows, never the resident data
+        if sidecar_set:
+            side = delta_assigned
+            if compact_set:
+                side = _filter_cells(side, sidecar_set)
+            side_lineage = self._write_sidecars(side, directory, new_version, resume)
+
+        # 3b. compaction path: old rows (base + sidecars) of the compact
+        #     cells + their delta, re-assigned under the NEW directory,
+        #     one fresh file per cell
+        if compact_set:
+            comp_delta = (
+                _filter_cells(delta_assigned, compact_set) if sidecar_set else delta_assigned
+            )
+            old_rows = self.scan_cells(sorted(compact_set))
+            old_tagged = old_rows.map_batches(
+                lambda t: t.append_column("__op", pa.array(np.zeros(t.num_rows, np.int8))),
+                batch_format="pyarrow",
+            )
+            union = old_tagged.union(comp_delta)
+            if len(directory) != len(self.directory):
+                union = _reassign_cells(union, directory, cfg)
+            _, comp_lineage = self._write_cells(
+                union, self.path, directory, cfg, self.id_col, new_version, resume=resume
+            )
+
+        lineage = side_lineage + comp_lineage
 
         # strict-delete postcondition: total removed == delta size
         if op == _OP_DELETE and strict:
             old_in_affected = int(
                 self.directory.counts[self.directory.index_of(affected)].sum()
             )
-            new_in_affected = sum(r["rows"] for r in lineage)
+            new_in_affected = sum(r["rows"] for r in comp_lineage)
             n_delta = int(dcnt.sum())
             if old_in_affected - new_in_affected != n_delta:
                 raise ValueError(
@@ -440,23 +493,22 @@ class PkdIndex:
                     "do not exist (use strict=False for PartialCover semantics)"
                 )
 
-        # 4. stitch: unaffected cells keep old files (update_inner_tree)
-        new_files = dict(self.cell_files)
-        affected_set = set(int(a) for a in affected)
-        if len(directory) != len(self.directory):
-            # splits only add cells under affected parents; parents removed
-            for cell in list(new_files):
-                if cell in affected_set:
-                    new_files.pop(cell)
-        else:
-            for cell in affected_set:
-                new_files.pop(cell, None)
-        for rec in lineage:
+        # 4. stitch: unaffected cells keep old files; compacted cells
+        #    are replaced; sidecar cells append (update_inner_tree)
+        new_files = {c: list(v) for c, v in self.cell_files.items()}
+        for cell in compact_set:
+            new_files.pop(cell, None)
+        for rec in comp_lineage:
             if rec["rows"] > 0:
-                new_files[rec["cell"]] = rec["file"]
+                new_files[rec["cell"]] = [rec["file"]]
+        for rec in side_lineage:
+            if rec["rows"] > 0:
+                new_files.setdefault(rec["cell"], []).append(rec["file"])
 
         merged_lineage = [
-            r for r in self.lineage if r["cell"] not in affected_set and r["cell"] in new_files
+            r
+            for r in self.lineage
+            if r["cell"] not in compact_set and r["cell"] in new_files
         ] + lineage
         if directory is self.directory:
             # functional update: never mutate the old handle's directory
@@ -475,9 +527,87 @@ class PkdIndex:
         return idx
 
 
+    def _write_sidecars(self, side_tagged, directory, version: int, resume: bool) -> list[dict]:
+        """One O(delta) Parquet sidecar per cell (the leaves-absorb
+        insert path).  Same lineage-row schema as ``_write_cells``;
+        idempotent per (cell, version)."""
+        path = self.path
+        depth_ref = ray.put((directory.starts, directory.depths))
+
+        def write_group(group: pa.Table) -> pa.Table:
+            t_start = time.perf_counter()
+            cell = int(group["cell"][0].as_py())
+            starts, depths = ray.get(depth_ref)
+            depth = int(depths[np.searchsorted(starts, cell)])
+            final = _cell_file(path, cell, depth, version).replace(
+                ".parquet", "-delta.parquet"
+            )
+            group = group.drop_columns(["__op"])
+            if resume and os.path.exists(final):
+                rows = pq.read_metadata(final).num_rows
+                status = "skipped"
+            else:
+                rows = group.num_rows
+                if rows:
+                    _atomic_write_table(group, final)
+                status = "delta"
+            if group.num_rows:
+                x = group["x"].to_numpy()
+                y = group["y"].to_numpy()
+                bbox = [int(x.min()), int(y.min()), int(x.max()), int(y.max())]
+            else:
+                bbox = [0, 0, -1, -1]
+            return pa.table(
+                {
+                    "cell": pa.array([cell], pa.int64()),
+                    "rows": pa.array([rows], pa.int64()),
+                    "min_x": pa.array([bbox[0]], pa.int64()),
+                    "min_y": pa.array([bbox[1]], pa.int64()),
+                    "max_x": pa.array([bbox[2]], pa.int64()),
+                    "max_y": pa.array([bbox[3]], pa.int64()),
+                    "file": pa.array([final if rows else ""], pa.string()),
+                    "status": pa.array([status], pa.string()),
+                    "sec": pa.array([time.perf_counter() - t_start], pa.float64()),
+                }
+            )
+
+        rows = (
+            side_tagged.groupby("cell")
+            .map_groups(write_group, batch_format="pyarrow")
+            .to_pandas()
+        )
+        return [
+            {
+                "cell": int(r["cell"]),
+                "rows": int(r["rows"]),
+                "bbox": [int(r["min_x"]), int(r["min_y"]), int(r["max_x"]), int(r["max_y"])],
+                "file": r["file"],
+                "status": r["status"],
+                "sec": float(r["sec"]),
+                "version": version,
+            }
+            for r in rows.to_dict("records")
+        ]
+
+
 # ----------------------------------------------------------------------
 # helpers
 # ----------------------------------------------------------------------
+
+
+def _filter_cells(tagged, cell_set: set[int]):
+    """Keep only rows routed to the given cells (broadcast once)."""
+    ref = ray.put(np.array(sorted(cell_set), dtype=np.int64))
+
+    def flt(batch: pa.Table) -> pa.Table:
+        keep_cells = ray.get(ref)
+        cellv = batch["cell"].to_numpy()
+        i = np.searchsorted(keep_cells, cellv)
+        i = np.minimum(i, len(keep_cells) - 1)
+        return batch.filter(pa.array(keep_cells[i] == cellv))
+
+    return tagged.map_batches(flt, batch_format="pyarrow")
+
 
 
 def _assign_cells(points, directory: CellDirectory, config: EngineConfig, op: int = _OP_KEEP, id_col: str | None = None):

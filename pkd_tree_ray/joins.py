@@ -24,7 +24,7 @@ import pyarrow as pa
 
 import ray
 
-from pkd_tree_ray.geometry import points_in_convex_polygon, polygon_bbox
+from pkd_tree_ray.geometry import p2b_min_dist2, points_in_convex_polygon, polygon_bbox
 from pkd_tree_ray.index import PkdIndex
 from pkd_tree_ray.queries import _Pairs, _csr, _iter_cell_runs, _live, _pool_size, _scan_stage, knn
 
@@ -238,6 +238,192 @@ def knn_join(index: PkdIndex, left: pa.Table, key_col: str, k: int):
 # ----------------------------------------------------------------------
 # raster tiles
 # ----------------------------------------------------------------------
+
+def knn_graph(index: PkdIndex, out_path: str, k: int, config=None):
+    """Self-kNN graph sink (``generate_knn``, ``testFramework.h:742-815``):
+    every indexed point is a query; the result is the edge table
+    (src, dst, dist2) of each point's k nearest OTHER points, written as
+    one Parquet file per cell (resumable: finished cell files are
+    skipped on re-run) plus one repair file.  Returns the edge Dataset.
+
+    Streaming shape: one task per cell reads ONLY that cell's file,
+    answers its own points' kNN locally (cache-blocked brute kernel /
+    per-partition tree), and is FINAL for every query whose kth-ball
+    stays strictly inside the cell — no other cell's bbox intersects it
+    (the sibling-prune test, ``nn_search.hpp:118-125``, applied at the
+    directory level).  Only boundary queries (a thin O((k/n_cell)^0.5)
+    fraction) spill to an exact global pass via :func:`~pkd_tree_ray.queries.knn`.
+    The query side therefore never materializes on the driver.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pkd_tree_ray.index import _atomic_write_table
+    from pkd_tree_ray.kdtree import brute_knn_batch
+    from pkd_tree_ray.queries import knn as knn_exact
+
+    cfg = config or index.config
+    cells, counts, bboxes = _live(index)
+    id_col = index.id_col
+    os.makedirs(os.path.join(out_path, "edges"), exist_ok=True)
+    bref = ray.put((cells, bboxes))
+
+    items = [
+        {"cell": int(c), "files": list(index.cell_files[int(c)]), "pos": int(i)}
+        for i, c in enumerate(cells)
+        if int(c) in index.cell_files
+    ]
+    version = index.version
+
+    def one_cell(batch: pa.Table) -> pa.Table:
+        pending_id, pending_x, pending_y = [], [], []
+        cells_, bboxes_ = _cached(bref)
+        for row in range(batch.num_rows):
+            cell = int(batch["cell"][row].as_py())
+            pos = int(batch["pos"][row].as_py())
+            final = os.path.join(out_path, "edges", f"cell-{cell:012x}-v{version}.parquet")
+            fl = batch["files"][row].as_py()
+            ts = [pq.read_table(f, columns=[id_col, "x", "y"]) for f in fl]
+            t = pa.concat_tables(ts) if len(ts) > 1 else ts[0]
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            fx = t["x"].to_numpy()
+            fy = t["y"].to_numpy()
+            n = len(fx)
+            if n == 0:
+                continue
+            kk = min(n, k + 2)
+            idx, d2 = brute_knn_batch(fx, fy, fx, fy, kk)
+            # per-query: lexsort candidates by (d2, id), drop self, top-k
+            cand_ids = ids[idx]
+            order = np.lexsort(
+                (cand_ids, d2, np.arange(n, dtype=np.int64)[:, None] * np.ones(kk, np.int64)[None, :])
+            )
+            # row-major per-query order: reshape trick — lexsort over the
+            # flattened (qid, d2, id) triples
+            flat_q = np.repeat(np.arange(n, dtype=np.int64), kk)
+            flat_d = d2.ravel()
+            flat_i = cand_ids.ravel()
+            o = np.lexsort((flat_i, flat_d, flat_q))
+            fq, fd, fi = flat_q[o], flat_d[o], flat_i[o]
+            not_self = fi != ids[fq]
+            fq, fd, fi = fq[not_self], fd[not_self], fi[not_self]
+            # rank within query after self-drop
+            uq, starts, cnts = np.unique(fq, return_index=True, return_counts=True)
+            ranks = np.arange(len(fq), dtype=np.int64) - np.repeat(starts, cnts)
+            keep = ranks < k
+            fq, fd, fi, ranks = fq[keep], fd[keep], fi[keep], ranks[keep]
+            # per-query kth distance (last kept rank); queries with < k
+            # neighbors in-cell are never final
+            uq2, starts2, cnts2 = np.unique(fq, return_index=True, return_counts=True)
+            dk = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+            got_k = cnts2 >= k
+            dk[uq2[got_k]] = fd[starts2[got_k] + k - 1]
+            # boundary-tie guard: kth == (k+1)th candidate distance ->
+            # the global pass must arbitrate the tie by id
+            # finality: no OTHER cell's bbox within dk (strict)
+            other = np.ones(len(cells_), dtype=bool)
+            other[pos] = False
+            if other.any():
+                od2 = p2b_min_dist2(fx, fy, bboxes_[other])
+                is_final = (od2.min(axis=1) > dk) & (dk < np.iinfo(np.int64).max)
+            else:
+                is_final = dk < np.iinfo(np.int64).max
+            pend = ~is_final
+            if pend.any():
+                pending_id.append(ids[pend])
+                pending_x.append(fx[pend])
+                pending_y.append(fy[pend])
+            if not os.path.exists(final):
+                emit = is_final[fq]
+                _atomic_write_table(
+                    pa.table(
+                        {
+                            "src": pa.array(ids[fq[emit]]),
+                            "rank": pa.array(ranks[emit] + 1, pa.int64()),
+                            "dst": pa.array(fi[emit]),
+                            "dist2": pa.array(fd[emit], pa.int64()),
+                        }
+                    ),
+                    final,
+                )
+        if not pending_id:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "x": pa.array([], pa.int64()),
+                    "y": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(pending_id)),
+                "x": pa.array(np.concatenate(pending_x), pa.int64()),
+                "y": pa.array(np.concatenate(pending_y), pa.int64()),
+            }
+        )
+
+    pending = (
+        rd.from_items(items, override_num_blocks=len(items))
+        .map_batches(one_cell, batch_size=1, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+    repair_file = os.path.join(out_path, "edges", f"repair-v{version}.parquet")
+    if len(pending) and not os.path.exists(repair_file):
+        src = pending["src"].to_numpy()
+        res = knn_exact(
+            index, pending["x"].to_numpy(), pending["y"].to_numpy(), k + 1, cfg
+        )
+        rt = res.to_pandas() if hasattr(res, "to_pandas") else res
+        rq = src[rt["qid"].to_numpy()]
+        not_self = rt["neighbor"].to_numpy() != rq
+        rq = rq[not_self]
+        rn = rt["neighbor"].to_numpy()[not_self]
+        rd2 = rt["dist2"].to_numpy()[not_self]
+        o = np.lexsort((rn, rd2, rq))
+        rq, rn, rd2 = rq[o], rn[o], rd2[o]
+        uq, starts, cnts = np.unique(rq, return_index=True, return_counts=True)
+        ranks = np.arange(len(rq), dtype=np.int64) - np.repeat(starts, cnts)
+        keep = ranks < k
+        _atomic_write_table(
+            pa.table(
+                {
+                    "src": pa.array(rq[keep]),
+                    "rank": pa.array(ranks[keep] + 1, pa.int64()),
+                    "dst": pa.array(rn[keep]),
+                    "dist2": pa.array(rd2[keep], pa.int64()),
+                }
+            ),
+            repair_file,
+        )
+    elif not os.path.exists(repair_file):
+        _atomic_write_table(
+            pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "dist2": pa.array([], pa.int64()),
+                }
+            ),
+            repair_file,
+        )
+    return rd.read_parquet(os.path.join(out_path, "edges"))
+
+
+_JOIN_WORKER_STATE: dict = {}
+
+
+def _cached(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _JOIN_WORKER_STATE:
+        if len(_JOIN_WORKER_STATE) > 64:
+            _JOIN_WORKER_STATE.clear()
+        _JOIN_WORKER_STATE[key] = ray.get(ref)
+    return _JOIN_WORKER_STATE[key]
+
 
 def tile_stats(points, tile_side: int):
     """Raster-tile <-> vector assignment: tile id = (x // side,

@@ -75,10 +75,11 @@ class KDTree2D:
         perm[lo:hi); returns root node id."""
         leaf_size = self.config.leaf_size
         x, y, perm = self.x, self.y, self.perm
+        rotate = self.config.split_rule == "rotate"
         root = self._new_node()
-        stack = [(root, lo, hi)]
+        stack = [(root, lo, hi, 0)]
         while stack:
-            nid, lo, hi = stack.pop()
+            nid, lo, hi, depth = stack.pop()
             seg = perm[lo:hi]
             sx = x[seg]
             sy = y[seg]
@@ -93,8 +94,16 @@ class KDTree2D:
                 node[_DIM] = -1
                 node[_VAL] = 0
                 continue
-            # max-stretch split dimension (dimensinality.hpp:7-33)
-            dim = 0 if (box[2] - box[0]) >= (box[3] - box[1]) else 1
+            # split dimension policy (dimensinality.hpp:7-33):
+            # MAX_STRETCH_DIM (default) or ROTATE_DIM by depth
+            if rotate:
+                dim = depth & 1
+                # degenerate: no stretch on the rotation dim -> fall
+                # back to the other one (pick_rebuild_dim behavior)
+                if (box[2 * dim + 2] - box[2 * dim]) == 0:
+                    dim = 1 - dim
+            else:
+                dim = 0 if (box[2] - box[0]) >= (box[3] - box[1]) else 1
             coords = sx if dim == 0 else sy
             mid = (hi - lo) // 2
             part = np.argpartition(coords, mid)
@@ -133,8 +142,8 @@ class KDTree2D:
             # re-read: _new_node may have reallocated the table
             self.nodes[nid, _LEFT] = lid
             self.nodes[nid, _RIGHT] = rid
-            stack.append((lid, lo, lo + n_left))
-            stack.append((rid, lo + n_left, hi))
+            stack.append((lid, lo, lo + n_left, depth + 1))
+            stack.append((rid, lo + n_left, hi, depth + 1))
         return root
 
     def __len__(self) -> int:

@@ -61,6 +61,15 @@ def _cached_get(ref):
     return _WORKER_STATE[key]
 
 
+def _maybe_get(ref_or_value):
+    """Scan kernels run either as Ray Data stages (payload broadcast as
+    an ObjectRef) or inside resident shard actors (payload passed
+    directly, already deserialized) — accept both."""
+    if isinstance(ref_or_value, ray.ObjectRef):
+        return ray.get(ref_or_value)
+    return ref_or_value
+
+
 def _scan_stage(ds, scan_cls, ctor_args, cfg, n_parts):
     """Attach a scan kernel to a cell Dataset — as stateless tasks with
     worker-cached broadcast state (default) or as an actor pool
@@ -215,12 +224,13 @@ class _RangeCountScan:
     (tree query O(log n + hits) beats an O(n) mask per query);
     otherwise vectorized masks — the SERIAL_BUILD_CUTOFF idea."""
 
-    def __init__(self, queries_ref, leaf_size: int, cutoff: int):
-        boxes, (cells, offs, qids) = ray.get(queries_ref)
+    def __init__(self, queries_ref, leaf_size: int, cutoff: int, tree_provider=None):
+        boxes, (cells, offs, qids) = _maybe_get(queries_ref)
         self.boxes = boxes
         self.cells, self.offs, self.qids = cells, offs, qids
         self.leaf_size = leaf_size
         self.cutoff = cutoff
+        self.tree_provider = tree_provider
 
     def _qids_for(self, cell: int) -> np.ndarray:
         i = np.searchsorted(self.cells, cell)
@@ -241,7 +251,7 @@ class _RangeCountScan:
             fx, fy = x[sl], y[sl]
             qb = self.boxes[qs]
             if len(qs) >= 64 and len(fx) >= 131_072:
-                tree = KDTree2D(fx, fy)
+                tree = self.tree_provider(cell, fx, fy) if self.tree_provider else KDTree2D(fx, fy)
                 cnts = np.array([tree.range_count(b) for b in qb], dtype=np.int64)
             else:
                 cnts = np.empty(len(qs), dtype=np.int64)
@@ -270,7 +280,14 @@ def range_count(index: PkdIndex, boxes: np.ndarray, config=None) -> pa.Table:
     boxes = np.asarray(boxes, dtype=np.int64)
     base, cell_qids = _classify_boxes(index, boxes)
     total = base.copy()
-    if cell_qids:
+    pool = getattr(index, "pool", None)
+    if cell_qids and pool is not None:
+        tbl = pool.scan(
+            "range_count", ray.put((boxes, _csr(cell_qids))), cell_qids.cell_list()
+        )
+        if tbl.num_rows:
+            np.add.at(total, tbl["qid"].to_numpy(), tbl["cnt"].to_numpy())
+    elif cell_qids:
         ref = ray.put((boxes, _csr(cell_qids)))
         from ray.data.aggregate import Sum
 
@@ -298,11 +315,12 @@ def range_count(index: PkdIndex, boxes: np.ndarray, config=None) -> pa.Table:
 # ----------------------------------------------------------------------
 
 class _CircleCountScan:
-    def __init__(self, queries_ref, leaf_size: int, cutoff: int):
-        circles, (cells, offs, qids) = ray.get(queries_ref)
+    def __init__(self, queries_ref, leaf_size: int, cutoff: int, tree_provider=None):
+        circles, (cells, offs, qids) = _maybe_get(queries_ref)
         self.circles = circles
         self.cells, self.offs, self.qids = cells, offs, qids
         self.cutoff = cutoff
+        self.tree_provider = tree_provider
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cell_col = batch["cell"].to_numpy()
@@ -317,7 +335,7 @@ class _CircleCountScan:
             fx, fy = x[sl], y[sl]
             qc = self.circles[qs]
             if len(qs) >= 64 and len(fx) >= 131_072:
-                tree = KDTree2D(fx, fy)
+                tree = self.tree_provider(cell, fx, fy) if self.tree_provider else KDTree2D(fx, fy)
                 cnts = np.array(
                     [tree.circle_count(c[0], c[1], c[2]) for c in qc], dtype=np.int64
                 )
@@ -344,7 +362,14 @@ def circle_count(index: PkdIndex, circles: np.ndarray, config=None) -> pa.Table:
     circles = np.asarray(circles, dtype=np.int64)
     base, cell_qids = _classify_circles(index, circles)
     total = base.copy()
-    if cell_qids:
+    pool = getattr(index, "pool", None)
+    if cell_qids and pool is not None:
+        tbl = pool.scan(
+            "circle_count", ray.put((circles, _csr(cell_qids))), cell_qids.cell_list()
+        )
+        if tbl.num_rows:
+            np.add.at(total, tbl["qid"].to_numpy(), tbl["cnt"].to_numpy())
+    elif cell_qids:
         ref = ray.put((circles, _csr(cell_qids)))
         from ray.data.aggregate import Sum
 
@@ -376,7 +401,7 @@ class _RangeReportScan:
     flattened without predicate evaluation (``range_query.hpp:92-97``)."""
 
     def __init__(self, queries_ref, id_col: str):
-        boxes, full, partial = ray.get(queries_ref)
+        boxes, full, partial = _maybe_get(queries_ref)
         self.boxes = boxes
         self.full_cells, self.full_offs, self.full_qids = full
         self.part_cells, self.part_offs, self.part_qids = partial
@@ -455,6 +480,11 @@ def range_report(index: PkdIndex, boxes: np.ndarray, config=None):
     part_map = _Pairs.concat(part_parts)
     needed = sorted(set(full_map.cell_list()) | set(part_map.cell_list()))
     ref = ray.put((boxes, _csr(full_map), _csr(part_map)))
+    pool = getattr(index, "pool", None)
+    if pool is not None:
+        import ray.data as rd
+
+        return rd.from_arrow(pool.scan("range_report", ref, needed))
     return _scan_stage(
         index.scan_cells(needed, columns=["cell", index.id_col, "x", "y"]),
         _RangeReportScan,
@@ -475,13 +505,14 @@ class _KnnScan:
     groupby(qid) — correctness does not require a fragment to see its
     whole cell."""
 
-    def __init__(self, queries_ref, id_col: str, leaf_size: int, cutoff: int):
-        (qx, qy, k, cells, offs, qids) = ray.get(queries_ref)
+    def __init__(self, queries_ref, id_col: str, leaf_size: int, cutoff: int, tree_provider=None):
+        (qx, qy, k, cells, offs, qids) = _maybe_get(queries_ref)
         self.qx, self.qy, self.k = qx, qy, k
         self.cells, self.offs, self.qids = cells, offs, qids
         self.id_col = id_col
         self.leaf_size = leaf_size
         self.cutoff = cutoff
+        self.tree_provider = tree_provider
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cell_col = batch["cell"].to_numpy()
@@ -504,7 +535,7 @@ class _KnnScan:
             # large AND serves many queries (the numpy kd-tree pays
             # Python-per-node costs; measured crossover ~1e5 rows)
             if len(fx) >= 131_072 and len(qs) >= 64:
-                tree = KDTree2D(fx, fy)
+                tree = self.tree_provider(cell, fx, fy) if self.tree_provider else KDTree2D(fx, fy)
                 for q in qs:
                     idx, d2, _ = tree.knn(int(self.qx[q]), int(self.qy[q]), k)
                     out_qid.append(np.full(len(idx), q, dtype=np.int64))
@@ -578,6 +609,21 @@ def _knn_partials(index: PkdIndex, qx, qy, k, pairs: "_Pairs", cfg):
     )
 
 
+def _knn_partials_frame(index: PkdIndex, qx, qy, k, pairs: "_Pairs", cfg):
+    """Shrunk kNN partials as a pandas frame — via the resident shard
+    pool when attached (in-memory scan, shard-side shrink), else the
+    Dataset scan path."""
+    pool = getattr(index, "pool", None)
+    if pool is not None:
+        ref = ray.put((qx, qy, k, *_csr(pairs)))
+        return pool.scan("knn", ref, pairs.cell_list()).to_pandas()
+    return (
+        _knn_partials(index, qx, qy, k, pairs, cfg)
+        .map_batches(lambda t: _shrink_partials(t, k), batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
 #: above this many result rows (m x k) the final merge stays distributed
 _DRIVER_MERGE_LIMIT = 2_000_000
 
@@ -600,11 +646,7 @@ def _exact_bounds(index: PkdIndex, qx, qy, k, cfg) -> np.ndarray:
     seed = _seed_cells(index, qx, qy, k)
     if not seed:
         return bounds
-    apdf = (
-        _knn_partials(index, qx, qy, k, seed, cfg)
-        .map_batches(lambda t: _shrink_partials(t, k), batch_format="pyarrow")
-        .to_pandas()
-    )
+    apdf = _knn_partials_frame(index, qx, qy, k, seed, cfg)
     if len(apdf):
         aqid = apdf["qid"].to_numpy()
         ad2 = apdf["dist2"].to_numpy()
@@ -721,12 +763,14 @@ def knn(index: PkdIndex, qx: np.ndarray, qy: np.ndarray, k: int, config=None):
 
     # fast path: density-estimated bound, one scan, exact repair
     bounds = _density_bounds(index, qx, qy, k)
-    pairs = _candidate_pairs(index, qx, qy, bounds)
-    pdf = (
-        _knn_partials(index, qx, qy, k, pairs, cfg)
-        .map_batches(lambda t: _shrink_partials(t, k), batch_format="pyarrow")
-        .to_pandas()
-    )
+    pool = getattr(index, "pool", None)
+    if pool is not None:
+        # shards classify against their own cells — no driver-side
+        # (queries x cells) candidate pass at all
+        pdf = pool.knn_partials(qx, qy, k, bounds).to_pandas()
+    else:
+        pairs = _candidate_pairs(index, qx, qy, bounds)
+        pdf = _knn_partials_frame(index, qx, qy, k, pairs, cfg)
     rq, rr, rn, rd = (
         _merge_topk_driver(pdf, k)
         if len(pdf)
@@ -746,11 +790,7 @@ def knn(index: PkdIndex, qx: np.ndarray, qy: np.ndarray, k: int, config=None):
         uidx = np.nonzero(unsafe)[0]
         b2 = _exact_bounds(index, qx[uidx], qy[uidx], k, cfg)
         pairs2 = _candidate_pairs(index, qx[uidx], qy[uidx], b2)
-        pdf2 = (
-            _knn_partials(index, qx[uidx], qy[uidx], k, pairs2, cfg)
-            .map_batches(lambda t: _shrink_partials(t, k), batch_format="pyarrow")
-            .to_pandas()
-        )
+        pdf2 = _knn_partials_frame(index, qx[uidx], qy[uidx], k, pairs2, cfg)
         q2, r2, n2, d2_ = _merge_topk_driver(pdf2, k)
         keep = ~np.isin(rq, uidx)
         rq = np.concatenate([rq[keep], uidx[q2]])

@@ -1,0 +1,161 @@
+"""Resident shard-pool serving layer + self-kNN graph sink.
+
+The pool must return bit-identical results to the Dataset scan path
+for every query family, across index updates (refresh), since both run
+the same scan kernels (queries.py) over the same cells.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pkd_tree_ray.config import EngineConfig
+from pkd_tree_ray.fixtures import point_pair_boxes, varden_xy
+from pkd_tree_ray.index import PkdIndex
+
+CFG = EngineConfig(target_cell_rows=1024, batch_size=4096)
+N = 20_000
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    pid = np.arange(N, dtype=np.int64)
+    x, y = varden_xy(pid, seed=11)
+    path = str(tmp_path_factory.mktemp("shards") / "idx")
+    idx = PkdIndex.build(
+        rd.from_pandas(pd.DataFrame({"point_id": pid, "x": x, "y": y})),
+        path,
+        CFG,
+        id_col="point_id",
+    )
+    return idx, x, y
+
+
+class TestPoolEquivalence:
+    def test_all_query_families_match_dataset_path(self, built):
+        from pkd_tree_ray.queries import circle_count, knn, range_count, range_report
+        from pkd_tree_ray.shards import ShardedQueryPool
+
+        idx, x, y = built
+        qx, qy = x[:150].copy(), y[:150].copy()
+        boxes = point_pair_boxes(x, y, 40)
+        rng = np.random.RandomState(3)
+        circles = np.stack(
+            [x[:25], y[:25], rng.randint(500, 40_000, 25)], axis=1
+        ).astype(np.int64)
+
+        def snap():
+            return (
+                knn(idx, qx, qy, 10).to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True),
+                range_count(idx, boxes).to_pandas(),
+                circle_count(idx, circles).to_pandas(),
+                range_report(idx, boxes[:8]).to_pandas().sort_values(["qid", "point_id"]).reset_index(drop=True),
+            )
+
+        base = snap()
+        pool = ShardedQueryPool(idx, n_shards=3)
+        try:
+            served = snap()
+            for b, s in zip(base, served):
+                pd.testing.assert_frame_equal(b, s)
+        finally:
+            pool.shutdown()
+        assert idx.pool is None
+
+    def test_refresh_after_insert_and_detach(self, built, tmp_path):
+        import ray.data as rd
+
+        from pkd_tree_ray.queries import range_count
+        from pkd_tree_ray.shards import ShardedQueryPool
+
+        idx, x, y = built
+        boxes = point_pair_boxes(x, y, 20)
+        pool = ShardedQueryPool(idx, n_shards=2)
+        try:
+            delta = pd.DataFrame(
+                {
+                    "point_id": np.arange(N, N + 700, dtype=np.int64),
+                    "x": x[:700] + 5,
+                    "y": y[:700] + 5,
+                }
+            )
+            idx2 = idx.insert(rd.from_pandas(delta))
+            pool.refresh(idx2)
+            assert idx.pool is None  # old handle no longer served
+            assert idx2.pool is pool
+            got = range_count(idx2, boxes).to_pandas()["cnt"].to_numpy()
+            ax = np.concatenate([x, delta.x.to_numpy()])
+            ay = np.concatenate([y, delta.y.to_numpy()])
+            for bi, b in enumerate(boxes):
+                exp = int(np.sum((ax >= b[0]) & (ax <= b[2]) & (ay >= b[1]) & (ay <= b[3])))
+                assert got[bi] == exp
+        finally:
+            pool.shutdown()
+
+
+class TestKnnGraph:
+    def test_graph_matches_bruteforce(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from pkd_tree_ray.joins import knn_graph
+
+        n, k = 4_000, 5
+        pid = np.arange(n, dtype=np.int64)
+        x, y = varden_xy(pid, seed=13)
+        idx = PkdIndex.build(
+            rd.from_pandas(pd.DataFrame({"point_id": pid, "x": x, "y": y})),
+            str(tmp_path / "g"),
+            CFG,
+            id_col="point_id",
+        )
+        edges = (
+            knn_graph(idx, str(tmp_path / "gout"), k)
+            .to_pandas()
+            .sort_values(["src", "rank"])
+            .reset_index(drop=True)
+        )
+        assert len(edges) == n * k
+        # exact oracle on a sample of sources
+        for s in range(0, n, 397):
+            d2 = (x - x[s]).astype(np.int64) ** 2 + (y - y[s]).astype(np.int64) ** 2
+            order = np.lexsort((pid, d2))
+            order = order[order != s][:k]  # nearest k excluding self
+            got = edges[edges.src == s]
+            assert list(got["dst"]) == list(pid[order])
+            assert list(got["dist2"]) == list(d2[order])
+
+    def test_graph_resumes_from_partial_output(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from pkd_tree_ray.joins import knn_graph
+
+        n, k = 2_000, 3
+        pid = np.arange(n, dtype=np.int64)
+        x, y = varden_xy(pid, seed=17)
+        idx = PkdIndex.build(
+            rd.from_pandas(pd.DataFrame({"point_id": pid, "x": x, "y": y})),
+            str(tmp_path / "r"),
+            CFG,
+            id_col="point_id",
+        )
+        out = str(tmp_path / "rout")
+        first = knn_graph(idx, out, k).to_pandas()
+        import glob
+        import os
+
+        files = sorted(glob.glob(os.path.join(out, "edges", "*.parquet")))
+        assert len(files) > 1
+        # drop one finished cell file; the second run must regenerate
+        # exactly it and leave the rest untouched (mtime unchanged)
+        victim = files[0]
+        keeper = files[-1]
+        mtime_keeper = os.path.getmtime(keeper)
+        os.remove(victim)
+        second = knn_graph(idx, out, k).to_pandas()
+        assert os.path.exists(victim)
+        assert os.path.getmtime(keeper) == mtime_keeper
+        a = first.sort_values(["src", "rank"]).reset_index(drop=True)
+        b = second.sort_values(["src", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
