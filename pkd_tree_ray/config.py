@@ -47,6 +47,11 @@ class EngineConfig:
     #: this many files; the next insert/delete compacts it into one
     #: (the flatten+rebuild analog, batch_insert.hpp:94-105).
     max_cell_files: int = 8
+    #: a delete is absorbed as an O(delta) per-cell tombstone sidecar
+    #: until tombstoned rows would exceed this fraction of the cell's
+    #: live rows; then the cell compacts (mark_tomb -> rebuild,
+    #: batch_delete.hpp:147-265).
+    tomb_compact_frac: float = 0.3
     #: split-dimension policy of the in-partition kd-tree:
     #: "max_stretch" (MAX_STRETCH_DIM, the reference default) or
     #: "rotate" (ROTATE_DIM by depth) — kdTreeParallel.h:78,245-246.

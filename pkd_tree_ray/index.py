@@ -84,6 +84,7 @@ class PkdIndex:
         version: int,
         cell_files: dict[int, list[str]],
         lineage: list[dict] | None = None,
+        tomb_files: dict[int, list[str]] | None = None,
     ):
         self.path = path
         self.directory = directory
@@ -93,6 +94,9 @@ class PkdIndex:
         self.version = version
         self.cell_files = cell_files
         self.lineage = lineage or []
+        #: per-cell delete-tombstone sidecars: ids logically removed
+        #: from the cell's files until the next compaction
+        self.tomb_files = tomb_files or {}
         #: optional resident serving layer (shards.ShardedQueryPool);
         #: attached by the pool itself, never persisted.
         self.pool = None
@@ -275,9 +279,15 @@ class PkdIndex:
         counts = np.zeros(len(self.directory), dtype=np.int64)
         bboxes = self.directory.spatial_boxes()
         seen = np.zeros(len(self.directory), dtype=bool)
+        neg = np.zeros(len(self.directory), dtype=np.int64)
         for rec in self.lineage:
             i = pos.get(int(rec["cell"]))
-            if i is None or rec["rows"] <= 0:
+            if i is None:
+                continue
+            if rec["rows"] < 0:  # tombstone record
+                neg[i] += rec["rows"]
+                continue
+            if rec["rows"] == 0:
                 continue
             counts[i] += rec["rows"]
             b = rec["bbox"]
@@ -290,6 +300,7 @@ class PkdIndex:
                 bboxes[i, 2] = max(bboxes[i, 2], b[2])
                 bboxes[i, 3] = max(bboxes[i, 3], b[3])
         counts[~seen] = 0
+        counts = np.maximum(counts + neg, 0)
         self.directory.counts = counts
         self.directory.bboxes = bboxes
 
@@ -313,6 +324,7 @@ class PkdIndex:
             },
             "directory": self.directory.to_records(),
             "cell_files": {str(k): v for k, v in self.cell_files.items()},
+            "tomb_files": {str(k): v for k, v in self.tomb_files.items()},
             "lineage": self.lineage,
             "extra": extra,
         }
@@ -340,6 +352,7 @@ class PkdIndex:
             m["version"],
             {int(k): (v if isinstance(v, list) else [v]) for k, v in m["cell_files"].items()},
             m["lineage"],
+            {int(k): v for k, v in m.get("tomb_files", {}).items()},
         )
 
     # ------------------------------------------------------------------
@@ -368,7 +381,35 @@ class PkdIndex:
             if columns:
                 empty = empty.select(columns)
             return rd.from_arrow(empty)
-        return rd.read_parquet(files, columns=columns)
+        tombs = tuple(
+            sorted(
+                f
+                for c in cell_ids
+                for f in self.tomb_files.get(int(c), [])
+            )
+        )
+        if not tombs:
+            return rd.read_parquet(files, columns=columns)
+        # logical deletes: drop tombstoned ids after the read (the ids
+        # are worker-cached per tombstone-file set)
+        id_col = self.id_col
+        read_cols = columns
+        drop_id = False
+        if read_cols is not None and id_col not in read_cols:
+            read_cols = list(read_cols) + [id_col]
+            drop_id = True
+        ds = rd.read_parquet(files, columns=read_cols)
+
+        def drop_tombs(batch: pa.Table) -> pa.Table:
+            dead = _tomb_ids_cached(tombs, id_col)
+            if len(dead):
+                keep = ~np.isin(batch[id_col].to_numpy(zero_copy_only=False), dead)
+                batch = batch.filter(pa.array(keep))
+            if drop_id:
+                batch = batch.drop_columns([id_col])
+            return batch
+
+        return ds.map_batches(drop_tombs, batch_format="pyarrow")
 
     def scan_all(self, columns: list[str] | None = None):
         return self.scan_cells([int(c) for c in self.cell_files], columns)
@@ -441,14 +482,40 @@ class PkdIndex:
                 for c in affected_set
                 if len(self.cell_files.get(c, [])) + 1 > cfg.max_cell_files
             }
-            compact_set = split_parents | many_files
+            tombed = {c for c in affected_set if self.tomb_files.get(c)}
+            compact_set = split_parents | many_files | tombed
             sidecar_set = affected_set - compact_set
+            tomb_set: set[int] = set()
         else:
-            compact_set = set(affected_set)
+            # DELETE: O(delta) tombstone sidecars when the delta carries
+            # the id column; a cell compacts when its tombstones would
+            # exceed tomb_compact_frac of its live rows or its file
+            # budget (the mark_tomb -> rebuild rule,
+            # batch_delete.hpp:147-265)
+            has_id = self.id_col in delta.schema().names
+            if has_id:
+                pos_of = {int(c): i for i, c in enumerate(self.directory.starts)}
+                live = self.directory.counts
+                old_tombs = {
+                    c: len(self.tomb_files.get(c, [])) for c in affected_set
+                }
+                dcnt_of = {int(c): int(n) for c, n in zip(affected, dcnt)}
+                compact_set = {
+                    c
+                    for c in affected_set
+                    if old_tombs[c] + 1 > cfg.max_cell_files
+                    or dcnt_of[c] + self._tomb_rows(c)
+                    > cfg.tomb_compact_frac * max(1, int(live[pos_of.get(c, 0)]))
+                }
+                tomb_set = affected_set - compact_set
+            else:
+                compact_set = set(affected_set)
+                tomb_set = set()
             sidecar_set = set()
 
         side_lineage: list[dict] = []
         comp_lineage: list[dict] = []
+        tomb_lineage: list[dict] = []
 
         # 3a. sidecar path: write ONE delta file per cell — touches only
         #     the delta rows, never the resident data
@@ -458,14 +525,36 @@ class PkdIndex:
                 side = _filter_cells(side, sidecar_set)
             side_lineage = self._write_sidecars(side, directory, new_version, resume)
 
-        # 3b. compaction path: old rows (base + sidecars) of the compact
-        #     cells + their delta, re-assigned under the NEW directory,
-        #     one fresh file per cell
-        if compact_set:
-            comp_delta = (
-                _filter_cells(delta_assigned, compact_set) if sidecar_set else delta_assigned
+        # 3a'. tombstone path (DELETE): verify matches with a read-only
+        #      scan (live rows only — existing tombstones already
+        #      applied), then write one (cell, id) tombstone file per
+        #      cell — never rewriting resident data
+        if tomb_set:
+            tomb_delta = (
+                _filter_cells(delta_assigned, tomb_set) if compact_set else delta_assigned
             )
-            old_rows = self.scan_cells(sorted(compact_set))
+            matched = self._count_matches(sorted(tomb_set), tomb_delta)
+            if strict:
+                want = int(sum(n for c, n in zip(affected, dcnt) if int(c) in tomb_set))
+                got = int(sum(matched.values()))
+                if got != want:
+                    raise ValueError(
+                        f"strict (FullCovered) delete: {want} rows requested but "
+                        f"only {got} exist (use strict=False for PartialCover semantics)"
+                    )
+            tomb_lineage = self._write_tombstones(
+                tomb_delta, directory, new_version, resume, matched
+            )
+
+        # 3b. compaction path: old rows (base + sidecars, tombstones
+        #     applied) of the compact cells + their delta, re-assigned
+        #     under the NEW directory, one fresh file per cell
+        if compact_set:
+            other = sidecar_set | tomb_set
+            comp_delta = (
+                _filter_cells(delta_assigned, compact_set) if other else delta_assigned
+            )
+            old_rows = self.scan_cells(sorted(compact_set))  # tombstones applied
             old_tagged = old_rows.map_batches(
                 lambda t: t.append_column("__op", pa.array(np.zeros(t.num_rows, np.int8))),
                 batch_format="pyarrow",
@@ -477,15 +566,18 @@ class PkdIndex:
                 union, self.path, directory, cfg, self.id_col, new_version, resume=resume
             )
 
-        lineage = side_lineage + comp_lineage
+        lineage = side_lineage + comp_lineage + tomb_lineage
 
-        # strict-delete postcondition: total removed == delta size
-        if op == _OP_DELETE and strict:
+        # strict-delete postcondition on the compacted part: rows
+        # removed there == delta routed there (tombstoned cells were
+        # verified above)
+        if op == _OP_DELETE and strict and compact_set:
+            comp_cells = np.array(sorted(compact_set), dtype=np.int64)
             old_in_affected = int(
-                self.directory.counts[self.directory.index_of(affected)].sum()
+                self.directory.counts[self.directory.index_of(comp_cells)].sum()
             )
             new_in_affected = sum(r["rows"] for r in comp_lineage)
-            n_delta = int(dcnt.sum())
+            n_delta = int(sum(n for c, n in zip(affected, dcnt) if int(c) in compact_set))
             if old_in_affected - new_in_affected != n_delta:
                 raise ValueError(
                     f"strict (FullCovered) delete: {n_delta} rows requested but "
@@ -496,14 +588,19 @@ class PkdIndex:
         # 4. stitch: unaffected cells keep old files; compacted cells
         #    are replaced; sidecar cells append (update_inner_tree)
         new_files = {c: list(v) for c, v in self.cell_files.items()}
+        new_tombs = {c: list(v) for c, v in self.tomb_files.items()}
         for cell in compact_set:
             new_files.pop(cell, None)
+            new_tombs.pop(cell, None)  # compaction physically applied them
         for rec in comp_lineage:
             if rec["rows"] > 0:
                 new_files[rec["cell"]] = [rec["file"]]
         for rec in side_lineage:
             if rec["rows"] > 0:
                 new_files.setdefault(rec["cell"], []).append(rec["file"])
+        for rec in tomb_lineage:
+            if rec["rows"] < 0 and rec["file"]:
+                new_tombs.setdefault(rec["cell"], []).append(rec["file"])
 
         merged_lineage = [
             r
@@ -520,12 +617,91 @@ class PkdIndex:
                 bboxes=directory.bboxes.copy(),
             )
         idx = PkdIndex(
-            self.path, directory, cfg, self.id_col, self.id_type, new_version, new_files, merged_lineage
+            self.path, directory, cfg, self.id_col, self.id_type, new_version,
+            new_files, merged_lineage, new_tombs,
         )
         idx._refresh_directory_stats()
         idx.save_manifest(update_sec=time.perf_counter() - t0, op="insert" if op == _OP_INSERT else "delete")
         return idx
 
+
+    def _tomb_rows(self, cell: int) -> int:
+        """Rows already tombstoned in a cell (from lineage)."""
+        return -sum(
+            r["rows"] for r in self.lineage if r["cell"] == cell and r["rows"] < 0
+        )
+
+    def _count_matches(self, cells: list[int], tomb_delta) -> dict[int, int]:
+        """Per-cell count of LIVE rows whose id appears in the delete
+        delta — a read-only verification scan (no shuffle, no write)."""
+        del_ids = np.unique(
+            tomb_delta.select_columns([self.id_col]).to_pandas()[self.id_col].to_numpy()
+        )
+        dref = ray.put(del_ids)
+        id_col = self.id_col
+
+        def cnt(batch: pa.Table) -> pa.Table:
+            dead = ray.get(dref)
+            cellv = batch["cell"].to_numpy()
+            hit = np.isin(batch[id_col].to_numpy(zero_copy_only=False), dead)
+            u, c = np.unique(cellv[hit], return_counts=True)
+            return pa.table({"cell": u, "n": c.astype(np.int64)})
+
+        pdf = (
+            self.scan_cells(cells, columns=["cell", self.id_col])
+            .map_batches(cnt, batch_format="pyarrow")
+            .to_pandas()
+        )
+        if not len(pdf):
+            return {}
+        agg = pdf.groupby("cell")["n"].sum()
+        return {int(c): int(n) for c, n in agg.items()}
+
+    def _write_tombstones(
+        self, tomb_delta, directory, version: int, resume: bool, matched: dict[int, int]
+    ) -> list[dict]:
+        """One (cell, id) tombstone Parquet per cell; lineage rows carry
+        NEGATIVE row counts (the verified number of live rows the
+        tombstone removes)."""
+        path = self.path
+        id_col = self.id_col
+        depth_ref = ray.put((directory.starts, directory.depths))
+
+        def write_group(group: pa.Table) -> pa.Table:
+            t_start = time.perf_counter()
+            cell = int(group["cell"][0].as_py())
+            starts, depths = ray.get(depth_ref)
+            depth = int(depths[np.searchsorted(starts, cell)])
+            final = _cell_file(path, cell, depth, version).replace(
+                ".parquet", "-tomb.parquet"
+            )
+            if not (resume and os.path.exists(final)):
+                _atomic_write_table(group.select(["cell", id_col]), final)
+            return pa.table(
+                {
+                    "cell": pa.array([cell], pa.int64()),
+                    "file": pa.array([final], pa.string()),
+                    "sec": pa.array([time.perf_counter() - t_start], pa.float64()),
+                }
+            )
+
+        rows = (
+            tomb_delta.groupby("cell")
+            .map_groups(write_group, batch_format="pyarrow")
+            .to_pandas()
+        )
+        return [
+            {
+                "cell": int(r["cell"]),
+                "rows": -matched.get(int(r["cell"]), 0),
+                "bbox": [0, 0, -1, -1],
+                "file": r["file"],
+                "status": "tomb",
+                "sec": float(r["sec"]),
+                "version": version,
+            }
+            for r in rows.to_dict("records")
+        ]
 
     def _write_sidecars(self, side_tagged, directory, version: int, resume: bool) -> list[dict]:
         """One O(delta) Parquet sidecar per cell (the leaves-absorb
@@ -733,3 +909,23 @@ def _arrow_type_name(schema, col: str) -> str:
 
 def _type_from_name(name: str) -> pa.DataType:
     return {"string": pa.string(), "large_string": pa.large_string()}.get(name, pa.int64())
+
+
+_TOMB_CACHE: dict = {}
+
+
+def _tomb_ids_cached(tomb_files: tuple, id_col: str) -> np.ndarray:
+    """Worker-process cache of tombstoned ids for a tombstone-file set
+    (files are immutable once written)."""
+    key = (tomb_files, id_col)
+    if key not in _TOMB_CACHE:
+        if len(_TOMB_CACHE) > 32:
+            _TOMB_CACHE.clear()
+        parts = [
+            pq.read_table(f, columns=[id_col])[id_col].to_numpy(zero_copy_only=False)
+            for f in tomb_files
+        ]
+        _TOMB_CACHE[key] = (
+            np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        )
+    return _TOMB_CACHE[key]

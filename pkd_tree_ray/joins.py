@@ -271,7 +271,12 @@ def knn_graph(index: PkdIndex, out_path: str, k: int, config=None):
     bref = ray.put((cells, bboxes))
 
     items = [
-        {"cell": int(c), "files": list(index.cell_files[int(c)]), "pos": int(i)}
+        {
+            "cell": int(c),
+            "files": list(index.cell_files[int(c)]),
+            "tombs": list(index.tomb_files.get(int(c), [])),
+            "pos": int(i),
+        }
         for i, c in enumerate(cells)
         if int(c) in index.cell_files
     ]
@@ -287,6 +292,21 @@ def knn_graph(index: PkdIndex, out_path: str, k: int, config=None):
             fl = batch["files"][row].as_py()
             ts = [pq.read_table(f, columns=[id_col, "x", "y"]) for f in fl]
             t = pa.concat_tables(ts) if len(ts) > 1 else ts[0]
+            tfl = batch["tombs"][row].as_py()
+            if tfl:
+                dead = np.unique(
+                    np.concatenate(
+                        [
+                            pq.read_table(f, columns=[id_col])[id_col].to_numpy(
+                                zero_copy_only=False
+                            )
+                            for f in tfl
+                        ]
+                    )
+                )
+                t = t.filter(
+                    pa.array(~np.isin(t[id_col].to_numpy(zero_copy_only=False), dead))
+                )
             ids = t[id_col].to_numpy(zero_copy_only=False)
             fx = t["x"].to_numpy()
             fy = t["y"].to_numpy()

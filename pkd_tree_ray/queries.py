@@ -763,14 +763,42 @@ def knn(index: PkdIndex, qx: np.ndarray, qy: np.ndarray, k: int, config=None):
 
     # fast path: density-estimated bound, one scan, exact repair
     bounds = _density_bounds(index, qx, qy, k)
+    k_eff_pool = min(k, index.total_rows)
     pool = getattr(index, "pool", None)
     if pool is not None:
-        # shards classify against their own cells — no driver-side
-        # (queries x cells) candidate pass at all
-        pdf = pool.knn_partials(qx, qy, k, bounds).to_pandas()
-    else:
-        pairs = _candidate_pairs(index, qx, qy, bounds)
-        pdf = _knn_partials_frame(index, qx, qy, k, pairs, cfg)
+        # shards classify against their own cells (no driver-side
+        # queries x cells candidate pass); merge + verification run in
+        # parallel tasks over qid slices for large results, which come
+        # back as a ref-backed Dataset that never lands on the driver
+        merged, uidx = pool.knn_topk(qx, qy, k, bounds, k_eff_pool)
+        repair_tbl = None
+        if len(uidx):
+            b2 = _exact_bounds(index, qx[uidx], qy[uidx], k, cfg)
+            pairs2 = _candidate_pairs(index, qx[uidx], qy[uidx], b2)
+            pdf2 = _knn_partials_frame(index, qx[uidx], qy[uidx], k, pairs2, cfg)
+            q2, r2, n2, d2_ = _merge_topk_driver(pdf2, k)
+            repair_tbl = pa.table(
+                {
+                    "qid": pa.array(uidx[q2], pa.int64()),
+                    "rank": pa.array(r2, pa.int64()),
+                    "neighbor": pa.array(n2),
+                    "dist2": pa.array(d2_, pa.int64()),
+                }
+            )
+        if isinstance(merged, pa.Table):
+            if repair_tbl is not None:
+                merged = pa.concat_tables([merged, repair_tbl])
+                srt = np.lexsort((merged["rank"].to_numpy(), merged["qid"].to_numpy()))
+                merged = merged.take(pa.array(srt))
+            return merged
+        import ray.data as _rd
+
+        if repair_tbl is not None and repair_tbl.num_rows:
+            merged = merged.union(_rd.from_arrow(repair_tbl))
+        return merged
+
+    pairs = _candidate_pairs(index, qx, qy, bounds)
+    pdf = _knn_partials_frame(index, qx, qy, k, pairs, cfg)
     rq, rr, rn, rd = (
         _merge_topk_driver(pdf, k)
         if len(pdf)

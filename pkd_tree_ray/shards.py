@@ -56,22 +56,38 @@ class IndexShard:
         self.cells: dict[int, tuple] = {}
         self.trees: dict[int, object] = {}
 
-    def sync(self, cell_files: dict[int, str]) -> int:
-        """Load added/changed cells, drop removed ones.  Cell files are
-        versioned (cell-<id>-d<depth>-v<version>.parquet) so "changed"
-        is a filename comparison.  Returns resident row count."""
+    def sync(self, cell_files: dict[int, tuple]) -> int:
+        """Load added/changed cells, drop removed ones.  Values are
+        (data_files, tombstone_files); all are versioned so "changed"
+        is a filename comparison.  Tombstoned ids are dropped at load —
+        shards hold LIVE rows only.  Returns resident row count."""
         import pyarrow.parquet as pq
 
         for cell in [c for c in self.cells if c not in cell_files]:
             del self.cells[cell]
             self.trees.pop(cell, None)
-        for cell, files in cell_files.items():
-            key = tuple(files)
+        for cell, (files, tombs) in cell_files.items():
+            key = (tuple(files), tuple(tombs))
             cur = self.cells.get(cell)
             if cur is not None and cur[0] == key:
                 continue
             ts = [pq.read_table(f, columns=[self.id_col, "x", "y"]) for f in files]
             t = pa.concat_tables(ts) if len(ts) > 1 else ts[0]
+            if tombs:
+                dead = np.unique(
+                    np.concatenate(
+                        [
+                            pq.read_table(f, columns=[self.id_col])[
+                                self.id_col
+                            ].to_numpy(zero_copy_only=False)
+                            for f in tombs
+                        ]
+                    )
+                )
+                keep = ~np.isin(
+                    t[self.id_col].to_numpy(zero_copy_only=False), dead
+                )
+                t = t.filter(pa.array(keep))
             x = np.ascontiguousarray(t["x"].to_numpy())
             y = np.ascontiguousarray(t["y"].to_numpy())
             bbox = (
@@ -199,6 +215,69 @@ class IndexShard:
         return pa.table(cols)
 
 
+@ray.remote(num_cpus=1, num_returns=2)
+def _merge_qid_slice(lo: int, hi: int, k: int, k_eff: int, bounds_ref, *parts: pa.Table):
+    """Merge one qid slice of the per-shard kNN partials to final
+    ranked top-k AND verify it: a query that found < k_eff rows or
+    whose kth distance exceeds its density bound may have missed a
+    cell — its rows are EXCLUDED and its qid returned for exact
+    repair.  Runs where the partials live (zero-copy plasma reads);
+    each slice is independent.  Returns (final_table, unsafe_qids)."""
+    import ray as _ray
+
+    from pkd_tree_ray.queries import _topk_per_qid
+
+    bounds = _ray.get(bounds_ref) if isinstance(bounds_ref, _ray.ObjectRef) else bounds_ref
+    empty = pa.table(
+        {
+            "qid": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "neighbor": pa.array([], pa.int64()),
+            "dist2": pa.array([], pa.int64()),
+        }
+    )
+    picked = []
+    for t in parts:
+        if not t.num_rows:
+            continue
+        qid = t["qid"].to_numpy()
+        mask = (qid >= lo) & (qid < hi)
+        if mask.any():
+            picked.append(t.filter(pa.array(mask)))
+    if not picked:
+        return empty, np.arange(lo, hi, dtype=np.int64)
+    pdf = pa.concat_tables(picked)
+    qid = pdf["qid"].to_numpy()
+    d2 = pdf["dist2"].to_numpy()
+    nb = pdf["neighbor"].to_numpy(zero_copy_only=False)
+    rows, ranks = _topk_per_qid(qid, d2, nb, k)
+    rq = qid[rows]
+    rd_ = d2[rows]
+    # per-query found count + kth distance over the ranked slice
+    found = np.zeros(hi - lo, dtype=np.int64)
+    kth = np.full(hi - lo, np.iinfo(np.int64).max, dtype=np.int64)
+    uq, starts, cnts = np.unique(rq, return_index=True, return_counts=True)
+    found[uq - lo] = cnts
+    kth[uq - lo] = rd_[starts + cnts - 1]
+    unsafe_local = (found < k_eff) | (kth > bounds[lo:hi])
+    unsafe = np.nonzero(unsafe_local)[0] + lo
+    if len(unsafe):
+        keep = ~np.isin(rq, unsafe)
+        rows, ranks = rows[keep], ranks[keep]
+    out = pdf.take(pa.array(rows))
+    return (
+        pa.table(
+            {
+                "qid": out["qid"],
+                "rank": pa.array(ranks, pa.int64()),
+                "neighbor": out["neighbor"],
+                "dist2": out["dist2"],
+            }
+        ),
+        unsafe,
+    )
+
+
 class ShardedQueryPool:
     """Fixed pool of :class:`IndexShard` actors serving one index
     (refreshable to its successor versions)."""
@@ -238,9 +317,12 @@ class ShardedQueryPool:
             owner[cells[i]] = s
             load[s] += weights[i]
         self.owner = owner
-        per_shard: list[dict[int, str]] = [{} for _ in range(self.n_shards)]
+        per_shard: list[dict[int, tuple]] = [{} for _ in range(self.n_shards)]
         for cell, s in owner.items():
-            per_shard[s][cell] = index.cell_files[cell]
+            per_shard[s][cell] = (
+                list(index.cell_files[cell]),
+                list(index.tomb_files.get(cell, [])),
+            )
         ray.get([a.sync.remote(files) for a, files in zip(self.actors, per_shard)])
         if self.index is not None and self.index is not index:
             self.index.pool = None  # old handle no longer served
@@ -274,6 +356,70 @@ class ShardedQueryPool:
         return pa.concat_tables(
             ray.get([a.knn_auto.remote(ref) for a in self.actors])
         )
+
+    #: above this many final rows the cross-shard merge runs as parallel
+    #: Ray tasks over qid slices instead of one driver-side lexsort
+    _DRIVER_MERGE_ROWS = 400_000
+
+    def knn_topk(self, qx: np.ndarray, qy: np.ndarray, k: int, bounds: np.ndarray, k_eff: int):
+        """Final ranked top-k + verification.
+
+        Returns ``(result, unsafe_qids)`` where unsafe queries (bound
+        possibly too small — they need the exact two-phase repair) are
+        EXCLUDED from the result.  Small results merge on the driver
+        and come back as a pyarrow Table; large ones merge through a
+        second task hop partitioned by qid slice, fed the SHARD RESULT
+        REFS directly, and come back as a ref-backed ``ray.data``
+        Dataset that never materializes on the driver."""
+        from pkd_tree_ray.queries import _topk_per_qid
+
+        ref = ray.put((qx, qy, k, bounds))
+        part_refs = [a.knn_auto.remote(ref) for a in self.actors]
+        m = len(qx)
+        if m * k <= self._DRIVER_MERGE_ROWS:
+            pdf = pa.concat_tables(ray.get(part_refs))
+            qid = pdf["qid"].to_numpy()
+            d2 = pdf["dist2"].to_numpy()
+            nb = pdf["neighbor"].to_numpy(zero_copy_only=False)
+            rows, ranks = _topk_per_qid(qid, d2, nb, k)
+            rq = qid[rows]
+            rd_ = d2[rows]
+            found = np.zeros(m, dtype=np.int64)
+            kth = np.full(m, np.iinfo(np.int64).max, dtype=np.int64)
+            uq, starts, cnts = np.unique(rq, return_index=True, return_counts=True)
+            found[uq] = cnts
+            kth[uq] = rd_[starts + cnts - 1]
+            unsafe = np.nonzero((found < k_eff) | (kth > bounds))[0]
+            if len(unsafe):
+                keep = ~np.isin(rq, unsafe)
+                rows, ranks = rows[keep], ranks[keep]
+            out = pdf.take(pa.array(rows))
+            return (
+                pa.table(
+                    {
+                        "qid": out["qid"],
+                        "rank": pa.array(ranks, pa.int64()),
+                        "neighbor": out["neighbor"],
+                        "dist2": out["dist2"],
+                    }
+                ),
+                unsafe,
+            )
+        bref = ray.put(bounds)
+        n_merge = max(1, min(self.n_shards, m * k // self._DRIVER_MERGE_ROWS + 1))
+        edges = np.linspace(0, m, n_merge + 1).astype(np.int64)
+        out_refs = []
+        unsafe_refs = []
+        for i in range(n_merge):
+            o, u = _merge_qid_slice.remote(
+                int(edges[i]), int(edges[i + 1]), k, k_eff, bref, *part_refs
+            )
+            out_refs.append(o)
+            unsafe_refs.append(u)
+        unsafe = np.concatenate(ray.get(unsafe_refs)) if unsafe_refs else np.zeros(0, np.int64)
+        import ray.data as rd_mod
+
+        return rd_mod.from_arrow_refs(out_refs), unsafe
 
     def shutdown(self) -> None:
         for a in self.actors:

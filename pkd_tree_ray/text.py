@@ -259,22 +259,47 @@ def minhash_candidates(docs):
     cand = bands.groupby(["band_id", "band_hash"]).map_groups(
         pairs, batch_format="pandas"
     )
-    # dedup pairs found by multiple bands
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # dedup pairs found by multiple bands: aggregate (vectorized hash
+    # shuffle) rather than per-group Python calls
+    from ray.data.aggregate import Count
+
+    return (
+        cand.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="nb"))
+        .select_columns(["doc_a", "doc_b"])
     )
 
 
 def jaccard_verify(docs, pairs: pd.DataFrame, threshold: float = 0.5) -> pd.DataFrame:
-    """Verify candidate pairs with exact word-shingle Jaccard
-    (driver-side; the candidate set is small by construction).
-    -> (doc_a, doc_b, jaccard_permille)."""
+    """Verify candidate pairs with exact word-shingle Jaccard.
+    -> (doc_a, doc_b, jaccard_permille).
+
+    The candidate set is small by construction (LSH buckets), but the
+    corpus is not: the texts of candidate docs are fetched with a
+    broadcast semi-join — the candidate id set ships to workers via
+    ``ray.put`` and the docs Dataset streams through a filter — so only
+    the candidates' texts ever reach the driver."""
+    import ray
+
+    import pyarrow as pa
+
     token = re.compile(_TOKEN_RE)
-    texts = dict(
-        zip(*(lambda df: (df["doc_id"], df["text"]))(
-            docs.select_columns(["doc_id", "text"]).to_pandas()
-        ))
+    cand_ids = np.unique(
+        np.concatenate([pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()])
+    ) if len(pairs) else np.empty(0, np.int64)
+    idref = ray.put(cand_ids)
+
+    def semi(batch: pa.Table) -> pa.Table:
+        ids = ray.get(idref)
+        keep = np.isin(batch["doc_id"].to_numpy(), ids)
+        return batch.filter(pa.array(keep))
+
+    fetched = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(semi, batch_format="pyarrow")
+        .to_pandas()
     )
+    texts = dict(zip(fetched["doc_id"], fetched["text"]))
 
     def shingles(t):
         toks = token.findall(t or "")

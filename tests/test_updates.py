@@ -7,6 +7,7 @@ import pyarrow as pa
 import pytest
 
 from pkd_tree_ray.config import EngineConfig
+from pkd_tree_ray.index import PkdIndex
 from pkd_tree_ray.fixtures import uniform_xy, varden_xy, point_pair_boxes
 from tests.oracle import knn_oracle, range_count_oracle
 
@@ -146,3 +147,91 @@ class TestFunctionalUpdate:
         idx2 = idx.insert(rd.from_arrow(_table(np.arange(5_000, 5_100), ix, iy)))
         assert idx.total_rows == before
         assert idx2.total_rows == before + 100
+
+
+class TestTombstoneDeletes:
+    """O(delta) delete path: tombstone sidecars + verified counts
+    (mark_tomb analog, batch_delete.hpp:147-265)."""
+
+    def _build(self, tmp_path, n=6000):
+        import ray.data as rd
+        import pandas as pd
+
+        from pkd_tree_ray.fixtures import varden_xy
+
+        pid = np.arange(n, dtype=np.int64)
+        x, y = varden_xy(pid, seed=23)
+        idx = PkdIndex.build(
+            rd.from_pandas(pd.DataFrame({"point_id": pid, "x": x, "y": y})),
+            str(tmp_path / "t"),
+            CFG,
+            id_col="point_id",
+        )
+        return idx, pid, x, y
+
+    def test_small_delete_writes_tombstones_not_rewrites(self, ray_session, tmp_path):
+        import ray.data as rd
+        import pandas as pd
+
+        from pkd_tree_ray.fixtures import varden_xy, point_pair_boxes
+        from pkd_tree_ray.queries import range_count
+
+        idx, pid, x, y = self._build(tmp_path)
+        victims = pid[::97]
+        vx, vy = x[::97], y[::97]
+        idx2 = idx.delete(
+            rd.from_pandas(pd.DataFrame({"point_id": victims, "x": vx, "y": vy})),
+            strict=True,
+        )
+        # tombstones, not rewrites: base files unchanged, tomb files added
+        assert idx2.tomb_files, "expected tombstone sidecars"
+        assert idx2.cell_files == idx.cell_files
+        assert idx2.total_rows == len(pid) - len(victims)
+        keep = np.ones(len(pid), dtype=bool)
+        keep[::97] = False
+        boxes = point_pair_boxes(x, y, 15)
+        got = range_count(idx2, boxes).to_pandas()["cnt"].to_numpy()
+        for bi, b in enumerate(boxes):
+            exp = int(
+                np.sum(
+                    (x[keep] >= b[0]) & (x[keep] <= b[2])
+                    & (y[keep] >= b[1]) & (y[keep] <= b[3])
+                )
+            )
+            assert got[bi] == exp
+
+    def test_double_delete_fails_strict(self, ray_session, tmp_path):
+        import ray.data as rd
+        import pandas as pd
+
+        idx, pid, x, y = self._build(tmp_path)
+        d = pd.DataFrame({"point_id": pid[:50], "x": x[:50], "y": y[:50]})
+        idx2 = idx.delete(rd.from_pandas(d), strict=True)
+        with pytest.raises(ValueError):
+            idx2.delete(rd.from_pandas(d), strict=True)
+
+    def test_reinsert_after_tombstone_compacts(self, ray_session, tmp_path):
+        import ray.data as rd
+        import pandas as pd
+
+        idx, pid, x, y = self._build(tmp_path)
+        d = pd.DataFrame({"point_id": pid[:80], "x": x[:80], "y": y[:80]})
+        idx2 = idx.delete(rd.from_pandas(d), strict=True)
+        idx3 = idx2.insert(rd.from_pandas(d))  # same ids come back
+        assert idx3.total_rows == len(pid)
+        # the touched cells compacted: their tombstones are gone
+        from pkd_tree_ray.queries import knn
+
+        res = knn(idx3, x[:80].copy(), y[:80].copy(), 1).to_pandas()
+        assert (res["dist2"] == 0).all()
+
+    def test_heavy_delete_compacts(self, ray_session, tmp_path):
+        import ray.data as rd
+        import pandas as pd
+
+        idx, pid, x, y = self._build(tmp_path)
+        half = pd.DataFrame({"point_id": pid[::2], "x": x[::2], "y": y[::2]})
+        idx2 = idx.delete(rd.from_pandas(half), strict=True)
+        assert idx2.total_rows == len(pid) - len(half)
+        # 50% > tomb_compact_frac -> physical rewrite, no tombstones
+        assert not idx2.tomb_files
