@@ -46,6 +46,7 @@ from pkd_tree_ray.cells import CellDirectory, morton_code, pick_base_depth
 from pkd_tree_ray.config import DEFAULT_CONFIG, EngineConfig
 
 _OP_KEEP = 0
+_SMALL_DELTA_ROWS = 2_000_000  # delta rows the driver may hold for the fast update path
 _OP_INSERT = 1
 _OP_DELETE = 2
 
@@ -440,28 +441,50 @@ class PkdIndex:
         new_version = self.version + 1
         cfg = self.config
 
-        # 1. route the delta (retrive_tag analog) + per-cell delta counts
-        #    (InnerTree::reduce_sums, inner_tree.hpp:33-76)
-        delta_assigned = _assign_cells(delta, self.directory, cfg, op=op, id_col=self.id_col)
-        from ray.data.aggregate import Sum
+        # 1. route the delta (retrive_tag analog) ONCE — materialized so
+        #    the count / filter / write consumers below never recompute
+        #    the assignment — then per-cell delta counts
+        #    (InnerTree::reduce_sums, inner_tree.hpp:33-76).  A delta
+        #    small enough for the driver (<= _SMALL_DELTA_ROWS) is
+        #    pulled down and partitioned with numpy; partition tasks do
+        #    the writes — skipping the full groupby machinery whose
+        #    fixed cost dwarfs a small delta.
+        delta_assigned = _assign_cells(
+            delta, self.directory, cfg, op=op, id_col=self.id_col
+        ).materialize()
+        n_delta_total = delta_assigned.count()
+        small = n_delta_total <= _SMALL_DELTA_ROWS
+        delta_tbl: pa.Table | None = None
+        if small:
+            import ray.data as _rd
 
-        delta_counts = (
-            delta_assigned.select_columns(["cell"])
-            .map_batches(
-                lambda t: pa.table(
-                    {
-                        "cell": np.unique(t["cell"].to_numpy(), return_counts=True)[0],
-                        "cnt": np.unique(t["cell"].to_numpy(), return_counts=True)[1].astype(np.int64),
-                    }
-                ),
-                batch_format="pyarrow",
+            delta_tbl = pa.concat_tables(
+                [pa.table(b) for b in delta_assigned.iter_batches(batch_format="pyarrow", batch_size=None)]
             )
-            .groupby("cell")
-            .aggregate(Sum("cnt", alias_name="cnt"))
-            .to_pandas()
-        )
-        affected = delta_counts["cell"].to_numpy(dtype=np.int64)
-        dcnt = delta_counts["cnt"].to_numpy(dtype=np.int64)
+            cellv = delta_tbl["cell"].to_numpy()
+            order = np.argsort(cellv, kind="stable")
+            delta_tbl = delta_tbl.take(pa.array(order))
+            affected, dcnt = np.unique(cellv, return_counts=True)
+        else:
+            from ray.data.aggregate import Sum
+
+            delta_counts = (
+                delta_assigned.select_columns(["cell"])
+                .map_batches(
+                    lambda t: pa.table(
+                        {
+                            "cell": np.unique(t["cell"].to_numpy(), return_counts=True)[0],
+                            "cnt": np.unique(t["cell"].to_numpy(), return_counts=True)[1].astype(np.int64),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+                .groupby("cell")
+                .aggregate(Sum("cnt", alias_name="cnt"))
+                .to_pandas()
+            )
+            affected = delta_counts["cell"].to_numpy(dtype=np.int64)
+            dcnt = delta_counts["cnt"].to_numpy(dtype=np.int64)
         affected_set = set(int(a) for a in affected)
 
         # 2. new directory + per-cell plan (tag_inbalance_node analog,
@@ -520,20 +543,31 @@ class PkdIndex:
         # 3a. sidecar path: write ONE delta file per cell — touches only
         #     the delta rows, never the resident data
         if sidecar_set:
-            side = delta_assigned
-            if compact_set:
-                side = _filter_cells(side, sidecar_set)
-            side_lineage = self._write_sidecars(side, directory, new_version, resume)
+            if delta_tbl is not None:
+                side_tbl = _filter_cells_tbl(delta_tbl, sidecar_set) if compact_set else delta_tbl
+                side_lineage = self._write_parts_driver(
+                    side_tbl, directory, new_version, resume, "-delta.parquet", "delta", None
+                )
+            else:
+                side = delta_assigned
+                if compact_set:
+                    side = _filter_cells(side, sidecar_set)
+                side_lineage = self._write_sidecars(side, directory, new_version, resume)
 
         # 3a'. tombstone path (DELETE): verify matches with a read-only
         #      scan (live rows only — existing tombstones already
         #      applied), then write one (cell, id) tombstone file per
         #      cell — never rewriting resident data
         if tomb_set:
-            tomb_delta = (
-                _filter_cells(delta_assigned, tomb_set) if compact_set else delta_assigned
-            )
-            matched = self._count_matches(sorted(tomb_set), tomb_delta)
+            if delta_tbl is not None:
+                tomb_tbl = _filter_cells_tbl(delta_tbl, tomb_set) if compact_set else delta_tbl
+                tomb_ids = np.unique(tomb_tbl[self.id_col].to_numpy(zero_copy_only=False))
+                matched = self._count_matches_ids(sorted(tomb_set), tomb_ids)
+            else:
+                tomb_delta = (
+                    _filter_cells(delta_assigned, tomb_set) if compact_set else delta_assigned
+                )
+                matched = self._count_matches(sorted(tomb_set), tomb_delta)
             if strict:
                 want = int(sum(n for c, n in zip(affected, dcnt) if int(c) in tomb_set))
                 got = int(sum(matched.values()))
@@ -542,18 +576,30 @@ class PkdIndex:
                         f"strict (FullCovered) delete: {want} rows requested but "
                         f"only {got} exist (use strict=False for PartialCover semantics)"
                     )
-            tomb_lineage = self._write_tombstones(
-                tomb_delta, directory, new_version, resume, matched
-            )
+            if delta_tbl is not None:
+                tomb_lineage = self._write_parts_driver(
+                    tomb_tbl, directory, new_version, resume, "-tomb.parquet", "tomb", matched
+                )
+            else:
+                tomb_lineage = self._write_tombstones(
+                    tomb_delta, directory, new_version, resume, matched
+                )
 
         # 3b. compaction path: old rows (base + sidecars, tombstones
         #     applied) of the compact cells + their delta, re-assigned
         #     under the NEW directory, one fresh file per cell
         if compact_set:
             other = sidecar_set | tomb_set
-            comp_delta = (
-                _filter_cells(delta_assigned, compact_set) if other else delta_assigned
-            )
+            if delta_tbl is not None:
+                import ray.data as _rd
+
+                comp_delta = _rd.from_arrow(
+                    _filter_cells_tbl(delta_tbl, compact_set) if other else delta_tbl
+                )
+            else:
+                comp_delta = (
+                    _filter_cells(delta_assigned, compact_set) if other else delta_assigned
+                )
             old_rows = self.scan_cells(sorted(compact_set))  # tombstones applied
             old_tagged = old_rows.map_batches(
                 lambda t: t.append_column("__op", pa.array(np.zeros(t.num_rows, np.int8))),
@@ -633,10 +679,15 @@ class PkdIndex:
 
     def _count_matches(self, cells: list[int], tomb_delta) -> dict[int, int]:
         """Per-cell count of LIVE rows whose id appears in the delete
-        delta — a read-only verification scan (no shuffle, no write)."""
+        delta — a read-only verification scan (no shuffle, no write).
+        Served from the resident shard pool when one is attached."""
         del_ids = np.unique(
             tomb_delta.select_columns([self.id_col]).to_pandas()[self.id_col].to_numpy()
         )
+        if self.pool is not None and self.pool.index is self:
+            matched = self.pool.count_matches(del_ids)
+            wanted = set(int(c) for c in cells)
+            return {c: n for c, n in matched.items() if c in wanted}
         dref = ray.put(del_ids)
         id_col = self.id_col
 
@@ -702,6 +753,90 @@ class PkdIndex:
             }
             for r in rows.to_dict("records")
         ]
+
+    def _count_matches_ids(self, cells: list[int], del_ids: np.ndarray) -> dict[int, int]:
+        """_count_matches with the delete id set already on the driver;
+        uses the resident shard pool when attached."""
+        if self.pool is not None and self.pool.index is self:
+            matched = self.pool.count_matches(del_ids)
+            wanted = set(int(c) for c in cells)
+            return {c: n for c, n in matched.items() if c in wanted}
+        dref = ray.put(del_ids)
+        id_col = self.id_col
+
+        def cnt(batch: pa.Table) -> pa.Table:
+            dead = ray.get(dref)
+            cellv = batch["cell"].to_numpy()
+            hit = np.isin(batch[id_col].to_numpy(zero_copy_only=False), dead)
+            u, c = np.unique(cellv[hit], return_counts=True)
+            return pa.table({"cell": u, "n": c.astype(np.int64)})
+
+        pdf = (
+            self.scan_cells(cells, columns=["cell", self.id_col])
+            .map_batches(cnt, batch_format="pyarrow")
+            .to_pandas()
+        )
+        if not len(pdf):
+            return {}
+        agg = pdf.groupby("cell")["n"].sum()
+        return {int(c): int(n) for c, n in agg.items()}
+
+    def _write_parts_driver(
+        self,
+        tbl: pa.Table,
+        directory,
+        version: int,
+        resume: bool,
+        suffix: str,
+        status: str,
+        matched: dict[int, int] | None,
+    ) -> list[dict]:
+        """Driver-partitioned sidecar/tombstone writes for small deltas:
+        numpy run-split by cell (tbl is cell-sorted), then one write
+        task per chunk of cells — no Dataset groupby overhead."""
+        if tbl.num_rows == 0:
+            return []
+        cellv = tbl["cell"].to_numpy()
+        uc, starts = np.unique(cellv, return_index=True)
+        ends = np.append(starts[1:], len(cellv))
+        files = []
+        for c in uc:
+            depth = int(directory.depths[np.searchsorted(directory.starts, c)])
+            files.append(
+                _cell_file(self.path, int(c), depth, version).replace(".parquet", suffix)
+            )
+        select = ["cell", self.id_col] if status == "tomb" else [
+            c for c in tbl.column_names if c != "__op"
+        ]
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:  # pragma: no cover
+            cpus = 4
+        n_tasks = max(1, min(cpus, len(uc)))
+        chunk = -(-len(uc) // n_tasks)
+        refs = []
+        for s0 in range(0, len(uc), chunk):
+            e0 = min(s0 + chunk, len(uc))
+            sub = tbl.slice(int(starts[s0]), int(ends[e0 - 1] - starts[s0])).select(select)
+            refs.append(
+                _write_parts_task.remote(
+                    sub,
+                    uc[s0:e0],
+                    starts[s0:e0] - starts[s0],
+                    ends[s0:e0] - starts[s0],
+                    files[s0:e0],
+                    resume,
+                    status,
+                )
+            )
+        recs = [r for part in ray.get(refs) for r in part]
+        if status == "tomb":
+            for r in recs:
+                r["rows"] = -int((matched or {}).get(r["cell"], 0))
+                r["bbox"] = [0, 0, -1, -1]
+        for r in recs:
+            r["version"] = version
+        return recs
 
     def _write_sidecars(self, side_tagged, directory, version: int, resume: bool) -> list[dict]:
         """One O(delta) Parquet sidecar per cell (the leaves-absorb
@@ -929,3 +1064,53 @@ def _tomb_ids_cached(tomb_files: tuple, id_col: str) -> np.ndarray:
             np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
         )
     return _TOMB_CACHE[key]
+
+
+@ray.remote(num_cpus=1)
+def _write_parts_task(
+    tbl: pa.Table,
+    cells: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    files: list[str],
+    resume: bool,
+    status: str,
+) -> list[dict]:
+    """Write a chunk of per-cell sidecar slices (idempotent per file)."""
+    recs = []
+    for c, s0, e0, f in zip(cells, starts, ends, files):
+        t_start = time.perf_counter()
+        g = tbl.slice(int(s0), int(e0 - s0))
+        if resume and os.path.exists(f):
+            rows = pq.read_metadata(f).num_rows
+            st = "skipped" if status != "tomb" else status
+        else:
+            rows = g.num_rows
+            if rows:
+                _atomic_write_table(g, f)
+            st = status
+        if g.num_rows and status != "tomb":
+            x = g["x"].to_numpy()
+            y = g["y"].to_numpy()
+            bbox = [int(x.min()), int(y.min()), int(x.max()), int(y.max())]
+        else:
+            bbox = [0, 0, -1, -1]
+        recs.append(
+            {
+                "cell": int(c),
+                "rows": int(rows),
+                "bbox": bbox,
+                "file": f if rows else "",
+                "status": st,
+                "sec": time.perf_counter() - t_start,
+            }
+        )
+    return recs
+
+
+def _filter_cells_tbl(tbl: pa.Table, cell_set: set[int]) -> pa.Table:
+    """Driver-side variant of _filter_cells for a materialized delta."""
+    keep_cells = np.array(sorted(cell_set), dtype=np.int64)
+    cellv = tbl["cell"].to_numpy()
+    i = np.minimum(np.searchsorted(keep_cells, cellv), len(keep_cells) - 1)
+    return tbl.filter(pa.array(keep_cells[i] == cellv))

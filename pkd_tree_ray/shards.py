@@ -162,6 +162,18 @@ class IndexShard:
             }
         )
 
+    def count_matches(self, dead_ref) -> dict:
+        """Per-cell count of resident LIVE rows whose id is in the
+        delete set — the in-memory form of the delete verification
+        scan."""
+        dead = ray.get(dead_ref) if isinstance(dead_ref, ray.ObjectRef) else dead_ref
+        out = {}
+        for cell, (key, ids, x, y, bbox) in self.cells.items():
+            n = int(np.isin(ids, dead).sum())
+            if n:
+                out[cell] = n
+        return out
+
     def _batch(self, cell: int, with_id: bool) -> pa.Table:
         key, ids, x, y, bbox = self.cells[cell]
         cols = {"cell": pa.array(np.full(len(x), cell, dtype=np.int64))}
@@ -420,6 +432,16 @@ class ShardedQueryPool:
         import ray.data as rd_mod
 
         return rd_mod.from_arrow_refs(out_refs), unsafe
+
+    def count_matches(self, del_ids: np.ndarray) -> dict[int, int]:
+        """Per-cell live-row matches of a delete id set, answered from
+        resident shard memory (no storage reads)."""
+        ref = ray.put(del_ids)
+        out: dict[int, int] = {}
+        for part in ray.get([a.count_matches.remote(ref) for a in self.actors]):
+            for c, n in part.items():
+                out[c] = out.get(c, 0) + n
+        return out
 
     def shutdown(self) -> None:
         for a in self.actors:
