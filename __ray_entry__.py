@@ -279,6 +279,34 @@ def _q_ann_ivf(sf_dir: str):
     )
 
 
+def _q_knn_graph(sf_dir: str):
+    """Self-kNN graph sink (generate_knn analog): every indexed point's
+    5 nearest OTHER points as an edge table, written per-cell
+    (resumable) and returned as the edge Dataset."""
+    import shutil
+
+    from pkd_tree_ray.joins import knn_graph
+
+    key = (sf_dir, "customer_idx")
+    if key not in _INDEX_CACHE:
+        path = _idx_path(sf_dir, "customer_idx")
+        shutil.rmtree(path, ignore_errors=True)
+        pts = sources.customer_points(sf_dir).map_batches(
+            lambda t: pa.table(
+                {"point_id": t["c_custkey"], "x": t["x"], "y": t["y"]}
+            ),
+            batch_format="pyarrow",
+        )
+        _INDEX_CACHE[key] = PkdIndex.build(
+            pts, path, _CFG, id_col="point_id"
+        )
+    out = _idx_path(sf_dir, "customer_graph")
+    import shutil as _sh
+
+    _sh.rmtree(out, ignore_errors=True)
+    return knn_graph(_INDEX_CACHE[key], out, k=5)
+
+
 # --- sliding-window stream (events table) -------------------------------
 
 _WINDOW_LEN = 5
@@ -387,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_l2q": _q_ann_l2q,
         "ann_ivf": _q_ann_ivf,
         "image_knn": _q_image_knn,
+        "knn_graph": _q_knn_graph,
     }
 
 
@@ -522,6 +551,20 @@ FROM t
         # quantized-L2 exact top-5: scores are integers exactly
         # representable in DOUBLE (|q|<=1000-ish, d=64), so
         # list_dot_product arithmetic is bit-exact
+        "knn_graph": f"""
+WITH pts AS ({sources.sql_customer_points()}),
+d AS (
+  SELECT a.c_custkey AS src, b.c_custkey AS dst,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2,
+         row_number() OVER (
+           PARTITION BY a.c_custkey
+           ORDER BY (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y),
+                    b.c_custkey
+         ) AS "rank"
+  FROM pts a JOIN pts b ON a.c_custkey <> b.c_custkey
+)
+SELECT src, "rank", dst, dist2 FROM d WHERE "rank" <= 5
+""",
         "ann_l2q": """
 WITH e AS (
   SELECT vec_id,

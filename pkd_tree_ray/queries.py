@@ -736,8 +736,10 @@ def knn(index: PkdIndex, qx: np.ndarray, qy: np.ndarray, k: int, config=None):
     if index.total_rows == 0 or m == 0:
         return empty()
 
-    if m * k > _DRIVER_MERGE_LIMIT:
-        # distributed path: exact two-phase + groupby(qid) merge
+    if m * k > _DRIVER_MERGE_LIMIT and getattr(index, "pool", None) is None:
+        # distributed path: exact two-phase + groupby(qid) merge (the
+        # pool path below handles large results itself — its merge runs
+        # as parallel qid-slice tasks and returns a ref-backed Dataset)
         bounds = _exact_bounds(index, qx, qy, k, cfg)
         pairs = _candidate_pairs(index, qx, qy, bounds)
         partials = _knn_partials(index, qx, qy, k, pairs, cfg).map_batches(

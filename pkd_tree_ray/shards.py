@@ -152,8 +152,10 @@ class IndexShard:
         q = np.concatenate(out_q)
         n = np.concatenate(out_n)
         d = np.concatenate(out_d)
+        # _topk_per_qid's row order is qid-grouped ascending — keep it,
+        # so downstream qid-slice merges can binary-search instead of
+        # masking the whole table
         rows, _ = _topk_per_qid(q, d, n, k)
-        rows = np.sort(rows)
         return pa.table(
             {
                 "qid": pa.array(q[rows], pa.int64()),
@@ -252,10 +254,13 @@ def _merge_qid_slice(lo: int, hi: int, k: int, k_eff: int, bounds_ref, *parts: p
     for t in parts:
         if not t.num_rows:
             continue
+        # shard partials are qid-sorted: slice by binary search so each
+        # merge task touches only its own rows (zero-copy plasma reads)
         qid = t["qid"].to_numpy()
-        mask = (qid >= lo) & (qid < hi)
-        if mask.any():
-            picked.append(t.filter(pa.array(mask)))
+        a = int(np.searchsorted(qid, lo, side="left"))
+        b = int(np.searchsorted(qid, hi, side="left"))
+        if b > a:
+            picked.append(t.slice(a, b - a))
     if not picked:
         return empty, np.arange(lo, hi, dtype=np.int64)
     pdf = pa.concat_tables(picked)
