@@ -186,8 +186,8 @@ def run_suite() -> dict:
         lambda: consume(knn(idx, qx, qy, 100)),
         lambda: range_count(idx, boxes),
         lambda: consume(range_report(idx, rboxes)),
-    ] * 2  # 10 clients: overlap per-call orchestration across streams
-    n_queries_total = 2 * (3 * len(qx) + len(boxes) + len(rboxes))
+    ]
+    n_queries_total = 3 * len(qx) + len(boxes) + len(rboxes)
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=len(streams)) as pool:
         list(pool.map(lambda f: f(), streams))

@@ -357,6 +357,55 @@ def _box_max_d2(qx, qy, b) -> np.int64:
 
 # --- vectorized brute-force kernels (the SERIAL_BUILD_CUTOFF analog) ----
 
+def brute_range_filter(
+    px: np.ndarray,
+    py: np.ndarray,
+    qx: np.ndarray,
+    qy: np.ndarray,
+    r2: np.ndarray,
+    q_chunk: int = 64,
+    p_chunk: int = 1_024,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All (query, point) pairs with squared distance <= r2[query] —
+    the ball-overlap emit used for NON-home candidate cells in kNN: a
+    neighboring cell contributes only the sliver of its points inside
+    the query ball, so emitting the filtered rows (instead of a full
+    top-k) cuts both the argpartition work and the partial-row volume
+    that transits the object store.  Same L2-resident tiling as
+    :func:`brute_knn_batch`.  Returns (q_idx, p_idx, d2).
+    """
+    n, m = len(px), len(qx)
+    if n == 0 or m == 0:
+        return (np.empty(0, np.int64),) * 3
+    out_q: list[np.ndarray] = []
+    out_p: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    ws1 = np.empty((min(q_chunk, m), p_chunk), dtype=np.int64)
+    ws2 = np.empty((min(q_chunk, m), p_chunk), dtype=np.int64)
+    for s in range(0, m, q_chunk):
+        e = min(s + q_chunk, m)
+        qxc = qx[s:e, None]
+        qyc = qy[s:e, None]
+        r2c = r2[s:e, None]
+        for ps in range(0, n, p_chunk):
+            pe = min(ps + p_chunk, n)
+            d2 = ws1[: e - s, : pe - ps]
+            dy = ws2[: e - s, : pe - ps]
+            np.subtract(qxc, px[None, ps:pe], out=d2)
+            d2 *= d2
+            np.subtract(qyc, py[None, ps:pe], out=dy)
+            dy *= dy
+            d2 += dy
+            qi, pi = np.nonzero(d2 <= r2c)
+            if len(qi):
+                out_q.append(qi + s)
+                out_p.append(pi + ps)
+                out_d.append(d2[qi, pi])
+    if not out_q:
+        return (np.empty(0, np.int64),) * 3
+    return np.concatenate(out_q), np.concatenate(out_p), np.concatenate(out_d)
+
+
 def brute_knn_batch(
     px: np.ndarray,
     py: np.ndarray,

@@ -124,6 +124,8 @@ class IndexShard:
         from pkd_tree_ray.kdtree import brute_knn_batch
         from pkd_tree_ray.queries import _topk_per_qid
 
+        from pkd_tree_ray.kdtree import brute_range_filter
+
         qx, qy, k, bounds = payload
         out_q: list[np.ndarray] = []
         out_n: list[np.ndarray] = []
@@ -133,14 +135,34 @@ class IndexShard:
                 continue
             dx = np.maximum(np.maximum(bbox[0] - qx, qx - bbox[2]), 0)
             dy = np.maximum(np.maximum(bbox[1] - qy, qy - bbox[3]), 0)
-            qs = np.nonzero(dx * dx + dy * dy <= bounds)[0]
+            bd2 = dx * dx + dy * dy
+            qs = np.nonzero(bd2 <= bounds)[0]
             if not len(qs):
                 continue
-            idx, d2 = brute_knn_batch(x, y, qx[qs], qy[qs], k)
-            k_eff = idx.shape[1]
-            out_q.append(np.repeat(qs, k_eff))
-            out_n.append(ids[idx.ravel()])
-            out_d.append(d2.ravel())
+            # cell bboxes are disjoint, so bd2 == 0 identifies a query's
+            # HOME cell: it answers with a full local top-k.  Any OTHER
+            # candidate cell overlaps the query ball only in a sliver —
+            # emit just the rows inside the bound (cheaper to compute,
+            # far fewer partial rows through the object store); the
+            # merge-side verification (kth <= bound, found >= k) already
+            # guarantees exactness for both emit shapes.
+            home = bd2[qs] == 0
+            hq = qs[home]
+            fq = qs[~home]
+            if len(hq):
+                idx, d2 = brute_knn_batch(x, y, qx[hq], qy[hq], k)
+                k_eff = idx.shape[1]
+                out_q.append(np.repeat(hq, k_eff))
+                out_n.append(ids[idx.ravel()])
+                out_d.append(d2.ravel())
+            if len(fq):
+                qi, pi, d2f = brute_range_filter(
+                    x, y, qx[fq], qy[fq], bounds[fq]
+                )
+                if len(qi):
+                    out_q.append(fq[qi])
+                    out_n.append(ids[pi])
+                    out_d.append(d2f)
         if not out_q:
             return pa.table(
                 {
