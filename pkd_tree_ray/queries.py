@@ -658,7 +658,7 @@ def _exact_bounds(index: PkdIndex, qx, qy, k, cfg) -> np.ndarray:
     return bounds
 
 
-def _density_bounds(index: PkdIndex, qx, qy, k, safety: int = 4) -> np.ndarray:
+def _density_bounds(index: PkdIndex, qx, qy, k, safety: int = 2) -> np.ndarray:
     """Estimated kth-distance bound from directory stats alone (no
     scan): assume roughly uniform density in the query's home cell,
     r_k^2 ~ safety * k * area / count.  NOT exact — every query is

@@ -156,3 +156,37 @@ class TestQueries:
             # exact (dist2, id) sequence under (dist2, id) tie-break
             assert got["dist2"].tolist() == [e[0] for e in exp], f"q{q} dists"
             assert got["neighbor"].tolist() == [e[1] for e in exp], f"q{q} ids"
+
+
+class TestValidateApi:
+    def test_validate_returns_metrics_and_passes(self, ray_session, tmp_path):
+        import ray.data as rd
+        import numpy as np
+        import pandas as pd
+
+        from pkd_tree_ray.fixtures import varden_xy
+        from pkd_tree_ray.index import PkdIndex
+        from pkd_tree_ray.config import EngineConfig
+
+        pid = np.arange(5_000, dtype=np.int64)
+        x, y = varden_xy(pid, seed=51)
+        idx = PkdIndex.build(
+            rd.from_pandas(pd.DataFrame({"point_id": pid, "x": x, "y": y})),
+            str(tmp_path / "v"),
+            EngineConfig(target_cell_rows=512),
+            id_col="point_id",
+        )
+        m = idx.validate()
+        assert m["rows"] == 5_000
+        assert m["cells"] >= 1
+        assert m["avg_tree_height"] >= 1
+        # still valid after a tombstone delete + sidecar insert
+        d = pd.DataFrame({"point_id": pid[:100], "x": x[:100], "y": y[:100]})
+        idx2 = idx.delete(rd.from_pandas(d), strict=True)
+        m2 = idx2.validate()
+        assert m2["rows"] == 4_900
+        ins = pd.DataFrame(
+            {"point_id": pid[:50] + 10_000, "x": x[:50] + 1, "y": y[:50] + 1}
+        )
+        idx3 = idx2.insert(rd.from_pandas(ins))
+        assert idx3.validate()["rows"] == 4_950
