@@ -52,6 +52,11 @@ class EngineConfig:
     #: live rows; then the cell compacts (mark_tomb -> rebuild,
     #: batch_delete.hpp:147-265).
     tomb_compact_frac: float = 0.3
+    #: a planned cell bigger than salt_factor x target_cell_rows that
+    #: the directory could not split (depth cap or duplicate-coordinate
+    #: point mass) is salted over ceil(count/target) sub-partitions in
+    #: the build shuffle so no groupby task becomes a straggler.
+    salt_factor: float = 2.0
     #: split-dimension policy of the in-partition kd-tree:
     #: "max_stretch" (MAX_STRETCH_DIM, the reference default) or
     #: "rotate" (ROTATE_DIM by depth) — kdTreeParallel.h:78,245-246.

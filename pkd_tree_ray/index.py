@@ -43,6 +43,7 @@ import pyarrow.parquet as pq
 import ray
 
 from pkd_tree_ray.cells import CellDirectory, morton_code, pick_base_depth
+from pkd_tree_ray.hashing import splitmix64
 from pkd_tree_ray.config import DEFAULT_CONFIG, EngineConfig
 
 _OP_KEEP = 0
@@ -129,7 +130,15 @@ class PkdIndex:
         directory, n = cls._plan_directory(points, config)
 
         version = 0
-        tagged = _assign_cells(points, directory, config, id_col=id_col)
+        # hot-key salting: cells the directory could not split further
+        # (depth cap / duplicate-coordinate point masses) spread over
+        # ceil(count/target) deterministic sub-partitions
+        salts = {
+            int(c): int(-(-int(n) // config.target_cell_rows))
+            for c, n in zip(directory.starts, directory.counts)
+            if int(n) > config.salt_factor * config.target_cell_rows
+        }
+        tagged = _assign_cells(points, directory, config, id_col=id_col, salts=salts or None)
         cell_files, lineage = cls._write_cells(
             tagged, path, directory, config, id_col, version, resume=resume
         )
@@ -188,6 +197,13 @@ class PkdIndex:
         directory = CellDirectory.from_counts(
             codes, agg.to_numpy(dtype=np.int64), config, depth_cap=cap
         )
+        # planned per-cell counts (cells are at or coarser than dref, so
+        # the histogram rolls up exactly); the post-shuffle refresh
+        # replaces them with written-file truth
+        cidx = np.searchsorted(directory.starts, codes, side="right") - 1
+        planned = np.zeros(len(directory), dtype=np.int64)
+        np.add.at(planned, cidx, agg.to_numpy(dtype=np.int64))
+        directory.counts = planned
         return directory, n
 
     @staticmethod
@@ -213,13 +229,18 @@ class PkdIndex:
         def write_group(group: pa.Table) -> pa.Table:
             t_start = time.perf_counter()
             cell = int(group["cell"][0].as_py())
+            part = int(group["__part"][0].as_py()) if "__part" in group.column_names else 0
             starts, depths = ray.get(depth_ref)
             depth = int(depths[np.searchsorted(starts, cell)])
             final = _cell_file(path, cell, depth, version)
+            if part:
+                final = final.replace(".parquet", f"-p{part}.parquet")
             ops = group["__op"].to_numpy()
             if (ops == _OP_DELETE).any():
                 group = _apply_deletes(group, id_col)
-            group = group.drop_columns(["__op"])
+            group = group.drop_columns(
+                [c for c in ("__op", "__part") if c in group.column_names]
+            )
             if resume and os.path.exists(final):
                 rows = pq.read_metadata(final).num_rows
                 status = "skipped"
@@ -248,8 +269,11 @@ class PkdIndex:
                 }
             )
 
+        group_keys = ["cell"]
+        if "__part" in tagged.schema().names:
+            group_keys = ["cell", "__part"]
         manifest_rows = (
-            tagged.groupby("cell")
+            tagged.groupby(group_keys)
             .map_groups(write_group, batch_format="pyarrow")
             .to_pandas()
         )
@@ -257,7 +281,7 @@ class PkdIndex:
         lineage: list[dict] = []
         for rec in manifest_rows.to_dict("records"):
             if rec["rows"] > 0:
-                cell_files[int(rec["cell"])] = [rec["file"]]
+                cell_files.setdefault(int(rec["cell"]), []).append(rec["file"])
             lineage.append(
                 {
                     "cell": int(rec["cell"]),
@@ -653,7 +677,9 @@ class PkdIndex:
                 )
             old_rows = self.scan_cells(sorted(compact_set))  # tombstones applied
             old_tagged = old_rows.map_batches(
-                lambda t: t.append_column("__op", pa.array(np.zeros(t.num_rows, np.int8))),
+                lambda t: t.append_column(
+                    "__part", pa.array(np.zeros(t.num_rows, np.int32))
+                ).append_column("__op", pa.array(np.zeros(t.num_rows, np.int8))),
                 batch_format="pyarrow",
             )
             union = old_tagged.union(comp_delta)
@@ -972,17 +998,30 @@ def _filter_cells(tagged, cell_set: set[int]):
 
 
 
-def _assign_cells(points, directory: CellDirectory, config: EngineConfig, op: int = _OP_KEEP, id_col: str | None = None):
+def _assign_cells(
+    points,
+    directory: CellDirectory,
+    config: EngineConfig,
+    op: int = _OP_KEEP,
+    id_col: str | None = None,
+    salts: dict[int, int] | None = None,
+):
     """Add the ``cell`` routing column (vectorized find_bucket,
-    ``build_tree.hpp:72-81``) and an ``__op`` tag, and put columns in
-    the canonical (cell, <id>, x, y, __op) order so tagged datasets
-    union cleanly.  The directory's (starts,) array is broadcast once
-    via ``ray.put`` and fetched once per task, not re-shipped per
-    batch."""
-    ref = ray.put((directory.starts, config.max_depth, config.coord_bits))
+    ``build_tree.hpp:72-81``), a ``__part`` salt column, and an ``__op``
+    tag, putting columns in the canonical (cell, <id>, x, y, __part,
+    __op) order so tagged datasets union cleanly.  ``salts`` maps HOT
+    cells (too big for one task yet unsplittable — depth cap or
+    duplicate-coordinate point masses) to a part count: their rows
+    spread deterministically (id hash) over that many sub-partitions,
+    so no single groupby task becomes a straggler — the hot-key
+    salting the north rule calls for.  The broadcast state ships once
+    via ``ray.put``."""
+    ref = ray.put(
+        (directory.starts, config.max_depth, config.coord_bits, salts or {})
+    )
 
     def assign(batch: pa.Table) -> pa.Table:
-        starts, max_depth, bits = ray.get(ref)
+        starts, max_depth, bits, salts_ = ray.get(ref)
         codes = morton_code(batch["x"].to_numpy(), batch["y"].to_numpy(), max_depth, bits)
         idx = np.searchsorted(starts, codes, side="right") - 1
         cells = starts[idx]
@@ -990,12 +1029,30 @@ def _assign_cells(points, directory: CellDirectory, config: EngineConfig, op: in
         if "cell" in out.column_names:
             out = out.drop_columns(["cell"])
         out = out.append_column("cell", pa.array(cells, pa.int64()))
+        part = np.zeros(out.num_rows, dtype=np.int32)
+        if salts_ and id_col and id_col in out.column_names:
+            idv = out[id_col]
+            if pa.types.is_integer(idv.type):
+                hv = splitmix64(idv.to_numpy().view(np.uint64), 1234)
+            else:
+                from pandas.util import hash_array
+
+                hv = hash_array(
+                    idv.to_numpy(zero_copy_only=False).astype(object),
+                    hash_key="pkd_salt_0000000",
+                )
+            for c, nparts in salts_.items():
+                m = cells == c
+                if m.any():
+                    part[m] = (hv[m] % np.uint64(nparts)).astype(np.int32)
+        if "__part" not in out.column_names:
+            out = out.append_column("__part", pa.array(part, pa.int32()))
         if "__op" not in out.column_names:
             out = out.append_column("__op", pa.array(np.full(out.num_rows, op, np.int8)))
         front = ["cell"] + ([id_col] if id_col and id_col in out.column_names else [])
         front += ["x", "y"]
-        rest = [c for c in out.column_names if c not in front + ["__op"]]
-        return out.select(front + rest + ["__op"])
+        rest = [c for c in out.column_names if c not in front + ["__part", "__op"]]
+        return out.select(front + rest + ["__part", "__op"])
 
     return points.map_batches(assign, batch_format="pyarrow")
 

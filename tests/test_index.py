@@ -190,3 +190,47 @@ class TestValidateApi:
         )
         idx3 = idx2.insert(rd.from_pandas(ins))
         assert idx3.validate()["rows"] == 4_950
+
+
+class TestHotKeySalting:
+    def test_duplicate_point_mass_salts_into_parts(self, ray_session, tmp_path):
+        """A duplicate-coordinate point mass cannot be split spatially;
+        the build must salt it over multiple files so no single shuffle
+        task carries the whole mass — and queries stay exact."""
+        import ray.data as rd
+        import numpy as np
+        import pandas as pd
+
+        from pkd_tree_ray.config import EngineConfig
+        from pkd_tree_ray.index import PkdIndex
+        from pkd_tree_ray.queries import knn, range_count
+
+        cfg = EngineConfig(target_cell_rows=1_000, batch_size=4_096)
+        n_dup, n_other = 12_000, 3_000
+        pid = np.arange(n_dup + n_other, dtype=np.int64)
+        x = np.concatenate(
+            [np.full(n_dup, 500_000, dtype=np.int64),
+             np.arange(n_other, dtype=np.int64) * 37 % 1_000_000]
+        )
+        y = np.concatenate(
+            [np.full(n_dup, 500_000, dtype=np.int64),
+             np.arange(n_other, dtype=np.int64) * 101 % 1_000_000]
+        )
+        idx = PkdIndex.build(
+            rd.from_pandas(pd.DataFrame({"point_id": pid, "x": x, "y": y})),
+            str(tmp_path / "salt"),
+            cfg,
+            id_col="point_id",
+        )
+        assert idx.total_rows == n_dup + n_other
+        # the mass cell must hold multiple part files
+        multi = [c for c, fs in idx.cell_files.items() if len(fs) > 1]
+        assert multi, "expected salted multi-file cell for the point mass"
+        # exact count through the mass
+        box = np.array([[500_000, 500_000, 500_000, 500_000]], dtype=np.int64)
+        got = range_count(idx, box).to_pandas()["cnt"][0]
+        assert got == n_dup
+        # kNN at the mass point: k nearest are all at distance 0
+        res = knn(idx, np.array([500_000]), np.array([500_000]), 5).to_pandas()
+        assert (res["dist2"] == 0).all()
+        idx.validate()
