@@ -262,6 +262,43 @@ def _q_ann_l2q(sf_dir: str):
     )
 
 
+def _q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (random-hyperplane LSH ->
+    bucket groupby -> exact cosine verify); rows-only (LSH recall < 1
+    and float cosine; recall vs brute force asserted in tests).
+
+    The synthetic embeddings table has no natural near-dups (max
+    pairwise cosine ~0.51), so the pipeline input is the table UNION a
+    deterministic perturbed copy of every 50th vector (dup_id =
+    vec_id + 10^7) — the dedup workload shape with known planted
+    duplicates."""
+    import ray.data as rd
+
+    from pkd_tree_ray.ann import embedding_neardup
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def planted(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy()
+        keep = vid % 50 == 0
+        sub = batch.filter(pa.array(keep))
+        if sub.num_rows == 0:
+            return sub
+        col = sub["embedding"].combine_chunks()
+        mats = np.stack([np.asarray(v, dtype=np.float32) for v in col.to_pylist()])
+        rng = np.random.RandomState(123)
+        mats = mats + rng.standard_normal(mats.shape).astype(np.float32) * 0.005
+        return pa.table(
+            {
+                "vec_id": pa.array(sub["vec_id"].to_numpy() + 10_000_000, pa.int64()),
+                "embedding": pa.array(list(mats), pa.list_(pa.float32())),
+            }
+        )
+
+    dups = emb.map_batches(planted, batch_format="pyarrow")
+    return embedding_neardup(emb.union(dups), threshold=0.95)
+
+
 def _q_ann_ivf(sf_dir: str):
     """IVF approximate top-5 (recall < 1 by design -> rows-only check;
     recall vs brute force is asserted in tests/test_text_ann.py)."""
@@ -414,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": _q_minhash_neardup,
         "ann_l2q": _q_ann_l2q,
         "ann_ivf": _q_ann_ivf,
+        "embedding_neardup": _q_embedding_neardup,
         "image_knn": _q_image_knn,
         "knn_graph": _q_knn_graph,
     }

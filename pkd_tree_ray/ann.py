@@ -107,6 +107,116 @@ def ann_bruteforce(
     return out
 
 
+def embedding_neardup(
+    embeddings,
+    threshold: float = 0.9,
+    bits: int = 12,
+    bands: int = 4,
+    seed: int = 42,
+) -> pa.Table:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    Scale shape mirrors MinHash-LSH (text.py): random-hyperplane
+    signatures (``bands`` bands of ``bits`` sign bits each, planes
+    broadcast once) -> ``groupby(band, key)`` bucket shuffle of (id,
+    key) pairs only -> within-bucket candidate pairs -> exact cosine
+    verification over a broadcast semi-join fetch of just the candidate
+    vectors.  Recall < 1 by LSH design; precision exact.
+    -> (vec_a, vec_b, cos_permille)
+    """
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    first = embeddings.limit(1).to_pandas()
+    d = len(first["embedding"][0])
+    planes = rng.standard_normal((bands * bits, d)).astype(np.float32)
+    pref = ray.put(planes)
+    pow2 = (1 << np.arange(bits, dtype=np.int64))
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        pl = ray.get(pref)
+        m = _emb_matrix(batch)
+        signs = (m @ pl.T) >= 0  # (n, bands*bits)
+        out_band, out_key, out_id = [], [], []
+        vid = batch["vec_id"].to_numpy()
+        for b in range(bands):
+            block = signs[:, b * bits: (b + 1) * bits]
+            key = (block * pow2[None, :]).sum(axis=1)
+            out_band.append(np.full(len(vid), b, dtype=np.int64))
+            out_key.append(key)
+            out_id.append(vid)
+        return pa.table(
+            {
+                "band": np.concatenate(out_band),
+                "key": np.concatenate(out_key),
+                "vec_id": np.concatenate(out_id),
+            }
+        )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(group["vec_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}, dtype=np.int64)
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"vec_a": ids[a], "vec_b": ids[b]})
+
+    from ray.data.aggregate import Count
+
+    cand = (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .map_batches(signatures, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(Count(alias_name="nb"))
+        .select_columns(["vec_a", "vec_b"])
+        .to_pandas()
+    )
+    if not len(cand):
+        return pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cos_permille": pa.array([], pa.int64()),
+            }
+        )
+    # exact verification: broadcast semi-join fetch of candidate vectors
+    cand_ids = np.unique(
+        np.concatenate([cand["vec_a"].to_numpy(), cand["vec_b"].to_numpy()])
+    )
+    idref = ray.put(cand_ids)
+
+    def semi(batch: pa.Table) -> pa.Table:
+        ids = ray.get(idref)
+        keep = np.isin(batch["vec_id"].to_numpy(), ids)
+        return batch.filter(pa.array(keep))
+
+    fetched = (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .map_batches(semi, batch_format="pyarrow")
+        .to_pandas()
+    )
+    vecs = {
+        int(i): np.asarray(v, dtype=np.float64)
+        for i, v in zip(fetched["vec_id"], fetched["embedding"])
+    }
+    out_a, out_b, out_c = [], [], []
+    for a, b in zip(cand["vec_a"], cand["vec_b"]):
+        va, vb = vecs[int(a)], vecs[int(b)]
+        cos = float(va @ vb / max(np.linalg.norm(va) * np.linalg.norm(vb), 1e-30))
+        if cos >= threshold:
+            out_a.append(int(a))
+            out_b.append(int(b))
+            out_c.append(int(cos * 1000))
+    return pa.table(
+        {
+            "vec_a": pa.array(out_a, pa.int64()),
+            "vec_b": pa.array(out_b, pa.int64()),
+            "cos_permille": pa.array(out_c, pa.int64()),
+        }
+    )
+
+
 def ann_ivf(
     embeddings,
     query_vecs: np.ndarray,

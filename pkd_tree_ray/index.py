@@ -676,12 +676,14 @@ class PkdIndex:
                     _filter_cells(delta_assigned, compact_set) if other else delta_assigned
                 )
             old_rows = self.scan_cells(sorted(compact_set))  # tombstones applied
-            old_tagged = old_rows.map_batches(
-                lambda t: t.append_column(
-                    "__part", pa.array(np.zeros(t.num_rows, np.int32))
-                ).append_column("__op", pa.array(np.zeros(t.num_rows, np.int8))),
-                batch_format="pyarrow",
-            )
+            def _tag_old(t: pa.Table) -> pa.Table:
+                if "__part" not in t.column_names:
+                    t = t.append_column("__part", pa.array(np.zeros(t.num_rows, np.int32)))
+                if "__op" not in t.column_names:
+                    t = t.append_column("__op", pa.array(np.full(t.num_rows, 0, np.int8)))
+                return t
+
+            old_tagged = old_rows.map_batches(_tag_old, batch_format="pyarrow")
             union = old_tagged.union(comp_delta)
             if len(directory) != len(self.directory):
                 union = _reassign_cells(union, directory, cfg)
@@ -883,7 +885,7 @@ class PkdIndex:
                 _cell_file(self.path, int(c), depth, version).replace(".parquet", suffix)
             )
         select = ["cell", self.id_col] if status == "tomb" else [
-            c for c in tbl.column_names if c != "__op"
+            c for c in tbl.column_names if c not in ("__op", "__part")
         ]
         try:
             cpus = int(ray.cluster_resources().get("CPU", 4))
@@ -930,7 +932,9 @@ class PkdIndex:
             final = _cell_file(path, cell, depth, version).replace(
                 ".parquet", "-delta.parquet"
             )
-            group = group.drop_columns(["__op"])
+            group = group.drop_columns(
+                [c for c in ("__op", "__part") if c in group.column_names]
+            )
             if resume and os.path.exists(final):
                 rows = pq.read_metadata(final).num_rows
                 status = "skipped"

@@ -148,3 +148,34 @@ class TestAnn:
             a = set(approx[approx["qid"] == qi]["neighbor"])
             hits += len(e & a) / len(e)
         assert hits / 10 >= 0.6  # recall with 3/8 probes
+
+
+class TestEmbeddingNearDup:
+    def test_finds_planted_duplicates(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+
+        from pkd_tree_ray.ann import embedding_neardup
+
+        rng = np.random.RandomState(7)
+        base = rng.standard_normal((300, 32)).astype(np.float32)
+        # plant near-dups: rows 300..319 are tiny perturbations of 0..19
+        dup = base[:20] + rng.standard_normal((20, 32)).astype(np.float32) * 0.01
+        mat = np.concatenate([base, dup])
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(mat)), pa.int64()),
+                "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+            }
+        )
+        out = embedding_neardup(rd.from_arrow(tbl), threshold=0.98).to_pandas()
+        found = set(zip(out["vec_a"], out["vec_b"]))
+        planted = {(i, 300 + i) for i in range(20)}
+        # LSH recall: expect the vast majority of planted pairs
+        assert len(planted & found) >= 16
+        # precision exact: every reported pair really has cos >= 0.98
+        for a, b, c in zip(out["vec_a"], out["vec_b"], out["cos_permille"]):
+            va, vb = mat[a].astype(np.float64), mat[b].astype(np.float64)
+            cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+            assert cos >= 0.98
+            assert int(cos * 1000) == c
