@@ -235,3 +235,33 @@ class TestFixtures:
             assert range_count_oracle(x, y, box) == c
         lo, hi = int(2_000**0.25), int(2_000**0.5)
         assert ((counts >= lo) & (counts < hi)).all()
+
+
+class TestDistributedMergePath:
+    def test_knn_groupby_merge_path_matches_fast_path(self, ray_session, tmp_path, monkeypatch):
+        """Force the m*k > limit Dataset groupby(qid) merge (the
+        no-pool large-result path) and check it equals the driver-merge
+        fast path."""
+        import ray.data as rd
+        import pandas as pd
+
+        from pkd_tree_ray import queries as Q
+        from pkd_tree_ray.config import EngineConfig
+        from pkd_tree_ray.fixtures import varden_xy
+        from pkd_tree_ray.index import PkdIndex
+
+        pid = np.arange(6_000, dtype=np.int64)
+        x, y = varden_xy(pid, seed=61)
+        idx = PkdIndex.build(
+            rd.from_pandas(pd.DataFrame({"point_id": pid, "x": x, "y": y})),
+            str(tmp_path / "m"),
+            EngineConfig(target_cell_rows=512, batch_size=4096),
+            id_col="point_id",
+        )
+        qx, qy = x[:80].copy(), y[:80].copy()
+        fast = Q.knn(idx, qx, qy, 5).to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+        monkeypatch.setattr(Q, "_DRIVER_MERGE_LIMIT", 10)
+        dist = Q.knn(idx, qx, qy, 5)
+        dist = (dist.to_pandas() if hasattr(dist, "to_pandas") else dist)
+        dist = dist.sort_values(["qid", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(fast, dist)
