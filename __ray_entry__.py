@@ -420,6 +420,43 @@ def _q_image_knn(sf_dir: str):
     return knn(idx, qx, qy, 10)
 
 
+def _q_image_decode_stats(sf_dir: str):
+    """Multimodal decode pipeline over the synthetic Lance-style image
+    table: actor-pool DecodeImage (bytes -> pixels, PSNR-lossless PNG)
+    -> per-image mean-channel features, aggregated to global channel
+    means scaled x1000 (rows-only: the image table is generated)."""
+    import ray.data as rd
+
+    from pkd_tree_ray.fixtures import image_table_dataset
+    from pkd_tree_ray.multimodal import decode_features
+
+    n = {"0.001": 600, "0.01": 6_000, "0.1": 60_000}.get(
+        sf_dir.rstrip("/").rsplit("sf", 1)[-1], 600
+    )
+    feats = decode_features(image_table_dataset(n), concurrency=(1, 4))
+
+    def agg(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "sum_r": pa.array([float(np.sum(batch["mean_r"].to_numpy()))]),
+                "sum_g": pa.array([float(np.sum(batch["mean_g"].to_numpy()))]),
+                "sum_b": pa.array([float(np.sum(batch["mean_b"].to_numpy()))]),
+            }
+        )
+
+    pdf = feats.map_batches(agg, batch_format="pyarrow").to_pandas()
+    tot = pdf["n"].sum()
+    return pa.table(
+        {
+            "n_images": pa.array([int(tot)], pa.int64()),
+            "mean_r_milli": pa.array([int(pdf["sum_r"].sum() / tot * 1000)], pa.int64()),
+            "mean_g_milli": pa.array([int(pdf["sum_g"].sum() / tot * 1000)], pa.int64()),
+            "mean_b_milli": pa.array([int(pdf["sum_b"].sum() / tot * 1000)], pa.int64()),
+        }
+    )
+
+
 def entry() -> Any:
     """Flagship: build the spatial index over sf0.001 lineitem-derived
     points, run the k=10 kNN batch, return the result Dataset."""
@@ -453,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         "embedding_neardup": _q_embedding_neardup,
         "image_knn": _q_image_knn,
+        "image_decode_stats": _q_image_decode_stats,
         "knn_graph": _q_knn_graph,
     }
 
