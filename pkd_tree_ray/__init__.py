@@ -52,5 +52,19 @@ _patch_fsspec_http()
 
 from pkd_tree_ray.config import EngineConfig
 
-__all__ = ["EngineConfig"]
+
+def __getattr__(name):
+    # lazy re-exports: keep `import pkd_tree_ray` light (no Ray import)
+    if name == "PkdIndex":
+        from pkd_tree_ray.index import PkdIndex
+
+        return PkdIndex
+    if name == "ShardedQueryPool":
+        from pkd_tree_ray.shards import ShardedQueryPool
+
+        return ShardedQueryPool
+    raise AttributeError(name)
+
+
+__all__ = ["EngineConfig", "PkdIndex", "ShardedQueryPool"]
 __version__ = "0.1.0"
