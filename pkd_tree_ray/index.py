@@ -170,39 +170,92 @@ class PkdIndex:
         histogram at 4^10 entries.
         """
         bits = config.coord_bits
-        if dref is None:
-            # 4^7 = 16384 histogram entries: per-batch partials stay
-            # small and the driver merge is O(batches x 16k).  Builds
-            # needing >16k cells (>~1e9 rows at default target) should
-            # pass a deeper dref and accept a distributed merge.
-            dref = 7
+        dref1 = 7 if dref is None else dref  # 4^7 = 16k coarse entries
 
-        def hist(batch: pa.Table) -> pa.Table:
-            codes = morton_code(
-                batch["x"].to_numpy(), batch["y"].to_numpy(), dref, bits
+        def make_hist(depth, hot_ref):
+            def hist(batch: pa.Table) -> pa.Table:
+                x = batch["x"].to_numpy()
+                y = batch["y"].to_numpy()
+                if hot_ref is not None:
+                    hot = ray.get(hot_ref)
+                    c1 = morton_code(x, y, dref1, bits)
+                    i = np.minimum(np.searchsorted(hot, c1), len(hot) - 1)
+                    m = hot[i] == c1
+                    if not m.any():
+                        return pa.table(
+                            {"code": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+                        )
+                    x, y = x[m], y[m]
+                codes = morton_code(x, y, depth, bits)
+                u, c = np.unique(codes, return_counts=True)
+                return pa.table({"code": u, "cnt": c.astype(np.int64)})
+
+            return hist
+
+        def run_hist(depth, hot_ref=None):
+            pdf = (
+                points.select_columns(["x", "y"])
+                .map_batches(make_hist(depth, hot_ref), batch_format="pyarrow")
+                .to_pandas()
             )
-            u, c = np.unique(codes, return_counts=True)
-            return pa.table({"code": u, "cnt": c.astype(np.int64)})
+            return pdf.groupby("code", sort=False)["cnt"].sum()
 
-        pdf = (
-            points.select_columns(["x", "y"])
-            .map_batches(hist, batch_format="pyarrow")
-            .to_pandas()
-        )
-        agg = pdf.groupby("code", sort=False)["cnt"].sum()
+        # pass 1: coarse histogram of everything
+        agg = run_hist(dref1)
         n = int(agg.sum())
-        d0 = pick_base_depth(n, config)
-        cap = min(config.max_depth, min(dref, d0 + 3))
-        codes = agg.index.to_numpy(dtype=np.int64) << (2 * (config.max_depth - dref))
-        directory = CellDirectory.from_counts(
-            codes, agg.to_numpy(dtype=np.int64), config, depth_cap=cap
-        )
-        # planned per-cell counts (cells are at or coarser than dref, so
-        # the histogram rolls up exactly); the post-shuffle refresh
-        # replaces them with written-file truth
+        thresh = config.target_cell_rows
+        codes_parts = []
+        cnts_parts = []
+        depth_of_parts = []
+        cur_depth = dref1
+        cur = agg
+        # iterative refinement (the analog of re-picking pivots each
+        # 6-level round, build_tree.hpp:220-274): histogram entries
+        # still above the cell target at this resolution get a deeper
+        # targeted pass over ONLY their regions; cold entries are final.
+        while True:
+            hot_mask = cur.to_numpy() > thresh
+            cold = cur[~hot_mask]
+            if len(cold):
+                codes_parts.append(
+                    cold.index.to_numpy(dtype=np.int64) << (2 * (config.max_depth - cur_depth))
+                )
+                cnts_parts.append(cold.to_numpy(dtype=np.int64))
+                depth_of_parts.append(cur_depth)
+            if not hot_mask.any() or cur_depth >= config.max_depth:
+                if hot_mask.any():  # cannot refine further: finalize hot as-is
+                    hot = cur[hot_mask]
+                    codes_parts.append(
+                        hot.index.to_numpy(dtype=np.int64)
+                        << (2 * (config.max_depth - cur_depth))
+                    )
+                    cnts_parts.append(hot.to_numpy(dtype=np.int64))
+                break
+            hot_codes = np.sort(cur[hot_mask].index.to_numpy(dtype=np.int64))
+            # the scan filter works at the coarse dref1 resolution
+            hot_coarse = np.sort(np.unique(hot_codes >> (2 * (cur_depth - dref1))))
+            next_depth = min(config.max_depth, cur_depth + 5)
+            refined = run_hist(next_depth, ray.put(hot_coarse))
+            # keep only entries whose parent at cur_depth was hot (the
+            # coarse filter may admit rows under finalized-cold entries)
+            parents = refined.index.to_numpy(dtype=np.int64) >> (
+                2 * (next_depth - cur_depth)
+            )
+            i = np.minimum(np.searchsorted(hot_codes, parents), len(hot_codes) - 1)
+            cur = refined[hot_codes[i] == parents]
+            cur_depth = next_depth
+
+        dref_final = cur_depth
+        codes = np.concatenate(codes_parts)
+        cnts = np.concatenate(cnts_parts)
+        cap = min(config.max_depth, dref_final)
+        directory = CellDirectory.from_counts(codes, cnts, config, depth_cap=cap)
+        # planned per-cell counts (cells are at or coarser than their
+        # histogram resolution, so the multiset rolls up exactly); the
+        # post-shuffle refresh replaces them with written-file truth
         cidx = np.searchsorted(directory.starts, codes, side="right") - 1
         planned = np.zeros(len(directory), dtype=np.int64)
-        np.add.at(planned, cidx, agg.to_numpy(dtype=np.int64))
+        np.add.at(planned, cidx, cnts)
         directory.counts = planned
         return directory, n
 

@@ -160,6 +160,12 @@ class IndexShard:
                     x, y, qx[fq], qy[fq], bounds[fq]
                 )
                 if len(qi):
+                    if len(qi) > 4 * k * len(fq):
+                        # loose bounds on skewed data can admit whole
+                        # clusters; only each cell's top-k per query can
+                        # survive the global merge — cap before concat
+                        rows, _ = _topk_per_qid(qi, d2f, ids[pi], k)
+                        qi, pi, d2f = qi[rows], pi[rows], d2f[rows]
                     out_q.append(fq[qi])
                     out_n.append(ids[pi])
                     out_d.append(d2f)
