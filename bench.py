@@ -224,7 +224,7 @@ def run_suite() -> dict:
     ]
     n_queries_total = 3 * len(qx) + len(boxes) + len(rboxes)
     concurrent_sec = None
-    for _round in range(2):  # steady-state: best of two rounds
+    for _round in range(3):  # steady-state: best of three rounds
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=len(streams)) as tpool:
             list(tpool.map(lambda f: f(), streams))
