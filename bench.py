@@ -160,31 +160,6 @@ def run_suite() -> dict:
     rboxes = np.concatenate([r0, r0 + span], axis=1).astype(np.int64)
     timed2("range_report", lambda: range_report(idx, rboxes).count())
 
-    # 4b. varden (clustered-skew) variant — the reference benchmarks
-    # uniform AND varden distributions (script/gen_ss_varden.sh); same
-    # ids, hash-clustered coordinates; exercises hot-cell split/salting
-    from pkd_tree_ray.fixtures import varden_xy
-
-    import pyarrow as _pa
-
-    def _vard(batch):
-        pid_ = batch["point_id"].to_numpy()
-        vx_, vy_ = varden_xy(pid_, seed=5)
-        return _pa.table({"point_id": pid_, "x": vx_, "y": vy_})
-
-    vpoints = points.map_batches(_vard, batch_format="pyarrow")
-    vidx_path = f"/tmp/pkd_bench_v/{NUM_CPUS}"
-    shutil.rmtree(vidx_path, ignore_errors=True)
-    vidx = timed(
-        "varden_build", lambda: PkdIndex.build(vpoints, vidx_path, cfg, id_col="point_id")
-    )
-    vx, vy = varden_xy(pid, seed=5)
-    vpool = ShardedQueryPool(vidx)
-    vqx, vqy = self_query_sample(vx, vy, ratio=0.01, max_queries=len(qx))
-    timed2("varden_knn_k10", lambda: consume(knn(vidx, vqx, vqy, 10)))
-    vpool.shutdown()
-    del vx, vy
-
     # 5. batch insert 1% (orders-derived delta; slot j=127 is never
     # used by the amplified lineitem ids (j <= 126), so the id spaces
     # are disjoint — see sources.lineitem_points_amplified)
@@ -231,6 +206,32 @@ def run_suite() -> dict:
         dt = time.perf_counter() - t0
         concurrent_sec = dt if concurrent_sec is None else min(concurrent_sec, dt)
     timings["concurrent_queries"] = round(concurrent_sec, 4)
+
+    # 8. varden (clustered-skew) variant — the reference benchmarks
+    # uniform AND varden distributions (script/gen_ss_varden.sh); same
+    # ids, hash-clustered coordinates; exercises hot-cell split + the
+    # refinement planner.  Runs AFTER the concurrent throughput phase
+    # so its build shuffle / pool churn cannot pollute the pass metric.
+    from pkd_tree_ray.fixtures import varden_xy
+
+    import pyarrow as _pa
+
+    def _vard(batch):
+        pid_ = batch["point_id"].to_numpy()
+        vx_, vy_ = varden_xy(pid_, seed=5)
+        return _pa.table({"point_id": pid_, "x": vx_, "y": vy_})
+
+    vpoints = points.map_batches(_vard, batch_format="pyarrow")
+    vidx_path = f"/tmp/pkd_bench_v/{NUM_CPUS}"
+    shutil.rmtree(vidx_path, ignore_errors=True)
+    vidx = timed(
+        "varden_build", lambda: PkdIndex.build(vpoints, vidx_path, cfg, id_col="point_id")
+    )
+    vx, vy = varden_xy(pid, seed=5)
+    vpool = ShardedQueryPool(vidx)
+    vqx, vqy = self_query_sample(vx, vy, ratio=0.01, max_queries=len(qx))
+    timed2("varden_knn_k10", lambda: consume(knn(vidx, vqx, vqy, 10)))
+    vpool.shutdown()
 
     total = round(sum(timings.values()), 4)
     knn_qps = round(3 * len(qx) / (timings["knn_k1"] + timings["knn_k10"] + timings["knn_k100"]), 1)
