@@ -60,6 +60,40 @@ def _cell_file(path: str, cell: int, depth: int, version: int) -> str:
     return os.path.join(path, "parts", f"cell-{cell:012x}-d{depth}-v{version}.parquet")
 
 
+def _file_bbox(final: str) -> list[int]:
+    """(min_x, min_y, max_x, max_y) of an existing cell file, from
+    parquet row-group statistics (free) with a column-read fallback.
+    Used on the resume path: a skipped cell's lineage must describe the
+    file actually kept, not the in-memory group a re-planned build
+    produced (ADVICE r1)."""
+    md = pq.read_metadata(final)
+    if md.num_rows == 0:
+        return [0, 0, -1, -1]
+    mins: dict[str, int] = {}
+    maxs: dict[str, int] = {}
+    ok = True
+    for rg in range(md.num_row_groups):
+        for ci in range(md.row_group(rg).num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if name not in ("x", "y"):
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mins[name] = min(mins.get(name, st.min), st.min)
+            maxs[name] = max(maxs.get(name, st.max), st.max)
+        if not ok:
+            break
+    if ok and "x" in mins and "y" in mins:
+        return [int(mins["x"]), int(mins["y"]), int(maxs["x"]), int(maxs["y"])]
+    t = pq.read_table(final, columns=["x", "y"])
+    x = t["x"].to_numpy()
+    y = t["y"].to_numpy()
+    return [int(x.min()), int(y.min()), int(x.max()), int(y.max())]
+
+
 def _atomic_write_table(table: pa.Table, final: str) -> None:
     tmp = final + ".tmp"
     pq.write_table(table, tmp)
@@ -297,17 +331,20 @@ class PkdIndex:
             if resume and os.path.exists(final):
                 rows = pq.read_metadata(final).num_rows
                 status = "skipped"
+                # bbox/lineage must describe the file KEPT, not the new
+                # in-memory group (a resumed build may have re-planned
+                # slightly different groups)
+                bbox = _file_bbox(final) if rows else [0, 0, -1, -1]
             else:
                 rows = group.num_rows
                 if rows:
                     _atomic_write_table(group, final)
+                    x = group["x"].to_numpy()
+                    y = group["y"].to_numpy()
+                    bbox = [int(x.min()), int(y.min()), int(x.max()), int(y.max())]
+                else:
+                    bbox = [0, 0, -1, -1]
                 status = "written"
-            if group.num_rows:
-                x = group["x"].to_numpy()
-                y = group["y"].to_numpy()
-                bbox = [int(x.min()), int(y.min()), int(x.max()), int(y.max())]
-            else:
-                bbox = [0, 0, -1, -1]
             return pa.table(
                 {
                     "cell": pa.array([cell], pa.int64()),
@@ -625,9 +662,12 @@ class PkdIndex:
         #    affected cells (the anti-join rewrite).
         directory = self.directory
         if op == _OP_INSERT:
-            directory = _split_hot_cells(directory, affected, dcnt, cfg)
-            new_starts = set(int(c) for c in directory.starts.tolist())
-            split_parents = {c for c in affected_set if c not in new_starts}
+            # _split_hot_cells returns the cells it actually split —
+            # identity by directory position, NOT by Morton start,
+            # because child 0 of a split shares the parent's start
+            # (ADVICE r1: a start-membership test never detects splits,
+            # stranding the parent's rows under an aliased cell id)
+            directory, split_parents = _split_hot_cells(directory, affected, dcnt, cfg)
             many_files = {
                 c
                 for c in affected_set
@@ -637,6 +677,7 @@ class PkdIndex:
             compact_set = split_parents | many_files | tombed
             sidecar_set = affected_set - compact_set
             tomb_set: set[int] = set()
+            needs_reassign = bool(split_parents)
         else:
             # DELETE: O(delta) tombstone sidecars when the delta carries
             # the id column; a cell compacts when its tombstones would
@@ -663,6 +704,7 @@ class PkdIndex:
                 compact_set = set(affected_set)
                 tomb_set = set()
             sidecar_set = set()
+            needs_reassign = False
 
         side_lineage: list[dict] = []
         comp_lineage: list[dict] = []
@@ -738,7 +780,7 @@ class PkdIndex:
 
             old_tagged = old_rows.map_batches(_tag_old, batch_format="pyarrow")
             union = old_tagged.union(comp_delta)
-            if len(directory) != len(self.directory):
+            if needs_reassign or len(directory) != len(self.directory):
                 union = _reassign_cells(union, directory, cfg)
             _, comp_lineage = self._write_cells(
                 union, self.path, directory, cfg, self.id_col, new_version, resume=resume
@@ -991,17 +1033,17 @@ class PkdIndex:
             if resume and os.path.exists(final):
                 rows = pq.read_metadata(final).num_rows
                 status = "skipped"
+                bbox = _file_bbox(final) if rows else [0, 0, -1, -1]
             else:
                 rows = group.num_rows
                 if rows:
                     _atomic_write_table(group, final)
+                    x = group["x"].to_numpy()
+                    y = group["y"].to_numpy()
+                    bbox = [int(x.min()), int(y.min()), int(x.max()), int(y.max())]
+                else:
+                    bbox = [0, 0, -1, -1]
                 status = "delta"
-            if group.num_rows:
-                x = group["x"].to_numpy()
-                y = group["y"].to_numpy()
-                bbox = [int(x.min()), int(y.min()), int(x.max()), int(y.max())]
-            else:
-                bbox = [0, 0, -1, -1]
             return pa.table(
                 {
                     "cell": pa.array([cell], pa.int64()),
@@ -1130,19 +1172,24 @@ def _reassign_cells(tagged, directory: CellDirectory, config: EngineConfig):
 
 def _split_hot_cells(
     directory: CellDirectory, affected: np.ndarray, delta_counts: np.ndarray, config: EngineConfig
-) -> CellDirectory:
+) -> tuple[CellDirectory, set[int]]:
     """Replace overfull leaves with children deep enough that a uniform
     spread of the new count meets the target (hot-cell split — the
-    weight-balance rebuild analog)."""
+    weight-balance rebuild analog).
+
+    Returns (new_directory, split_cell_ids): the Morton starts of the
+    cells that were actually split.  The caller MUST compact those
+    cells so their resident rows re-route under the new directory —
+    child 0 of a split keeps the parent's start, so the split is
+    invisible to any start-set comparison (ADVICE r1)."""
     import math
 
     idx = directory.index_of(affected)
     new_counts = directory.counts[idx] + delta_counts
     over = new_counts > config.split_threshold
     if not over.any():
-        return directory
+        return directory, set()
     starts = list(directory.starts)
-    depths = list(directory.depths)
     pos_to_remove = []
     additions: list[tuple[int, int]] = []
     for pos, cnt in zip(idx[over], new_counts[over]):
@@ -1157,7 +1204,8 @@ def _split_hot_cells(
         pos_to_remove.append(pos)
         additions.extend((base + q * span, new_depth) for q in range(n_children))
     if not pos_to_remove:
-        return directory
+        return directory, set()
+    split_cells = {int(directory.starts[p]) for p in pos_to_remove}
     keep = np.ones(len(starts), dtype=bool)
     keep[pos_to_remove] = False
     new_starts = np.concatenate(
@@ -1166,7 +1214,7 @@ def _split_hot_cells(
     new_depths = np.concatenate(
         [directory.depths[keep], np.array([a[1] for a in additions], dtype=np.int64)]
     )
-    return CellDirectory(new_starts, new_depths, config)
+    return CellDirectory(new_starts, new_depths, config), split_cells
 
 
 def _apply_deletes(group: pa.Table, id_col: str) -> pa.Table:

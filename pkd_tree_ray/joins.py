@@ -314,14 +314,13 @@ def knn_graph(index: PkdIndex, out_path: str, k: int, config=None):
             if n == 0:
                 continue
             kk = min(n, k + 2)
-            idx, d2 = brute_knn_batch(fx, fy, fx, fy, kk)
-            # per-query: lexsort candidates by (d2, id), drop self, top-k
+            # tie_key=ids: the kernel's cut keeps the smaller id on kth-
+            # distance ties, so the lexsort below sees every candidate
+            # that can appear in the exact (d2, id)-ordered top-k
+            idx, d2 = brute_knn_batch(fx, fy, fx, fy, kk, tie_key=ids)
             cand_ids = ids[idx]
-            order = np.lexsort(
-                (cand_ids, d2, np.arange(n, dtype=np.int64)[:, None] * np.ones(kk, np.int64)[None, :])
-            )
-            # row-major per-query order: reshape trick — lexsort over the
-            # flattened (qid, d2, id) triples
+            # row-major per-query order: lexsort over the flattened
+            # (qid, d2, id) triples
             flat_q = np.repeat(np.arange(n, dtype=np.int64), kk)
             flat_d = d2.ravel()
             flat_i = cand_ids.ravel()

@@ -42,12 +42,52 @@ _HI = 5
 _SIZE = 6  # hi - lo
 
 
-class KDTree2D:
-    """Static balanced 2-d tree over int64 points."""
+def _argsort_d2_key(d2: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """argsort by (d2, key) lexicographic — two stable argsorts, so it
+    also accepts object/string key arrays (np.lexsort rejects some)."""
+    o1 = np.argsort(keys, kind="stable")
+    return o1[np.argsort(d2[o1], kind="stable")]
 
-    def __init__(self, x: np.ndarray, y: np.ndarray, config: EngineConfig = DEFAULT_CONFIG):
+
+def _cut_topk_tied(dd: np.ndarray, ii: np.ndarray, kk: int, tie_key) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row top-kk by (dist2, neighbor key).
+
+    Distance-only ``argpartition`` first; rows whose kth-distance tie
+    group straddles the cut are repaired by preferring the smaller key
+    (neighbor id).  Without this a fragment can emit an arbitrary
+    subset of boundary ties, dropping the smaller-id neighbor before
+    the id-aware global merge — violating the documented
+    '(dist2, neighbor id)' tie-break the oracles enforce (ADVICE r1).
+    ``tie_key`` maps a point index to its key; None = the index itself.
+    Returns (sel_idx, sel_d2), each (n_rows, kk)."""
+    part = np.argpartition(dd, kk - 1, axis=1)[:, :kk]
+    sel_d = np.take_along_axis(dd, part, axis=1)
+    sel_i = np.take_along_axis(ii, part, axis=1)
+    kth = sel_d.max(axis=1)
+    bad = np.nonzero((dd <= kth[:, None]).sum(axis=1) > kk)[0]
+    for r in bad:
+        d_row, i_row = dd[r], ii[r]
+        lt = np.nonzero(d_row < kth[r])[0]
+        eq = np.nonzero(d_row == kth[r])[0]
+        keys = i_row[eq] if tie_key is None else tie_key[i_row[eq]]
+        pick = eq[np.argsort(keys, kind="stable")[: kk - len(lt)]]
+        sel = np.concatenate([lt, pick])
+        sel_d[r] = d_row[sel]
+        sel_i[r] = i_row[sel]
+    return sel_i, sel_d
+
+
+class KDTree2D:
+    """Static balanced 2-d tree over int64 points.
+
+    ``tie_key`` (optional, aligned with x/y) supplies the neighbor id
+    used for (dist2, id) tie-breaking inside the bounded kNN queue;
+    defaults to the point's positional index."""
+
+    def __init__(self, x: np.ndarray, y: np.ndarray, config: EngineConfig = DEFAULT_CONFIG, tie_key: np.ndarray | None = None):
         self.x = np.ascontiguousarray(x, dtype=np.int64)
         self.y = np.ascontiguousarray(y, dtype=np.int64)
+        self.tie_key = tie_key
         self.config = config
         n = len(self.x)
         self.perm = np.arange(n, dtype=np.int64)
@@ -185,11 +225,16 @@ class KDTree2D:
                 dy = y[seg] - qy
                 d2 = dx * dx + dy * dy
                 # merge into bounded candidate set (kBoundedQueue analog,
-                # nn_search_helpers.h:18-93)
+                # nn_search_helpers.h:18-93); ties at the kth distance
+                # keep the smaller tie_key (ADVICE r1)
                 all_idx = np.concatenate([best_idx[:n_found], seg])
                 all_d2 = np.concatenate([best_d2[:n_found], d2])
                 if len(all_d2) > k:
                     sel = np.argpartition(all_d2, k - 1)[:k]
+                    kth_v = all_d2[sel].max()
+                    if int((all_d2 <= kth_v).sum()) > k:
+                        keys = all_idx if self.tie_key is None else self.tie_key[all_idx]
+                        sel = _argsort_d2_key(all_d2, keys)[:k]
                     all_idx, all_d2 = all_idx[sel], all_d2[sel]
                 n_found = len(all_d2)
                 best_idx[:n_found] = all_idx
@@ -414,6 +459,7 @@ def brute_knn_batch(
     k: int,
     q_chunk: int = 64,
     p_chunk: int = 1_024,
+    tie_key: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k per query over a point block, vectorized AND cache-blocked.
 
@@ -463,9 +509,10 @@ def brute_knn_batch(
             d2 += dy
             kk = min(k_eff, pe - ps)
             if kk < pe - ps:
-                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-                cand_d2.append(np.take_along_axis(d2, part, axis=1))
-                cand_idx.append(part + ps)
+                ii = np.broadcast_to(np.arange(ps, pe, dtype=np.int64), d2.shape)
+                si, sd = _cut_topk_tied(d2, ii, kk, tie_key)
+                cand_d2.append(sd)
+                cand_idx.append(si)
             else:
                 cand_d2.append(d2.copy())  # d2 is a reused workspace view
                 cand_idx.append(
@@ -477,9 +524,9 @@ def brute_knn_batch(
             dd = np.concatenate(cand_d2, axis=1)
             ii = np.concatenate(cand_idx, axis=1)
         if k_eff < dd.shape[1]:
-            part = np.argpartition(dd, k_eff - 1, axis=1)[:, :k_eff]
-            out_d2[s:e] = np.take_along_axis(dd, part, axis=1)
-            out_idx[s:e] = np.take_along_axis(ii, part, axis=1)
+            si, sd = _cut_topk_tied(dd, ii, k_eff, tie_key)
+            out_d2[s:e] = sd
+            out_idx[s:e] = si
         else:
             out_d2[s:e] = dd
             out_idx[s:e] = ii

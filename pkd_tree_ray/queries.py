@@ -518,6 +518,7 @@ class _KnnScan:
         cell_col = batch["cell"].to_numpy()
         x = batch["x"].to_numpy()
         y = batch["y"].to_numpy()
+        nb_all = batch[self.id_col].to_numpy(zero_copy_only=False)
         out_qid: list[np.ndarray] = []
         out_row: list[np.ndarray] = []
         out_d2: list[np.ndarray] = []
@@ -530,19 +531,24 @@ class _KnnScan:
             if not len(qs):
                 continue
             fx, fy = x[sl], y[sl]
+            key = nb_all[sl]  # (dist2, neighbor id) tie-break inside the cut
             rows = np.arange(sl.start, sl.stop, dtype=np.int64)
             # vectorized brute top-k wins until the fragment is very
             # large AND serves many queries (the numpy kd-tree pays
             # Python-per-node costs; measured crossover ~1e5 rows)
             if len(fx) >= 131_072 and len(qs) >= 64:
-                tree = self.tree_provider(cell, fx, fy) if self.tree_provider else KDTree2D(fx, fy)
+                tree = (
+                    self.tree_provider(cell, fx, fy)
+                    if self.tree_provider
+                    else KDTree2D(fx, fy, tie_key=key)
+                )
                 for q in qs:
                     idx, d2, _ = tree.knn(int(self.qx[q]), int(self.qy[q]), k)
                     out_qid.append(np.full(len(idx), q, dtype=np.int64))
                     out_row.append(rows[idx])
                     out_d2.append(d2)
             else:
-                idx, d2 = brute_knn_batch(fx, fy, self.qx[qs], self.qy[qs], k)
+                idx, d2 = brute_knn_batch(fx, fy, self.qx[qs], self.qy[qs], k, tie_key=key)
                 k_eff = idx.shape[1]
                 out_qid.append(np.repeat(qs, k_eff))
                 out_row.append(rows[idx.ravel()])

@@ -110,7 +110,9 @@ class IndexShard:
 
         t = self.trees.get(cell)
         if t is None:
-            t = KDTree2D(fx, fy)
+            # tie_key = the cell's resident ids, so the bounded kNN
+            # queue breaks kth-distance ties by neighbor id (ADVICE r1)
+            t = KDTree2D(fx, fy, tie_key=self.cells[cell][1])
             self.trees[cell] = t
         return t
 
@@ -150,7 +152,7 @@ class IndexShard:
             hq = qs[home]
             fq = qs[~home]
             if len(hq):
-                idx, d2 = brute_knn_batch(x, y, qx[hq], qy[hq], k)
+                idx, d2 = brute_knn_batch(x, y, qx[hq], qy[hq], k, tie_key=ids)
                 k_eff = idx.shape[1]
                 out_q.append(np.repeat(hq, k_eff))
                 out_n.append(ids[idx.ravel()])

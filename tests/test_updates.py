@@ -237,3 +237,126 @@ class TestTombstoneDeletes:
         # rewrite; at most a few edge cells (delta fraction exactly at
         # the threshold) may legitimately tombstone
         assert len(idx2.tomb_files) <= 2
+
+
+class TestSplitReroute:
+    """Regression (ADVICE r1): a hot-cell split must compact the split
+    parent so its resident rows re-route under the new directory —
+    child 0 shares the parent's Morton start, so a start-set test never
+    detects the split and rows stay filed under an aliased cell id."""
+
+    def test_strict_delete_of_old_rows_after_split(self, ray_session, tmp_path):
+        import ray.data as rd
+        from pkd_tree_ray.queries import knn, range_count
+        from tests.oracle import knn_oracle
+
+        idx, ids, x, y = _mk_index(tmp_path)
+        n = len(ids)
+        m = 4 * CFG.split_threshold
+        hx = 500_000 + (np.arange(m, dtype=np.int64) % 100)
+        hy = 500_000 + ((np.arange(m, dtype=np.int64) * 7) % 100)
+        iids = np.arange(n, n + m, dtype=np.int64)
+        idx2 = idx.insert(rd.from_arrow(_table(iids, hx, hy)))
+        assert len(idx2.directory) > len(idx.directory)  # split happened
+
+        # strict delete of 500 PRE-EXISTING rows must succeed: their
+        # coordinates now route to the split children, so the children
+        # must actually hold them
+        sel = slice(0, 500)
+        idx3 = idx2.delete(rd.from_arrow(_table(ids[sel], x[sel], y[sel])), strict=True)
+        assert idx3.total_rows == n + m - 500
+
+        # every row is physically filed under the cell the directory
+        # routes its coordinates to
+        idx3.validate()
+
+        # queries over the survivors stay exact
+        ax = np.concatenate([x[500:], hx])
+        ay = np.concatenate([y[500:], hy])
+        aid = np.concatenate([ids[500:], iids])
+        qx, qy = ax[::1500], ay[::1500]
+        df = knn(idx3, qx, qy, 5).to_pandas().sort_values(["qid", "rank"])
+        oracle = knn_oracle(ax, ay, aid, qx, qy, 5)
+        for q in range(len(qx)):
+            assert df[df["qid"] == q]["dist2"].tolist() == [e[0] for e in oracle[q]]
+
+    def test_partial_delete_after_split_deletes(self, ray_session, tmp_path):
+        """strict=False after a split must actually delete the rows
+        (the bug made it silently delete nothing)."""
+        import ray.data as rd
+
+        idx, ids, x, y = _mk_index(tmp_path)
+        n = len(ids)
+        m = 4 * CFG.split_threshold
+        hx = 500_000 + (np.arange(m, dtype=np.int64) % 100)
+        hy = 500_000 + ((np.arange(m, dtype=np.int64) * 7) % 100)
+        idx2 = idx.insert(rd.from_arrow(_table(np.arange(n, n + m), hx, hy)))
+        idx3 = idx2.delete(
+            rd.from_arrow(_table(ids[:300], x[:300], y[:300])), strict=False
+        )
+        assert idx3.total_rows == n + m - 300
+
+
+class TestKnnTieBreak:
+    """Regression (ADVICE r1): fragment-level top-k cuts must not drop
+    the smaller-id neighbor when candidates tie at the kth distance."""
+
+    def test_brute_kernel_prefers_smaller_key_on_ties(self):
+        from pkd_tree_ray.kdtree import brute_knn_batch
+
+        # 8 points all at distance 25 from the query, ids reversed
+        # relative to array order so positional tie-breaks differ
+        qx = np.array([0], dtype=np.int64)
+        qy = np.array([0], dtype=np.int64)
+        px = np.array([5, -5, 0, 0, 3, -3, 4, -4], dtype=np.int64)
+        py = np.array([0, 0, 5, -5, 4, 4, -3, 3], dtype=np.int64)
+        ids = np.array([70, 60, 50, 40, 30, 20, 10, 0], dtype=np.int64)
+        idx, d2 = brute_knn_batch(px, py, qx, qy, 3, tie_key=ids)
+        assert sorted(ids[idx[0]].tolist()) == [0, 10, 20]
+        assert (d2 == 25).all()
+
+    def test_kdtree_knn_prefers_smaller_key_on_ties(self):
+        from pkd_tree_ray.kdtree import KDTree2D
+
+        rng = np.random.default_rng(7)
+        # ring of ties + background noise
+        tx = np.array([5, -5, 0, 0, 3, -3, 4, -4], dtype=np.int64) + 1000
+        ty = np.array([0, 0, 5, -5, 4, 4, -3, 3], dtype=np.int64) + 1000
+        bx = rng.integers(0, 2000, 200)
+        by = rng.integers(0, 2000, 200)
+        # keep background strictly farther than the ring
+        far = ((bx - 1000) ** 2 + (by - 1000) ** 2) > 25
+        px = np.concatenate([tx, bx[far]])
+        py = np.concatenate([ty, by[far]])
+        ids = np.arange(len(px), dtype=np.int64)[::-1].copy()  # reversed ids
+        tree = KDTree2D(px, py, tie_key=ids)
+        idx, d2, _ = tree.knn(1000, 1000, 3)
+        assert (d2 == 25).all()
+        # the 3 smallest ids among the 8 tied ring points
+        ring_ids = np.sort(ids[:8])[:3]
+        assert sorted(ids[idx].tolist()) == ring_ids.tolist()
+
+    def test_end_to_end_knn_tie_break_matches_oracle(self, ray_session, tmp_path):
+        """Duplicate-coordinate clusters: the pipeline result must equal
+        the (dist2, point_id)-ordered oracle exactly."""
+        import ray.data as rd
+        from pkd_tree_ray.queries import knn
+        from tests.oracle import knn_oracle
+
+        rng = np.random.default_rng(11)
+        base_x = rng.integers(0, 1 << 20, 400).astype(np.int64)
+        base_y = rng.integers(0, 1 << 20, 400).astype(np.int64)
+        # replicate every point 4x -> guaranteed dist2 ties everywhere
+        x = np.repeat(base_x, 4)
+        y = np.repeat(base_y, 4)
+        ids = rng.permutation(len(x)).astype(np.int64)
+        idx = PkdIndex.build(
+            rd.from_arrow(_table(ids, x, y)), str(tmp_path), CFG, id_col="point_id"
+        )
+        qx, qy = base_x[:25], base_y[:25]
+        df = knn(idx, qx, qy, 6).to_pandas().sort_values(["qid", "rank"])
+        oracle = knn_oracle(x, y, ids, qx, qy, 6)
+        for q in range(len(qx)):
+            sub = df[df["qid"] == q]
+            assert sub["dist2"].tolist() == [e[0] for e in oracle[q]]
+            assert sub["neighbor"].tolist() == [e[1] for e in oracle[q]]
