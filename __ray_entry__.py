@@ -34,6 +34,11 @@ from pkd_tree_ray import sources, workloads
 from pkd_tree_ray.index import PkdIndex
 
 _CFG = EngineConfig(target_cell_rows=8_192, batch_size=32_768)
+#: d=3 engine config — the reference's headline dimensionality
+#: (build/kNN baselines are d=3, script/data/build.csv); dimension is a
+#: runtime parameter here vs the reference's compile-time dispatch
+#: (tests/test.cpp:569-617)
+_CFG3 = EngineConfig(dims=("x", "y", "z"), target_cell_rows=8_192, batch_size=32_768)
 _INDEX_CACHE: dict[tuple, Any] = {}
 
 
@@ -47,6 +52,16 @@ def _base_index(sf_dir: str) -> PkdIndex:
     if key not in _INDEX_CACHE:
         _INDEX_CACHE[key] = PkdIndex.build(
             sources.lineitem_points(sf_dir), _idx_path(sf_dir, "lineitem"), _CFG,
+            id_col="point_id",
+        )
+    return _INDEX_CACHE[key]
+
+
+def _base_index_3d(sf_dir: str) -> PkdIndex:
+    key = (sf_dir, "lineitem3d")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = PkdIndex.build(
+            sources.lineitem_points_3d(sf_dir), _idx_path(sf_dir, "lineitem3d"), _CFG3,
             id_col="point_id",
         )
     return _INDEX_CACHE[key]
@@ -129,6 +144,24 @@ def _q_knn(sf_dir: str, k: int):
 
     qx, qy = workloads.knn_query_points()
     return knn(_base_index(sf_dir), qx, qy, k)
+
+
+def _q_knn_d3(sf_dir: str, k: int):
+    from pkd_tree_ray.queries import knn_nd
+
+    return knn_nd(_base_index_3d(sf_dir), workloads.knn_query_points_3d(), k)
+
+
+def _q_range_count_d3(sf_dir: str) -> pa.Table:
+    from pkd_tree_ray.queries import range_count
+
+    return range_count(_base_index_3d(sf_dir), workloads.range_boxes_3d())
+
+
+def _q_circle_count_d3(sf_dir: str) -> pa.Table:
+    from pkd_tree_ray.queries import circle_count
+
+    return circle_count(_base_index_3d(sf_dir), workloads.circles_3d())
 
 
 def _q_insert_range_count(sf_dir: str) -> pa.Table:
@@ -472,6 +505,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_k1": lambda sf: _q_knn(sf, 1),
         "knn_k10": lambda sf: _q_knn(sf, 10),
         "knn_k100": lambda sf: _q_knn(sf, 100),
+        "knn_k10_d3": lambda sf: _q_knn_d3(sf, 10),
+        "range_count_d3": _q_range_count_d3,
+        "circle_count_d3": _q_circle_count_d3,
         "insert_range_count": _q_insert_range_count,
         "delete_range_count": _q_delete_range_count,
         "tile_counts": _q_tile_counts,
@@ -515,6 +551,54 @@ d AS (
   FROM pts p CROSS JOIN q
 )
 SELECT qid, "rank", neighbor, dist2 FROM d WHERE "rank" <= {k}
+"""
+
+
+def _knn_d3_sql(k: int) -> str:
+    Q = workloads.knn_query_points_3d()
+    d2 = (
+        "(p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy)"
+        " + (p.z - q.qz) * (p.z - q.qz)"
+    )
+    return f"""
+WITH pts AS ({sources.sql_lineitem_points_3d()}),
+q AS (SELECT * FROM {workloads.sql_values_points_3d(Q)}),
+d AS (
+  SELECT q.qid, p.point_id AS neighbor, {d2} AS dist2,
+         row_number() OVER (
+           PARTITION BY q.qid ORDER BY {d2}, p.point_id
+         ) AS "rank"
+  FROM pts p CROSS JOIN q
+)
+SELECT qid, "rank", neighbor, dist2 FROM d WHERE "rank" <= {k}
+"""
+
+
+def _range_count_d3_sql() -> str:
+    boxes = workloads.range_boxes_3d()
+    return f"""
+WITH pts AS ({sources.sql_lineitem_points_3d()}),
+q AS (SELECT * FROM {workloads.sql_values_boxes_3d(boxes)})
+SELECT q.qid,
+       (SELECT count(*) FROM pts p
+        WHERE p.x BETWEEN q.min_x AND q.max_x
+          AND p.y BETWEEN q.min_y AND q.max_y
+          AND p.z BETWEEN q.min_z AND q.max_z) AS cnt
+FROM q
+"""
+
+
+def _circle_count_d3_sql() -> str:
+    circ = workloads.circles_3d()
+    return f"""
+WITH pts AS ({sources.sql_lineitem_points_3d()}),
+q AS (SELECT * FROM {workloads.sql_values_circles_3d(circ)})
+SELECT q.qid,
+       (SELECT count(*) FROM pts p
+        WHERE (p.x - q.cx) * (p.x - q.cx) + (p.y - q.cy) * (p.y - q.cy)
+              + (p.z - q.cz) * (p.z - q.cz)
+              <= CAST(q.r AS BIGINT) * q.r) AS cnt
+FROM q
 """
 
 
@@ -571,6 +655,9 @@ FROM q
         "knn_k1": _knn_sql(1),
         "knn_k10": _knn_sql(10),
         "knn_k100": _knn_sql(100),
+        "knn_k10_d3": _knn_d3_sql(10),
+        "range_count_d3": _range_count_d3_sql(),
+        "circle_count_d3": _circle_count_d3_sql(),
         "insert_range_count": _range_count_sql(
             f"{sources.sql_lineitem_points()} UNION ALL {sources.sql_orders_points()}"
         ),

@@ -130,7 +130,9 @@ def run_suite() -> dict:
     def make_pool():
         p = ShardedQueryPool(idx)
         # warm every shard: first scan pays module imports per actor
-        p.knn_partials(x[:1].copy(), y[:1].copy(), 1, np.array([1], dtype=np.int64))
+        p.knn_partials(
+            np.stack([x[:1], y[:1]], axis=1).copy(), 1, np.array([1], dtype=np.int64)
+        )
         return p
 
     pool = timed("pool_load", make_pool)

@@ -3,12 +3,15 @@
 This layer replaces the reference's sampled top-6-level pivot skeleton
 (``include/cpdd/batch_op/build_tree.hpp:19-70``: sample 2048 points,
 build a 6-level pivot tree, route every point to one of 64 buckets).
-Here the "buckets" are leaves of an **adaptive quadtree over Morton
-codes**: every point gets a full-depth Morton code once (vectorized bit
-interleave), and the directory is a set of variable-depth quadtree
-leaves, each covering a contiguous Morton range.  Assignment is then a
-single ``np.searchsorted`` — the vectorized analog of ``find_bucket``
-(``build_tree.hpp:72-81``).
+Here the "buckets" are leaves of an **adaptive 2^d-ary tree over
+d-dimensional Morton codes** (quadtree at d=2, octree at d=3, ...):
+every point gets a full-depth Morton code once (vectorized bit
+interleave), and the directory is a set of variable-depth leaves, each
+covering a contiguous Morton range.  Assignment is then a single
+``np.searchsorted`` — the vectorized analog of ``find_bucket``
+(``build_tree.hpp:72-81``).  Dimension count is a runtime parameter
+(``EngineConfig.dims``), mirroring the reference's compile-time
+dimension dispatch (``tests/test.cpp:569-617``).
 
 Skew handling: leaves are split while their (sampled or exact) count
 exceeds ``EngineConfig.split_threshold`` — the distributed mirror of
@@ -16,9 +19,15 @@ the weight-balance imbalance rebuild
 (``include/cpdd/batch_op/inner_tree.hpp:78-148``); clustered (varden)
 inputs therefore get many fine cells in dense regions and few coarse
 cells elsewhere.
+
+Box layout convention throughout the engine: a d-dimensional box is a
+flat (2d,) int64 vector ``[min_0..min_{d-1}, max_0..max_{d-1}]`` —
+identical to the historical (min_x, min_y, max_x, max_y) at d=2.
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 import numpy as np
 
@@ -41,8 +50,8 @@ def _part1by1(v: np.ndarray) -> np.ndarray:
 def morton_code(
     x: np.ndarray, y: np.ndarray, depth: int, coord_bits: int = 20
 ) -> np.ndarray:
-    """Interleaved Morton code of the top ``depth`` bits of each
-    coordinate -> int64 in [0, 4**depth)."""
+    """2-D fast path: interleaved Morton code of the top ``depth`` bits
+    of each coordinate -> int64 in [0, 4**depth)."""
     shift = _U(coord_bits - depth)
     xs = np.asarray(x, dtype=np.uint64) >> shift
     ys = np.asarray(y, dtype=np.uint64) >> shift
@@ -50,20 +59,54 @@ def morton_code(
     return code.astype(np.int64)
 
 
+def morton_code_nd(
+    coords: Sequence[np.ndarray], depth: int, coord_bits: int = 20
+) -> np.ndarray:
+    """d-way interleaved Morton code of the top ``depth`` bits of each
+    coordinate -> int64 in [0, (2**d)**depth).  Bit significance: level
+    by level from the MSB, dimension 0 first within a level — the d=2
+    case is bit-identical to :func:`morton_code`."""
+    d = len(coords)
+    if d == 2:
+        return morton_code(coords[0], coords[1], depth, coord_bits)
+    if d * depth > 62:
+        raise ValueError(f"morton code would need {d * depth} bits (> 62)")
+    arrs = [np.asarray(c, dtype=np.uint64) >> _U(coord_bits - depth) for c in coords]
+    code = np.zeros(len(arrs[0]), dtype=np.uint64)
+    one = _U(1)
+    for b in range(depth - 1, -1, -1):  # MSB level first
+        for a in arrs:
+            code = (code << one) | ((a >> _U(b)) & one)
+    return code.astype(np.int64)
+
+
 def morton_cell_box(prefix: int, depth: int, coord_bits: int = 20) -> tuple[int, int, int, int]:
-    """Spatial box (min_x, min_y, max_x, max_y) covered by the quadtree
-    node ``(prefix, depth)`` (prefix = Morton code at that depth)."""
-    x = y = 0
+    """2-D spatial box (min_x, min_y, max_x, max_y) covered by the node
+    ``(prefix, depth)`` (prefix = Morton code at that depth)."""
+    b = morton_cell_box_nd(prefix, depth, 2, coord_bits)
+    return (int(b[0]), int(b[1]), int(b[2]), int(b[3]))
+
+
+def morton_cell_box_nd(
+    prefix: int, depth: int, ndim: int, coord_bits: int = 20
+) -> np.ndarray:
+    """(2d,) spatial box [mins..., maxs...] covered by the 2^d-ary node
+    ``(prefix, depth)``."""
+    c = [0] * ndim
     for level in range(depth):
-        bits = (prefix >> (2 * (depth - 1 - level))) & 0b11
-        x = (x << 1) | (bits >> 1)
-        y = (y << 1) | (bits & 1)
+        bits = (prefix >> (ndim * (depth - 1 - level))) & ((1 << ndim) - 1)
+        for j in range(ndim):
+            c[j] = (c[j] << 1) | ((bits >> (ndim - 1 - j)) & 1)
     side = 1 << (coord_bits - depth)
-    return (x * side, y * side, x * side + side - 1, y * side + side - 1)
+    out = np.empty(2 * ndim, dtype=np.int64)
+    for j in range(ndim):
+        out[j] = c[j] * side
+        out[ndim + j] = c[j] * side + side - 1
+    return out
 
 
 class CellDirectory:
-    """Adaptive quadtree leaves over Morton space + per-cell stats.
+    """Adaptive 2^d-ary leaves over Morton space + per-cell stats.
 
     The directory is the small broadcastable state of the index — the
     analog of the reference's InnerTree skeleton
@@ -71,8 +114,8 @@ class CellDirectory:
     identified by their Morton range start at ``max_depth`` resolution
     ("cell id"); each leaf knows (depth, count, exact bbox).
 
-    Invariant: leaves exactly tile [0, 4**max_depth) — assignment by
-    searchsorted is total.
+    Invariant: leaves exactly tile [0, (2**d)**max_depth) — assignment
+    by searchsorted is total.
     """
 
     def __init__(
@@ -87,6 +130,7 @@ class CellDirectory:
         self.starts = np.asarray(starts, dtype=np.int64)[order]
         self.depths = np.asarray(depths, dtype=np.int64)[order]
         self.config = config
+        nd = config.ndim
         n = len(self.starts)
         self.counts = (
             np.zeros(n, dtype=np.int64) if counts is None else np.asarray(counts, dtype=np.int64)[order]
@@ -95,19 +139,10 @@ class CellDirectory:
         # after the build shuffle); initialised to the cell's spatial
         # extent.
         if bboxes is None:
-            self.bboxes = np.stack(
-                [
-                    np.array(
-                        morton_cell_box(
-                            int(s) >> (2 * (config.max_depth - int(d))), int(d), config.coord_bits
-                        ),
-                        dtype=np.int64,
-                    )
-                    for s, d in zip(self.starts, self.depths)
-                ]
-            ) if n else np.zeros((0, 4), dtype=np.int64)
+            self.bboxes = self.spatial_boxes()
         else:
             self.bboxes = np.asarray(bboxes, dtype=np.int64)[order]
+            assert self.bboxes.shape == (n, 2 * nd)
 
     # -- construction ----------------------------------------------------
 
@@ -129,6 +164,8 @@ class CellDirectory:
         any node whose estimated population exceeds the split
         threshold.
         """
+        nd = config.ndim
+        fanout = 1 << nd
         codes = np.asarray(codes, dtype=np.int64)
         if weights is None:
             weights = np.ones(len(codes), dtype=np.int64)
@@ -154,12 +191,12 @@ class CellDirectory:
         stack = [(0, 0)]  # (prefix, depth)
         while stack:
             prefix, depth = stack.pop()
-            span = 1 << (2 * (max_depth - depth))
+            span = 1 << (nd * (max_depth - depth))
             lo = prefix * span
             c = count_in(lo, lo + span)
             if depth < cap and c > threshold:
-                for q in range(4):
-                    stack.append((prefix * 4 + q, depth + 1))
+                for q in range(fanout):
+                    stack.append((prefix * fanout + q, depth + 1))
             else:
                 starts.append(lo)
                 depths.append(depth)
@@ -170,8 +207,9 @@ class CellDirectory:
     @classmethod
     def uniform(cls, depth: int, config: EngineConfig = DEFAULT_CONFIG) -> "CellDirectory":
         """Fixed-resolution grid directory (raster tiling)."""
-        n = 4**depth
-        span = 1 << (2 * (config.max_depth - depth))
+        nd = config.ndim
+        n = (1 << nd) ** depth
+        span = 1 << (nd * (config.max_depth - depth))
         starts = np.arange(n, dtype=np.int64) * span
         return cls(starts, np.full(n, depth, dtype=np.int64), config)
 
@@ -189,6 +227,11 @@ class CellDirectory:
             morton_code(x, y, self.config.max_depth, self.config.coord_bits)
         )
 
+    def assign_nd(self, coords: Sequence[np.ndarray]) -> np.ndarray:
+        return self.assign_codes(
+            morton_code_nd(coords, self.config.max_depth, self.config.coord_bits)
+        )
+
     # -- stats / serialization ------------------------------------------
 
     def __len__(self) -> int:
@@ -199,20 +242,21 @@ class CellDirectory:
         return idx
 
     def spatial_boxes(self) -> np.ndarray:
-        """(n,4) spatial extents of the leaves (not tightened)."""
+        """(n, 2d) spatial extents of the leaves (not tightened)."""
+        nd = self.config.ndim
+        if not len(self):
+            return np.zeros((0, 2 * nd), dtype=np.int64)
         return np.stack(
             [
-                np.array(
-                    morton_cell_box(
-                        int(s) >> (2 * (self.config.max_depth - int(d))),
-                        int(d),
-                        self.config.coord_bits,
-                    ),
-                    dtype=np.int64,
+                morton_cell_box_nd(
+                    int(s) >> (nd * (self.config.max_depth - int(d))),
+                    int(d),
+                    nd,
+                    self.config.coord_bits,
                 )
                 for s, d in zip(self.starts, self.depths)
             ]
-        ) if len(self) else np.zeros((0, 4), dtype=np.int64)
+        )
 
     def to_records(self) -> list[dict]:
         return [
@@ -247,5 +291,5 @@ def pick_base_depth(n_rows: int, config: EngineConfig = DEFAULT_CONFIG) -> int:
         return 0
     return min(
         config.max_depth,
-        max(0, math.ceil(math.log(n_rows / config.target_cell_rows, 4))),
+        max(0, math.ceil(math.log(n_rows / config.target_cell_rows, 1 << config.ndim))),
     )

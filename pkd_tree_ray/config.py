@@ -18,6 +18,13 @@ class EngineConfig:
     #: matching the reference generator's integer cube
     #: (tests/data_generate.cpp:33-42).
     coord_bits: int = 20
+    #: coordinate column names, one per dimension — the runtime analog of
+    #: the reference's compile-time dimension dispatch
+    #: (``tests/test.cpp:569-617``, d in {2,3,5,7,9,10,12,16}).  The cell
+    #: layer requires ndim * max_depth <= 62 so a full-depth Morton code
+    #: fits an int64 (d=3 @ depth 16 = 48 bits; raise by lowering
+    #: max_depth for higher d).
+    dims: tuple[str, ...] = ("x", "y")
 
     # --- distributed partitioner (cell layer) ----------------------------
     #: Morton-code depth of the finest cell the adaptive directory may use.
@@ -85,6 +92,10 @@ class EngineConfig:
     @property
     def coord_max(self) -> int:
         return (1 << self.coord_bits) - 1
+
+    @property
+    def ndim(self) -> int:
+        return len(self.dims)
 
     @property
     def split_threshold(self) -> int:

@@ -67,30 +67,35 @@ def within_circle(x: np.ndarray, y: np.ndarray, circle: Circle) -> np.ndarray:
 
 
 # --- box/box relations (vectorized over box arrays) ---------------------
-# Box arrays are (n, 4) int64: columns min_x, min_y, max_x, max_y.
+# Box arrays are (n, 2d) int64: columns [min_0..min_{d-1}, max_0..max_{d-1}]
+# (min_x, min_y, max_x, max_y at d=2).  Dimension is inferred from the
+# box width, so the same kernels serve every configured dimensionality.
 
 def boxes_intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Pairwise (broadcasting) closed-interval overlap —
-    ``box_op.hpp:44-56``.  a: (n,4) or (4,), b: (m,4) or (4,);
-    returns broadcast mask."""
+    ``box_op.hpp:44-56``.  a: (n,2d) or (2d,), b: (m,2d) or (2d,);
+    returns (n, m) mask."""
     a = np.atleast_2d(np.asarray(a, dtype=np.int64))
     b = np.atleast_2d(np.asarray(b, dtype=np.int64))
-    ax0, ay0, ax1, ay1 = a[:, 0, None], a[:, 1, None], a[:, 2, None], a[:, 3, None]
-    bx0, by0, bx1, by1 = b[None, :, 0], b[None, :, 1], b[None, :, 2], b[None, :, 3]
-    return (ax0 <= bx1) & (bx0 <= ax1) & (ay0 <= by1) & (by0 <= ay1)
+    d = a.shape[1] // 2
+    out = np.ones((a.shape[0], b.shape[0]), dtype=bool)
+    for j in range(d):
+        out &= a[:, j, None] <= b[None, :, d + j]
+        out &= b[None, :, j] <= a[:, d + j, None]
+    return out
 
 
 def box_contains_box(outer: np.ndarray, inner: np.ndarray) -> np.ndarray:
-    """outer (n,4) fully contains inner (m,4) -> (n, m) mask —
+    """outer (n,2d) fully contains inner (m,2d) -> (n, m) mask —
     ``box_op.hpp:24-31`` (within_box(box, box))."""
     o = np.atleast_2d(np.asarray(outer, dtype=np.int64))
     i = np.atleast_2d(np.asarray(inner, dtype=np.int64))
-    return (
-        (o[:, 0, None] <= i[None, :, 0])
-        & (o[:, 1, None] <= i[None, :, 1])
-        & (o[:, 2, None] >= i[None, :, 2])
-        & (o[:, 3, None] >= i[None, :, 3])
-    )
+    d = o.shape[1] // 2
+    out = np.ones((o.shape[0], i.shape[0]), dtype=bool)
+    for j in range(d):
+        out &= o[:, j, None] <= i[None, :, j]
+        out &= o[:, d + j, None] >= i[None, :, d + j]
+    return out
 
 
 # --- distances ----------------------------------------------------------
@@ -103,25 +108,53 @@ def p2p_dist2(x1, y1, x2, y2) -> np.ndarray:
 
 
 def p2b_min_dist2(qx, qy, boxes: np.ndarray) -> np.ndarray:
-    """Min squared distance from points (qx, qy) to boxes (m,4);
+    """Min squared distance from 2-D points (qx, qy) to boxes (m,4);
     broadcasting (n,1) x (1,m) -> (n,m).  ``nn_search.hpp:18-31``."""
-    qx = np.atleast_1d(np.asarray(qx, dtype=np.int64))[:, None]
-    qy = np.atleast_1d(np.asarray(qy, dtype=np.int64))[:, None]
-    b = np.atleast_2d(np.asarray(boxes, dtype=np.int64))
-    dx = np.maximum(np.maximum(b[None, :, 0] - qx, qx - b[None, :, 2]), 0)
-    dy = np.maximum(np.maximum(b[None, :, 1] - qy, qy - b[None, :, 3]), 0)
-    return dx * dx + dy * dy
+    Q = np.stack(
+        [np.atleast_1d(np.asarray(qx, dtype=np.int64)),
+         np.atleast_1d(np.asarray(qy, dtype=np.int64))],
+        axis=1,
+    )
+    return pnd_b_min_dist2(Q, boxes)
 
 
 def p2b_max_dist2(qx, qy, boxes: np.ndarray) -> np.ndarray:
-    """Max squared distance point -> box (farthest corner) —
+    """Max squared distance 2-D point -> box (farthest corner) —
     ``nn_search.hpp:33-45``."""
-    qx = np.atleast_1d(np.asarray(qx, dtype=np.int64))[:, None]
-    qy = np.atleast_1d(np.asarray(qy, dtype=np.int64))[:, None]
+    Q = np.stack(
+        [np.atleast_1d(np.asarray(qx, dtype=np.int64)),
+         np.atleast_1d(np.asarray(qy, dtype=np.int64))],
+        axis=1,
+    )
+    return pnd_b_max_dist2(Q, boxes)
+
+
+def pnd_b_min_dist2(Q: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """Min squared distance from d-dim points Q (n,d) to boxes (m,2d)
+    -> (n,m).  Per-dimension clamp, ``nn_search.hpp:18-31``."""
+    Q = np.atleast_2d(np.asarray(Q, dtype=np.int64))
     b = np.atleast_2d(np.asarray(boxes, dtype=np.int64))
-    dx = np.maximum(np.abs(qx - b[None, :, 0]), np.abs(qx - b[None, :, 2]))
-    dy = np.maximum(np.abs(qy - b[None, :, 1]), np.abs(qy - b[None, :, 3]))
-    return dx * dx + dy * dy
+    d = b.shape[1] // 2
+    out = np.zeros((Q.shape[0], b.shape[0]), dtype=np.int64)
+    for j in range(d):
+        q = Q[:, j, None]
+        dj = np.maximum(np.maximum(b[None, :, j] - q, q - b[None, :, d + j]), 0)
+        out += dj * dj
+    return out
+
+
+def pnd_b_max_dist2(Q: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """Max squared distance d-dim point -> box (farthest corner) —
+    ``nn_search.hpp:33-45``."""
+    Q = np.atleast_2d(np.asarray(Q, dtype=np.int64))
+    b = np.atleast_2d(np.asarray(boxes, dtype=np.int64))
+    d = b.shape[1] // 2
+    out = np.zeros((Q.shape[0], b.shape[0]), dtype=np.int64)
+    for j in range(d):
+        q = Q[:, j, None]
+        dj = np.maximum(np.abs(q - b[None, :, j]), np.abs(q - b[None, :, d + j]))
+        out += dj * dj
+    return out
 
 
 def circle_intersect_box(circle: Circle, boxes: np.ndarray) -> np.ndarray:

@@ -47,6 +47,7 @@ def splitmix64(x: np.ndarray | int, seed: int = 0) -> np.ndarray:
 COORD_MOD = 1_000_001  # coords in [0, 1e6], reference's cube (data_generate.cpp:33-42)
 XA = 2_654_435_761  # Knuth's 2**32 * golden ratio
 YA = 2_246_822_519  # xxhash PRIME32_2
+ZA = 3_266_489_917  # xxhash PRIME32_3 — third axis for d=3 derivations
 
 
 def mulhash_coord(ids: np.ndarray, mult: int, mod: int = COORD_MOD) -> np.ndarray:
@@ -63,3 +64,10 @@ def sql_coord_exprs(id_expr: str) -> tuple[str, str]:
         f"(({id_expr}) * {XA}) % {COORD_MOD}",
         f"(({id_expr}) * {YA}) % {COORD_MOD}",
     )
+
+
+def sql_coord_exprs_3d(id_expr: str) -> tuple[str, str, str]:
+    """Same for (x, y, z) — the d=3 derivation (the reference's kNN /
+    build baselines are d=3, ``script/data/build.csv``)."""
+    x, y = sql_coord_exprs(id_expr)
+    return (x, y, f"(({id_expr}) * {ZA}) % {COORD_MOD}")

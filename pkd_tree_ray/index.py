@@ -42,7 +42,7 @@ import pyarrow.parquet as pq
 
 import ray
 
-from pkd_tree_ray.cells import CellDirectory, morton_code, pick_base_depth
+from pkd_tree_ray.cells import CellDirectory, morton_code_nd, pick_base_depth
 from pkd_tree_ray.hashing import splitmix64
 from pkd_tree_ray.config import DEFAULT_CONFIG, EngineConfig
 
@@ -60,15 +60,29 @@ def _cell_file(path: str, cell: int, depth: int, version: int) -> str:
     return os.path.join(path, "parts", f"cell-{cell:012x}-d{depth}-v{version}.parquet")
 
 
-def _file_bbox(final: str) -> list[int]:
-    """(min_x, min_y, max_x, max_y) of an existing cell file, from
-    parquet row-group statistics (free) with a column-read fallback.
-    Used on the resume path: a skipped cell's lineage must describe the
-    file actually kept, not the in-memory group a re-planned build
-    produced (ADVICE r1)."""
+def _empty_bbox(dims: tuple[str, ...]) -> list[int]:
+    """Canonical empty box: mins=0, maxs=-1 (never covers anything)."""
+    return [0] * len(dims) + [-1] * len(dims)
+
+
+def _group_bbox(group: pa.Table, dims: tuple[str, ...]) -> list[int]:
+    mins, maxs = [], []
+    for dcol in dims:
+        v = group[dcol].to_numpy()
+        mins.append(int(v.min()))
+        maxs.append(int(v.max()))
+    return mins + maxs
+
+
+def _file_bbox(final: str, dims: tuple[str, ...]) -> list[int]:
+    """[mins..., maxs...] of an existing cell file, from parquet
+    row-group statistics (free) with a column-read fallback.  Used on
+    the resume path: a skipped cell's lineage must describe the file
+    actually kept, not the in-memory group a re-planned build produced
+    (ADVICE r1)."""
     md = pq.read_metadata(final)
     if md.num_rows == 0:
-        return [0, 0, -1, -1]
+        return _empty_bbox(dims)
     mins: dict[str, int] = {}
     maxs: dict[str, int] = {}
     ok = True
@@ -76,7 +90,7 @@ def _file_bbox(final: str) -> list[int]:
         for ci in range(md.row_group(rg).num_columns):
             col = md.row_group(rg).column(ci)
             name = col.path_in_schema
-            if name not in ("x", "y"):
+            if name not in dims:
                 continue
             st = col.statistics
             if st is None or not st.has_min_max:
@@ -86,12 +100,10 @@ def _file_bbox(final: str) -> list[int]:
             maxs[name] = max(maxs.get(name, st.max), st.max)
         if not ok:
             break
-    if ok and "x" in mins and "y" in mins:
-        return [int(mins["x"]), int(mins["y"]), int(maxs["x"]), int(maxs["y"])]
-    t = pq.read_table(final, columns=["x", "y"])
-    x = t["x"].to_numpy()
-    y = t["y"].to_numpy()
-    return [int(x.min()), int(y.min()), int(x.max()), int(y.max())]
+    if ok and all(dcol in mins for dcol in dims):
+        return [int(mins[dc]) for dc in dims] + [int(maxs[dc]) for dc in dims]
+    t = pq.read_table(final, columns=list(dims))
+    return _group_bbox(t, dims)
 
 
 def _atomic_write_table(table: pa.Table, final: str) -> None:
@@ -150,7 +162,7 @@ class PkdIndex:
         id_col: str = "point_id",
         resume: bool = True,
     ) -> "PkdIndex":
-        """Bulk build from a Dataset with columns (id_col, x, y).
+        """Bulk build from a Dataset with columns (id_col, *config.dims).
 
         Pipeline: exact Morton histogram at a capped depth (partial
         aggregate inside map_batches, then a tiny groupby — the
@@ -204,23 +216,26 @@ class PkdIndex:
         histogram at 4^10 entries.
         """
         bits = config.coord_bits
-        dref1 = 7 if dref is None else dref  # 4^7 = 16k coarse entries
+        dims = config.dims
+        nd = config.ndim
+        # coarse resolution: ~(2^14) = 16k histogram entries regardless
+        # of dimensionality (7 levels at d=2, 4 at d=3, ...)
+        dref1 = max(2, 14 // nd) if dref is None else dref
 
         def make_hist(depth, hot_ref):
             def hist(batch: pa.Table) -> pa.Table:
-                x = batch["x"].to_numpy()
-                y = batch["y"].to_numpy()
+                cs = [batch[dc].to_numpy() for dc in dims]
                 if hot_ref is not None:
                     hot = ray.get(hot_ref)
-                    c1 = morton_code(x, y, dref1, bits)
+                    c1 = morton_code_nd(cs, dref1, bits)
                     i = np.minimum(np.searchsorted(hot, c1), len(hot) - 1)
                     m = hot[i] == c1
                     if not m.any():
                         return pa.table(
                             {"code": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
                         )
-                    x, y = x[m], y[m]
-                codes = morton_code(x, y, depth, bits)
+                    cs = [c[m] for c in cs]
+                codes = morton_code_nd(cs, depth, bits)
                 u, c = np.unique(codes, return_counts=True)
                 return pa.table({"code": u, "cnt": c.astype(np.int64)})
 
@@ -228,7 +243,7 @@ class PkdIndex:
 
         def run_hist(depth, hot_ref=None):
             pdf = (
-                points.select_columns(["x", "y"])
+                points.select_columns(list(dims))
                 .map_batches(make_hist(depth, hot_ref), batch_format="pyarrow")
                 .to_pandas()
             )
@@ -252,7 +267,7 @@ class PkdIndex:
             cold = cur[~hot_mask]
             if len(cold):
                 codes_parts.append(
-                    cold.index.to_numpy(dtype=np.int64) << (2 * (config.max_depth - cur_depth))
+                    cold.index.to_numpy(dtype=np.int64) << (nd * (config.max_depth - cur_depth))
                 )
                 cnts_parts.append(cold.to_numpy(dtype=np.int64))
                 depth_of_parts.append(cur_depth)
@@ -261,19 +276,19 @@ class PkdIndex:
                     hot = cur[hot_mask]
                     codes_parts.append(
                         hot.index.to_numpy(dtype=np.int64)
-                        << (2 * (config.max_depth - cur_depth))
+                        << (nd * (config.max_depth - cur_depth))
                     )
                     cnts_parts.append(hot.to_numpy(dtype=np.int64))
                 break
             hot_codes = np.sort(cur[hot_mask].index.to_numpy(dtype=np.int64))
             # the scan filter works at the coarse dref1 resolution
-            hot_coarse = np.sort(np.unique(hot_codes >> (2 * (cur_depth - dref1))))
+            hot_coarse = np.sort(np.unique(hot_codes >> (nd * (cur_depth - dref1))))
             next_depth = min(config.max_depth, cur_depth + 5)
             refined = run_hist(next_depth, ray.put(hot_coarse))
             # keep only entries whose parent at cur_depth was hot (the
             # coarse filter may admit rows under finalized-cold entries)
             parents = refined.index.to_numpy(dtype=np.int64) >> (
-                2 * (next_depth - cur_depth)
+                nd * (next_depth - cur_depth)
             )
             i = np.minimum(np.searchsorted(hot_codes, parents), len(hot_codes) - 1)
             cur = refined[hot_codes[i] == parents]
@@ -306,11 +321,12 @@ class PkdIndex:
     ) -> tuple[dict[int, str], list[dict]]:
         """groupby(cell) -> apply ops -> write one file per cell.
 
-        ``tagged`` has columns (cell, id_col, x, y, __op).  Returns
+        ``tagged`` has columns (cell, id_col, *dims, __op).  Returns
         ({cell: file}, lineage rows).  Idempotent per cell: an existing
         file of the target version is kept as-is (resume).
         """
 
+        dims = config.dims
         depth_ref = ray.put((directory.starts, directory.depths))
 
         def write_group(group: pa.Table) -> pa.Table:
@@ -324,7 +340,7 @@ class PkdIndex:
                 final = final.replace(".parquet", f"-p{part}.parquet")
             ops = group["__op"].to_numpy()
             if (ops == _OP_DELETE).any():
-                group = _apply_deletes(group, id_col)
+                group = _apply_deletes(group, id_col, dims)
             group = group.drop_columns(
                 [c for c in ("__op", "__part") if c in group.column_names]
             )
@@ -334,25 +350,20 @@ class PkdIndex:
                 # bbox/lineage must describe the file KEPT, not the new
                 # in-memory group (a resumed build may have re-planned
                 # slightly different groups)
-                bbox = _file_bbox(final) if rows else [0, 0, -1, -1]
+                bbox = _file_bbox(final, dims) if rows else _empty_bbox(dims)
             else:
                 rows = group.num_rows
                 if rows:
                     _atomic_write_table(group, final)
-                    x = group["x"].to_numpy()
-                    y = group["y"].to_numpy()
-                    bbox = [int(x.min()), int(y.min()), int(x.max()), int(y.max())]
+                    bbox = _group_bbox(group, dims)
                 else:
-                    bbox = [0, 0, -1, -1]
+                    bbox = _empty_bbox(dims)
                 status = "written"
             return pa.table(
                 {
                     "cell": pa.array([cell], pa.int64()),
                     "rows": pa.array([rows], pa.int64()),
-                    "min_x": pa.array([bbox[0]], pa.int64()),
-                    "min_y": pa.array([bbox[1]], pa.int64()),
-                    "max_x": pa.array([bbox[2]], pa.int64()),
-                    "max_y": pa.array([bbox[3]], pa.int64()),
+                    "bbox": pa.array([bbox], pa.list_(pa.int64())),
                     "file": pa.array([final if rows else ""], pa.string()),
                     "status": pa.array([status], pa.string()),
                     "sec": pa.array([time.perf_counter() - t_start], pa.float64()),
@@ -376,7 +387,7 @@ class PkdIndex:
                 {
                     "cell": int(rec["cell"]),
                     "rows": int(rec["rows"]),
-                    "bbox": [int(rec["min_x"]), int(rec["min_y"]), int(rec["max_x"]), int(rec["max_y"])],
+                    "bbox": [int(v) for v in rec["bbox"]],
                     "file": rec["file"],
                     "status": rec["status"],
                     "sec": float(rec["sec"]),
@@ -390,6 +401,7 @@ class PkdIndex:
         ``update_inner_tree`` analog, ``batch_helpers.hpp:124-142``).
         A cell may carry several lineage records (base file + insert
         sidecars): counts add, bboxes union."""
+        nd = self.config.ndim
         pos = {int(c): i for i, c in enumerate(self.directory.starts)}
         counts = np.zeros(len(self.directory), dtype=np.int64)
         bboxes = self.directory.spatial_boxes()
@@ -405,15 +417,13 @@ class PkdIndex:
             if rec["rows"] == 0:
                 continue
             counts[i] += rec["rows"]
-            b = rec["bbox"]
+            b = np.asarray(rec["bbox"], dtype=np.int64)
             if not seen[i]:
                 bboxes[i] = b
                 seen[i] = True
             else:
-                bboxes[i, 0] = min(bboxes[i, 0], b[0])
-                bboxes[i, 1] = min(bboxes[i, 1], b[1])
-                bboxes[i, 2] = max(bboxes[i, 2], b[2])
-                bboxes[i, 3] = max(bboxes[i, 3], b[3])
+                bboxes[i, :nd] = np.minimum(bboxes[i, :nd], b[:nd])
+                bboxes[i, nd:] = np.maximum(bboxes[i, nd:], b[nd:])
         counts[~seen] = 0
         counts = np.maximum(counts + neg, 0)
         self.directory.counts = counts
@@ -431,6 +441,7 @@ class PkdIndex:
             "id_type": self.id_type,
             "config": {
                 "coord_bits": self.config.coord_bits,
+                "dims": list(self.config.dims),
                 "max_depth": self.config.max_depth,
                 "target_cell_rows": self.config.target_cell_rows,
                 "split_factor": self.config.split_factor,
@@ -451,6 +462,7 @@ class PkdIndex:
             m = json.load(f)
         cfg = EngineConfig(
             coord_bits=m["config"]["coord_bits"],
+            dims=tuple(m["config"].get("dims", ("x", "y"))),
             max_depth=m["config"]["max_depth"],
             target_cell_rows=m["config"]["target_cell_rows"],
             split_factor=m["config"]["split_factor"],
@@ -489,8 +501,8 @@ class PkdIndex:
         ]
         if not files:
             schema = pa.schema(
-                [("cell", pa.int64()), (self.id_col, _type_from_name(self.id_type)),
-                 ("x", pa.int64()), ("y", pa.int64())]
+                [("cell", pa.int64()), (self.id_col, _type_from_name(self.id_type))]
+                + [(dc, pa.int64()) for dc in self.config.dims]
             )
             empty = pa.table({f.name: pa.array([], f.type) for f in schema})
             if columns:
@@ -538,24 +550,26 @@ class PkdIndex:
         (``validation.hpp:72-124``): total rows, live cells, avg/max
         per-cell kd-tree height (estimated from cell sizes and
         leaf_size).  Raises AssertionError on violation."""
+        dims = self.config.dims
+        nd = self.config.ndim
         ref = ray.put((self.directory.starts, self.directory.bboxes))
 
         def check(batch: pa.Table) -> pa.Table:
             starts, bboxes = ray.get(ref)
             cellv = batch["cell"].to_numpy()
-            x = batch["x"].to_numpy()
-            y = batch["y"].to_numpy()
             i = np.searchsorted(starts, cellv)
             assert (starts[i] == cellv).all(), "row routed to unknown cell"
             bb = bboxes[i]
-            assert (
-                (x >= bb[:, 0]) & (x <= bb[:, 2]) & (y >= bb[:, 1]) & (y <= bb[:, 3])
-            ).all(), "row outside its cell bbox"
+            for j, dc in enumerate(dims):
+                v = batch[dc].to_numpy()
+                assert (
+                    (v >= bb[:, j]) & (v <= bb[:, nd + j])
+                ).all(), "row outside its cell bbox"
             u, c = np.unique(cellv, return_counts=True)
             return pa.table({"cell": u, "n": c.astype(np.int64)})
 
         pdf = (
-            self.scan_all(columns=["cell", self.id_col, "x", "y"])
+            self.scan_all(columns=["cell", self.id_col, *dims])
             .map_batches(check, batch_format="pyarrow")
             .to_pandas()
         )
@@ -919,7 +933,7 @@ class PkdIndex:
             {
                 "cell": int(r["cell"]),
                 "rows": -matched.get(int(r["cell"]), 0),
-                "bbox": [0, 0, -1, -1],
+                "bbox": _empty_bbox(self.config.dims),
                 "file": r["file"],
                 "status": "tomb",
                 "sec": float(r["sec"]),
@@ -1001,13 +1015,14 @@ class PkdIndex:
                     files[s0:e0],
                     resume,
                     status,
+                    self.config.dims,
                 )
             )
         recs = [r for part in ray.get(refs) for r in part]
         if status == "tomb":
             for r in recs:
                 r["rows"] = -int((matched or {}).get(r["cell"], 0))
-                r["bbox"] = [0, 0, -1, -1]
+                r["bbox"] = _empty_bbox(self.config.dims)
         for r in recs:
             r["version"] = version
         return recs
@@ -1017,6 +1032,7 @@ class PkdIndex:
         insert path).  Same lineage-row schema as ``_write_cells``;
         idempotent per (cell, version)."""
         path = self.path
+        dims = self.config.dims
         depth_ref = ray.put((directory.starts, directory.depths))
 
         def write_group(group: pa.Table) -> pa.Table:
@@ -1033,25 +1049,20 @@ class PkdIndex:
             if resume and os.path.exists(final):
                 rows = pq.read_metadata(final).num_rows
                 status = "skipped"
-                bbox = _file_bbox(final) if rows else [0, 0, -1, -1]
+                bbox = _file_bbox(final, dims) if rows else _empty_bbox(dims)
             else:
                 rows = group.num_rows
                 if rows:
                     _atomic_write_table(group, final)
-                    x = group["x"].to_numpy()
-                    y = group["y"].to_numpy()
-                    bbox = [int(x.min()), int(y.min()), int(x.max()), int(y.max())]
+                    bbox = _group_bbox(group, dims)
                 else:
-                    bbox = [0, 0, -1, -1]
+                    bbox = _empty_bbox(dims)
                 status = "delta"
             return pa.table(
                 {
                     "cell": pa.array([cell], pa.int64()),
                     "rows": pa.array([rows], pa.int64()),
-                    "min_x": pa.array([bbox[0]], pa.int64()),
-                    "min_y": pa.array([bbox[1]], pa.int64()),
-                    "max_x": pa.array([bbox[2]], pa.int64()),
-                    "max_y": pa.array([bbox[3]], pa.int64()),
+                    "bbox": pa.array([bbox], pa.list_(pa.int64())),
                     "file": pa.array([final if rows else ""], pa.string()),
                     "status": pa.array([status], pa.string()),
                     "sec": pa.array([time.perf_counter() - t_start], pa.float64()),
@@ -1067,7 +1078,7 @@ class PkdIndex:
             {
                 "cell": int(r["cell"]),
                 "rows": int(r["rows"]),
-                "bbox": [int(r["min_x"]), int(r["min_y"]), int(r["max_x"]), int(r["max_y"])],
+                "bbox": [int(v) for v in r["bbox"]],
                 "file": r["file"],
                 "status": r["status"],
                 "sec": float(r["sec"]),
@@ -1107,7 +1118,7 @@ def _assign_cells(
 ):
     """Add the ``cell`` routing column (vectorized find_bucket,
     ``build_tree.hpp:72-81``), a ``__part`` salt column, and an ``__op``
-    tag, putting columns in the canonical (cell, <id>, x, y, __part,
+    tag, putting columns in the canonical (cell, <id>, *dims, __part,
     __op) order so tagged datasets union cleanly.  ``salts`` maps HOT
     cells (too big for one task yet unsplittable — depth cap or
     duplicate-coordinate point masses) to a part count: their rows
@@ -1115,13 +1126,14 @@ def _assign_cells(
     so no single groupby task becomes a straggler — the hot-key
     salting the north rule calls for.  The broadcast state ships once
     via ``ray.put``."""
+    dims = config.dims
     ref = ray.put(
         (directory.starts, config.max_depth, config.coord_bits, salts or {})
     )
 
     def assign(batch: pa.Table) -> pa.Table:
         starts, max_depth, bits, salts_ = ray.get(ref)
-        codes = morton_code(batch["x"].to_numpy(), batch["y"].to_numpy(), max_depth, bits)
+        codes = morton_code_nd([batch[dc].to_numpy() for dc in dims], max_depth, bits)
         idx = np.searchsorted(starts, codes, side="right") - 1
         cells = starts[idx]
         out = batch
@@ -1149,7 +1161,7 @@ def _assign_cells(
         if "__op" not in out.column_names:
             out = out.append_column("__op", pa.array(np.full(out.num_rows, op, np.int8)))
         front = ["cell"] + ([id_col] if id_col and id_col in out.column_names else [])
-        front += ["x", "y"]
+        front += list(dims)
         rest = [c for c in out.column_names if c not in front + ["__part", "__op"]]
         return out.select(front + rest + ["__part", "__op"])
 
@@ -1157,11 +1169,12 @@ def _assign_cells(
 
 
 def _reassign_cells(tagged, directory: CellDirectory, config: EngineConfig):
+    dims = config.dims
     ref = ray.put((directory.starts, config.max_depth, config.coord_bits))
 
     def assign(batch: pa.Table) -> pa.Table:
         starts, max_depth, bits = ray.get(ref)
-        codes = morton_code(batch["x"].to_numpy(), batch["y"].to_numpy(), max_depth, bits)
+        codes = morton_code_nd([batch[dc].to_numpy() for dc in dims], max_depth, bits)
         idx = np.searchsorted(starts, codes, side="right") - 1
         return batch.set_column(
             batch.column_names.index("cell"), "cell", pa.array(starts[idx], pa.int64())
@@ -1184,6 +1197,8 @@ def _split_hot_cells(
     invisible to any start-set comparison (ADVICE r1)."""
     import math
 
+    nd = config.ndim
+    fanout = 1 << nd
     idx = directory.index_of(affected)
     new_counts = directory.counts[idx] + delta_counts
     over = new_counts > config.split_threshold
@@ -1194,13 +1209,13 @@ def _split_hot_cells(
     additions: list[tuple[int, int]] = []
     for pos, cnt in zip(idx[over], new_counts[over]):
         depth = int(directory.depths[pos])
-        levels = max(1, math.ceil(math.log(cnt / config.target_cell_rows, 4)))
+        levels = max(1, math.ceil(math.log(cnt / config.target_cell_rows, fanout)))
         new_depth = min(config.max_depth, depth + levels)
         if new_depth == depth:
             continue
-        span = 1 << (2 * (config.max_depth - new_depth))
+        span = 1 << (nd * (config.max_depth - new_depth))
         base = int(directory.starts[pos])
-        n_children = 4 ** (new_depth - depth)
+        n_children = fanout ** (new_depth - depth)
         pos_to_remove.append(pos)
         additions.extend((base + q * span, new_depth) for q in range(n_children))
     if not pos_to_remove:
@@ -1217,7 +1232,7 @@ def _split_hot_cells(
     return CellDirectory(new_starts, new_depths, config), split_cells
 
 
-def _apply_deletes(group: pa.Table, id_col: str) -> pa.Table:
+def _apply_deletes(group: pa.Table, id_col: str, dims: tuple[str, ...] = ("x", "y")) -> pa.Table:
     """Anti-join within one cell.  Id-based when delete rows carry a
     non-null id; else coordinate-multiset (each delete row removes one
     instance — dummy-leaf multiplicity, ``batch_delete.hpp:172-177``)."""
@@ -1230,12 +1245,13 @@ def _apply_deletes(group: pa.Table, id_col: str) -> pa.Table:
     ids = deletes[id_col]
     if ids.null_count == deletes.num_rows:
         # coordinate-multiset delete
+        dcols = list(dims)
         ex = existing.to_pandas()
         dl = deletes.to_pandas()
-        ex["_ord"] = ex.groupby(["x", "y"]).cumcount()
-        dl["_need"] = dl.groupby(["x", "y"]).cumcount() + 1
-        need = dl.groupby(["x", "y"])["_need"].max()
-        key = list(zip(ex["x"], ex["y"]))
+        ex["_ord"] = ex.groupby(dcols).cumcount()
+        dl["_need"] = dl.groupby(dcols).cumcount() + 1
+        need = dl.groupby(dcols)["_need"].max()
+        key = list(zip(*(ex[dc] for dc in dcols)))
         thresh = need.reindex(key, fill_value=0).to_numpy()
         keep = ex["_ord"].to_numpy() >= thresh
         return pa.Table.from_pandas(
@@ -1288,6 +1304,7 @@ def _write_parts_task(
     files: list[str],
     resume: bool,
     status: str,
+    dims: tuple[str, ...] = ("x", "y"),
 ) -> list[dict]:
     """Write a chunk of per-cell sidecar slices (idempotent per file)."""
     recs = []
@@ -1303,11 +1320,9 @@ def _write_parts_task(
                 _atomic_write_table(g, f)
             st = status
         if g.num_rows and status != "tomb":
-            x = g["x"].to_numpy()
-            y = g["y"].to_numpy()
-            bbox = [int(x.min()), int(y.min()), int(x.max()), int(y.max())]
+            bbox = _group_bbox(g, dims)
         else:
-            bbox = [0, 0, -1, -1]
+            bbox = _empty_bbox(dims)
         recs.append(
             {
                 "cell": int(c),

@@ -1,4 +1,4 @@
-"""Per-partition in-memory kd-tree kernel (pure numpy).
+"""Per-partition in-memory kd-tree kernel (pure numpy), d-dimensional.
 
 This is the in-actor analog of the reference's recursive subtree build
 and query kernels — one of these lives below every directory cell,
@@ -18,15 +18,23 @@ reference's pivot skeleton:
   (``include/cpdd/query_op/range_count.hpp:8-96``,
   ``range_query.hpp:28-119``).
 
+Dimensionality is a runtime parameter (the reference dispatches it at
+compile time, ``tests/test.cpp:569-617``); :class:`KDTree2D` is the
+d=2 specialization keeping the historical (x, y) call signatures.
+
 The tree is stored as flat numpy arrays (node table + a permutation of
 the point indices), not Python node objects, so building is vectorized
 per level and the whole structure is cheap to hold in an actor.
 Duplicate points are handled naturally: the builder falls back to a
 "dummy leaf" — a single leaf holding all copies — when a split cannot
 separate identical coordinates (``build_tree.hpp:183-186``).
+
+Boxes are flat (2d,) int64 vectors [mins..., maxs...].
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 import numpy as np
 
@@ -35,7 +43,7 @@ from pkd_tree_ray.config import EngineConfig, DEFAULT_CONFIG
 # node table columns
 _LEFT = 0  # left child node id (-1 for leaf)
 _RIGHT = 1
-_DIM = 2  # split dimension (0=x, 1=y)
+_DIM = 2  # split dimension index
 _VAL = 3  # split value: left = coords[dim] < val, right = >= val
 _LO = 4  # [lo, hi) range into the permutation array
 _HI = 5
@@ -57,7 +65,7 @@ def _cut_topk_tied(dd: np.ndarray, ii: np.ndarray, kk: int, tie_key) -> tuple[np
     (neighbor id).  Without this a fragment can emit an arbitrary
     subset of boundary ties, dropping the smaller-id neighbor before
     the id-aware global merge — violating the documented
-    '(dist2, neighbor id)' tie-break the oracles enforce (ADVICE r1).
+    '(dist2, neighbor id)' order the oracles enforce (ADVICE r1).
     ``tie_key`` maps a point index to its key; None = the index itself.
     Returns (sel_idx, sel_d2), each (n_rows, kk)."""
     part = np.argpartition(dd, kk - 1, axis=1)[:, :kk]
@@ -77,26 +85,32 @@ def _cut_topk_tied(dd: np.ndarray, ii: np.ndarray, kk: int, tie_key) -> tuple[np
     return sel_i, sel_d
 
 
-class KDTree2D:
-    """Static balanced 2-d tree over int64 points.
+class KDTreeND:
+    """Static balanced kd-tree over int64 points in d dimensions.
 
-    ``tie_key`` (optional, aligned with x/y) supplies the neighbor id
-    used for (dist2, id) tie-breaking inside the bounded kNN queue;
-    defaults to the point's positional index."""
+    ``coords``: sequence of d equal-length int64 arrays (one per
+    dimension).  ``tie_key`` (optional, aligned with the coordinate
+    arrays) supplies the neighbor id used for (dist2, id) tie-breaking
+    inside the bounded kNN queue; defaults to positional index."""
 
-    def __init__(self, x: np.ndarray, y: np.ndarray, config: EngineConfig = DEFAULT_CONFIG, tie_key: np.ndarray | None = None):
-        self.x = np.ascontiguousarray(x, dtype=np.int64)
-        self.y = np.ascontiguousarray(y, dtype=np.int64)
+    def __init__(
+        self,
+        coords: Sequence[np.ndarray],
+        config: EngineConfig = DEFAULT_CONFIG,
+        tie_key: np.ndarray | None = None,
+    ):
+        self.C = [np.ascontiguousarray(c, dtype=np.int64) for c in coords]
+        self.d = len(self.C)
         self.tie_key = tie_key
         self.config = config
-        n = len(self.x)
+        n = len(self.C[0])
         self.perm = np.arange(n, dtype=np.int64)
         # worst case #nodes for leaf_size >= 1 is < 4n/leaf_size + O(log n)
         cap = max(8, 4 * (n // max(config.leaf_size, 1) + 2))
         self.nodes = np.empty((cap, 7), dtype=np.int64)
         self.n_nodes = 0
         # per-node bbox (tight), filled during build
-        self.node_box = np.empty((cap, 4), dtype=np.int64)
+        self.node_box = np.empty((cap, 2 * self.d), dtype=np.int64)
         if n:
             self._build(0, n)
 
@@ -114,22 +128,25 @@ class KDTree2D:
         """Iterative (explicit stack) median-split build over
         perm[lo:hi); returns root node id."""
         leaf_size = self.config.leaf_size
-        x, y, perm = self.x, self.y, self.perm
+        C, perm, d = self.C, self.perm, self.d
         rotate = self.config.split_rule == "rotate"
         root = self._new_node()
         stack = [(root, lo, hi, 0)]
+        box = np.empty(2 * d, dtype=np.int64)
         while stack:
             nid, lo, hi, depth = stack.pop()
             seg = perm[lo:hi]
-            sx = x[seg]
-            sy = y[seg]
-            box = (sx.min(), sy.min(), sx.max(), sy.max())
+            segc = [c[seg] for c in C]
+            for j in range(d):
+                box[j] = segc[j].min()
+                box[d + j] = segc[j].max()
             self.node_box[nid] = box
             node = self.nodes[nid]
             node[_LO], node[_HI], node[_SIZE] = lo, hi, hi - lo
+            stretch = box[d:] - box[:d]
             # leaf: small enough, or all points identical (dummy leaf,
             # build_tree.hpp:183-186)
-            if hi - lo <= leaf_size or (box[0] == box[2] and box[1] == box[3]):
+            if hi - lo <= leaf_size or not stretch.any():
                 node[_LEFT] = node[_RIGHT] = -1
                 node[_DIM] = -1
                 node[_VAL] = 0
@@ -137,23 +154,22 @@ class KDTree2D:
             # split dimension policy (dimensinality.hpp:7-33):
             # MAX_STRETCH_DIM (default) or ROTATE_DIM by depth
             if rotate:
-                dim = depth & 1
+                dim = depth % d
                 # degenerate: no stretch on the rotation dim -> fall
-                # back to the other one (pick_rebuild_dim behavior)
-                if (box[2 * dim + 2] - box[2 * dim]) == 0:
-                    dim = 1 - dim
+                # back to the widest one (pick_rebuild_dim behavior)
+                if stretch[dim] == 0:
+                    dim = int(np.argmax(stretch))
             else:
-                dim = 0 if (box[2] - box[0]) >= (box[3] - box[1]) else 1
-            coords = sx if dim == 0 else sy
+                dim = int(np.argmax(stretch))
+            coords = segc[dim]
             mid = (hi - lo) // 2
             part = np.argpartition(coords, mid)
             split_val = coords[part[mid]]
             # left = strictly < split_val; handles duplicate medians like
             # serial_build_recursive (build_tree.hpp:149-181): if the
             # median value crowds one side, re-split on the value
-            # boundary so both sides are non-empty (stretch > 0
-            # guarantees at least one point differs on this dim... only
-            # when dim has stretch; otherwise the other dim was chosen).
+            # boundary so both sides are non-empty (the chosen dim has
+            # stretch > 0, so a non-trivial boundary exists).
             left_mask = coords < split_val
             n_left = int(left_mask.sum())
             if n_left == 0:
@@ -161,17 +177,6 @@ class KDTree2D:
                 split_val = split_val + 1
                 left_mask = coords < split_val
                 n_left = int(left_mask.sum())
-                if n_left == hi - lo:
-                    # all equal on this dim; use the other one
-                    dim = 1 - dim
-                    coords = sy if dim == 1 else sx
-                    split_val = coords[np.argpartition(coords, mid)[mid]]
-                    left_mask = coords < split_val
-                    n_left = int(left_mask.sum())
-                    if n_left == 0:
-                        split_val = split_val + 1
-                        left_mask = coords < split_val
-                        n_left = int(left_mask.sum())
             # stable partition of the segment
             order = np.argsort(~left_mask, kind="stable")
             perm[lo:hi] = seg[order]
@@ -187,23 +192,23 @@ class KDTree2D:
         return root
 
     def __len__(self) -> int:
-        return len(self.x)
+        return len(self.C[0])
 
     # -- kNN -------------------------------------------------------------
 
-    def knn(self, qx: int, qy: int, k: int) -> tuple[np.ndarray, np.ndarray, int]:
-        """k nearest point indices by squared distance.
+    def knn_point(self, q: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray, int]:
+        """k nearest point indices by squared distance to q (d,).
 
         Returns (indices_into_original_arrays, dist2, nodes_visited),
         unsorted.  Guided descent + sibling pruning as in
-        ``nn_search.hpp:81-126``.
-        """
-        n = len(self.x)
+        ``nn_search.hpp:81-126``; kth-distance ties keep the smaller
+        tie_key (ADVICE r1)."""
+        n = len(self)
         if n == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64), 0
         k = min(k, n)
-        qx = np.int64(qx)
-        qy = np.int64(qy)
+        d = self.d
+        q = np.asarray(q, dtype=np.int64)
         best_idx = np.full(k, -1, dtype=np.int64)
         best_d2 = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
         kth = np.iinfo(np.int64).max
@@ -211,7 +216,7 @@ class KDTree2D:
         stack = [(0, 0)]  # (node id, lower-bound dist2 when pushed)
         nodes = self.nodes
         boxes = self.node_box
-        x, y, perm = self.x, self.y, self.perm
+        C, perm = self.C, self.perm
         n_found = 0
         while stack:
             nid, lb = stack.pop()
@@ -221,12 +226,13 @@ class KDTree2D:
             node = nodes[nid]
             if node[_LEFT] == -1:
                 seg = perm[node[_LO]: node[_HI]]
-                dx = x[seg] - qx
-                dy = y[seg] - qy
-                d2 = dx * dx + dy * dy
+                dj = C[0][seg] - q[0]
+                d2 = dj * dj
+                for j in range(1, d):
+                    dj = C[j][seg] - q[j]
+                    d2 += dj * dj
                 # merge into bounded candidate set (kBoundedQueue analog,
-                # nn_search_helpers.h:18-93); ties at the kth distance
-                # keep the smaller tie_key (ADVICE r1)
+                # nn_search_helpers.h:18-93)
                 all_idx = np.concatenate([best_idx[:n_found], seg])
                 all_d2 = np.concatenate([best_d2[:n_found], d2])
                 if len(all_d2) > k:
@@ -243,8 +249,8 @@ class KDTree2D:
                     kth = int(all_d2.max())
                 continue
             lid, rid = int(node[_LEFT]), int(node[_RIGHT])
-            lb_l = _box_min_d2(qx, qy, boxes[lid])
-            lb_r = _box_min_d2(qx, qy, boxes[rid])
+            lb_l = _box_min_d2(q, boxes[lid], d)
+            lb_r = _box_min_d2(q, boxes[rid], d)
             # visit nearer child first (guided descent)
             if lb_l <= lb_r:
                 near, far, lbn, lbf = lid, rid, lb_l, lb_r
@@ -260,29 +266,30 @@ class KDTree2D:
 
     def range_count(self, box) -> int:
         """Inclusive-box count; contained subtrees contribute size with
-        no scan (``range_count.hpp:64-96``)."""
-        if len(self.x) == 0:
+        no scan (``range_count.hpp:64-96``).  box: (2d,)."""
+        if len(self) == 0:
             return 0
-        mnx, mny, mxx, mxy = (int(v) for v in np.asarray(box, dtype=np.int64))
+        d = self.d
+        qb = np.asarray(box, dtype=np.int64)
         total = 0
         stack = [0]
         nodes, boxes = self.nodes, self.node_box
-        x, y, perm = self.x, self.y, self.perm
+        C, perm = self.C, self.perm
         while stack:
             nid = stack.pop()
             b = boxes[nid]
-            if b[0] > mxx or b[2] < mnx or b[1] > mxy or b[3] < mny:
+            if (b[:d] > qb[d:]).any() or (b[d:] < qb[:d]).any():
                 continue  # disjoint
-            if mnx <= b[0] and b[2] <= mxx and mny <= b[1] and b[3] <= mxy:
+            if (qb[:d] <= b[:d]).all() and (b[d:] <= qb[d:]).all():
                 total += int(nodes[nid, _SIZE])  # contained
                 continue
             node = nodes[nid]
             if node[_LEFT] == -1:
                 seg = perm[node[_LO]: node[_HI]]
-                px, py = x[seg], y[seg]
-                total += int(
-                    ((px >= mnx) & (px <= mxx) & (py >= mny) & (py <= mxy)).sum()
-                )
+                m = (C[0][seg] >= qb[0]) & (C[0][seg] <= qb[d])
+                for j in range(1, d):
+                    m &= (C[j][seg] >= qb[j]) & (C[j][seg] <= qb[d + j])
+                total += int(m.sum())
             else:
                 stack.append(int(node[_LEFT]))
                 stack.append(int(node[_RIGHT]))
@@ -291,56 +298,63 @@ class KDTree2D:
     def range_report(self, box) -> np.ndarray:
         """Indices (into the original arrays) of points inside the
         inclusive box (``range_query.hpp:70-119``)."""
-        if len(self.x) == 0:
+        if len(self) == 0:
             return np.empty(0, np.int64)
-        mnx, mny, mxx, mxy = (int(v) for v in np.asarray(box, dtype=np.int64))
+        d = self.d
+        qb = np.asarray(box, dtype=np.int64)
         out: list[np.ndarray] = []
         stack = [0]
         nodes, boxes = self.nodes, self.node_box
-        x, y, perm = self.x, self.y, self.perm
+        C, perm = self.C, self.perm
         while stack:
             nid = stack.pop()
             b = boxes[nid]
-            if b[0] > mxx or b[2] < mnx or b[1] > mxy or b[3] < mny:
+            if (b[:d] > qb[d:]).any() or (b[d:] < qb[:d]).any():
                 continue
             node = nodes[nid]
-            if mnx <= b[0] and b[2] <= mxx and mny <= b[1] and b[3] <= mxy:
+            if (qb[:d] <= b[:d]).all() and (b[d:] <= qb[d:]).all():
                 out.append(perm[node[_LO]: node[_HI]])  # flatten (batch_helpers.hpp:10-56)
                 continue
             if node[_LEFT] == -1:
                 seg = perm[node[_LO]: node[_HI]]
-                px, py = x[seg], y[seg]
-                m = (px >= mnx) & (px <= mxx) & (py >= mny) & (py <= mxy)
+                m = (C[0][seg] >= qb[0]) & (C[0][seg] <= qb[d])
+                for j in range(1, d):
+                    m &= (C[j][seg] >= qb[j]) & (C[j][seg] <= qb[d + j])
                 out.append(seg[m])
             else:
                 stack.append(int(node[_LEFT]))
                 stack.append(int(node[_RIGHT]))
         return np.concatenate(out) if out else np.empty(0, np.int64)
 
-    def circle_count(self, cx: int, cy: int, r: int) -> int:
+    def ball_count(self, center: np.ndarray, r: int) -> int:
         """Ball count (``range_count.hpp:98-131``): disjoint/contained
         tests via box min/max distance, leaf scan by dist2 <= r^2."""
-        if len(self.x) == 0:
+        if len(self) == 0:
             return 0
-        cx, cy, r2 = np.int64(cx), np.int64(cy), np.int64(r) * np.int64(r)
+        d = self.d
+        q = np.asarray(center, dtype=np.int64)
+        r2 = np.int64(r) * np.int64(r)
         total = 0
         stack = [0]
         nodes, boxes = self.nodes, self.node_box
-        x, y, perm = self.x, self.y, self.perm
+        C, perm = self.C, self.perm
         while stack:
             nid = stack.pop()
             b = boxes[nid]
-            if _box_min_d2(cx, cy, b) > r2:
+            if _box_min_d2(q, b, d) > r2:
                 continue
-            if _box_max_d2(cx, cy, b) <= r2:
+            if _box_max_d2(q, b, d) <= r2:
                 total += int(nodes[nid, _SIZE])
                 continue
             node = nodes[nid]
             if node[_LEFT] == -1:
                 seg = perm[node[_LO]: node[_HI]]
-                dx = x[seg] - cx
-                dy = y[seg] - cy
-                total += int((dx * dx + dy * dy <= r2).sum())
+                dj = C[0][seg] - q[0]
+                d2 = dj * dj
+                for j in range(1, d):
+                    dj = C[j][seg] - q[j]
+                    d2 += dj * dj
+                total += int((d2 <= r2).sum())
             else:
                 stack.append(int(node[_LEFT]))
                 stack.append(int(node[_RIGHT]))
@@ -354,14 +368,15 @@ class KDTree2D:
         within alpha for interior nodes above the leaf threshold."""
         assert self.n_nodes >= 1 or len(self) == 0
         alpha = self.config.imbalance_alpha
+        d = self.d
         for nid in range(self.n_nodes):
             node = self.nodes[nid]
             lo, hi = int(node[_LO]), int(node[_HI])
             seg = self.perm[lo:hi]
-            px, py = self.x[seg], self.y[seg]
             b = self.node_box[nid]
-            assert px.min() >= b[0] and px.max() <= b[2]
-            assert py.min() >= b[1] and py.max() <= b[3]
+            for j in range(d):
+                pj = self.C[j][seg]
+                assert pj.min() >= b[j] and pj.max() <= b[d + j]
             if node[_LEFT] != -1:
                 ls = int(self.nodes[node[_LEFT], _SIZE])
                 rs = int(self.nodes[node[_RIGHT], _SIZE])
@@ -388,25 +403,50 @@ class KDTree2D:
         return h
 
 
-def _box_min_d2(qx, qy, b) -> np.int64:
-    dx = max(b[0] - qx, qx - b[2], 0)
-    dy = max(b[1] - qy, qy - b[3], 0)
-    return dx * dx + dy * dy
+class KDTree2D(KDTreeND):
+    """d=2 specialization keeping the historical (x, y) signatures."""
+
+    def __init__(self, x: np.ndarray, y: np.ndarray, config: EngineConfig = DEFAULT_CONFIG, tie_key: np.ndarray | None = None):
+        super().__init__([x, y], config, tie_key)
+        self.x = self.C[0]
+        self.y = self.C[1]
+
+    def knn(self, qx: int, qy: int, k: int) -> tuple[np.ndarray, np.ndarray, int]:
+        return self.knn_point(np.array([qx, qy], dtype=np.int64), k)
+
+    def circle_count(self, cx: int, cy: int, r: int) -> int:
+        return self.ball_count(np.array([cx, cy], dtype=np.int64), r)
 
 
-def _box_max_d2(qx, qy, b) -> np.int64:
-    dx = max(abs(qx - b[0]), abs(qx - b[2]))
-    dy = max(abs(qy - b[1]), abs(qy - b[3]))
-    return dx * dx + dy * dy
+def _box_min_d2(q: np.ndarray, b: np.ndarray, d: int):
+    t = 0
+    for j in range(d):
+        dj = b[j] - q[j]
+        if dj < 0:
+            dj = q[j] - b[d + j]
+            if dj < 0:
+                continue
+        t += dj * dj
+    return t
+
+
+def _box_max_d2(q: np.ndarray, b: np.ndarray, d: int):
+    t = 0
+    for j in range(d):
+        lo = q[j] - b[j]
+        hi = b[d + j] - q[j]
+        dj = lo if lo > hi else hi
+        if dj < 0:
+            dj = -dj
+        t += dj * dj
+    return t
 
 
 # --- vectorized brute-force kernels (the SERIAL_BUILD_CUTOFF analog) ----
 
-def brute_range_filter(
-    px: np.ndarray,
-    py: np.ndarray,
-    qx: np.ndarray,
-    qy: np.ndarray,
+def brute_range_filter_nd(
+    P: Sequence[np.ndarray],
+    Q: Sequence[np.ndarray],
     r2: np.ndarray,
     q_chunk: int = 64,
     p_chunk: int = 1_024,
@@ -417,9 +457,10 @@ def brute_range_filter(
     the query ball, so emitting the filtered rows (instead of a full
     top-k) cuts both the argpartition work and the partial-row volume
     that transits the object store.  Same L2-resident tiling as
-    :func:`brute_knn_batch`.  Returns (q_idx, p_idx, d2).
-    """
-    n, m = len(px), len(qx)
+    :func:`brute_knn_nd`.  P/Q: per-dim coordinate arrays.
+    Returns (q_idx, p_idx, d2)."""
+    d = len(P)
+    n, m = len(P[0]), len(Q[0])
     if n == 0 or m == 0:
         return (np.empty(0, np.int64),) * 3
     out_q: list[np.ndarray] = []
@@ -429,18 +470,18 @@ def brute_range_filter(
     ws2 = np.empty((min(q_chunk, m), p_chunk), dtype=np.int64)
     for s in range(0, m, q_chunk):
         e = min(s + q_chunk, m)
-        qxc = qx[s:e, None]
-        qyc = qy[s:e, None]
+        qc = [Q[j][s:e, None] for j in range(d)]
         r2c = r2[s:e, None]
         for ps in range(0, n, p_chunk):
             pe = min(ps + p_chunk, n)
             d2 = ws1[: e - s, : pe - ps]
-            dy = ws2[: e - s, : pe - ps]
-            np.subtract(qxc, px[None, ps:pe], out=d2)
+            dj = ws2[: e - s, : pe - ps]
+            np.subtract(qc[0], P[0][None, ps:pe], out=d2)
             d2 *= d2
-            np.subtract(qyc, py[None, ps:pe], out=dy)
-            dy *= dy
-            d2 += dy
+            for j in range(1, d):
+                np.subtract(qc[j], P[j][None, ps:pe], out=dj)
+                dj *= dj
+                d2 += dj
             qi, pi = np.nonzero(d2 <= r2c)
             if len(qi):
                 out_q.append(qi + s)
@@ -451,11 +492,22 @@ def brute_range_filter(
     return np.concatenate(out_q), np.concatenate(out_p), np.concatenate(out_d)
 
 
-def brute_knn_batch(
+def brute_range_filter(
     px: np.ndarray,
     py: np.ndarray,
     qx: np.ndarray,
     qy: np.ndarray,
+    r2: np.ndarray,
+    q_chunk: int = 64,
+    p_chunk: int = 1_024,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """2-D wrapper over :func:`brute_range_filter_nd`."""
+    return brute_range_filter_nd([px, py], [qx, qy], r2, q_chunk, p_chunk)
+
+
+def brute_knn_nd(
+    P: Sequence[np.ndarray],
+    Q: Sequence[np.ndarray],
     k: int,
     q_chunk: int = 64,
     p_chunk: int = 1_024,
@@ -463,8 +515,10 @@ def brute_knn_batch(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k per query over a point block, vectorized AND cache-blocked.
 
-    Returns (idx, d2) each of shape (n_queries, k_eff), k_eff =
-    min(k, n_points); idx are indices into px/py.
+    P/Q: per-dimension coordinate arrays (d of them each).  Returns
+    (idx, d2) each of shape (n_queries, k_eff), k_eff = min(k,
+    n_points); idx are indices into the P arrays.  kth-distance ties
+    prefer the smaller ``tie_key`` (defaults to index).
 
     Both axes are tiled so every distance sub-matrix
     (q_chunk x p_chunk x 8B = 512 KiB) stays L2-resident: a naive
@@ -475,38 +529,38 @@ def brute_knn_batch(
     no contention, near-linear concurrency scaling.  Per point-tile
     top-k candidates are merged once at the end.
     """
-    n = len(px)
-    m = len(qx)
+    d = len(P)
+    n = len(P[0])
+    m = len(Q[0])
     k_eff = min(k, n)
     if n == 0 or m == 0:
         return (np.empty((m, 0), np.int64), np.empty((m, 0), np.int64))
-    px = np.asarray(px, dtype=np.int64)
-    py = np.asarray(py, dtype=np.int64)
-    qx = np.asarray(qx, dtype=np.int64)
-    qy = np.asarray(qy, dtype=np.int64)
+    P = [np.asarray(c, dtype=np.int64) for c in P]
+    Q = [np.asarray(c, dtype=np.int64) for c in Q]
     out_idx = np.empty((m, k_eff), dtype=np.int64)
     out_d2 = np.empty((m, k_eff), dtype=np.int64)
     n_tiles = -(-n // p_chunk)
-    # preallocated tile workspaces: the naive expression allocates five
-    # q_chunk x p_chunk temporaries per tile — 5x the memory traffic —
-    # and measured 2.1x slower than in-place ops on reused buffers
+    # preallocated tile workspaces: the naive expression allocates
+    # (d+3) q_chunk x p_chunk temporaries per tile — multiplying the
+    # memory traffic — and measured 2.1x slower than in-place ops on
+    # reused buffers
     ws1 = np.empty((min(q_chunk, m), p_chunk), dtype=np.int64)
     ws2 = np.empty((min(q_chunk, m), p_chunk), dtype=np.int64)
     for s in range(0, m, q_chunk):
         e = min(s + q_chunk, m)
-        qxc = qx[s:e, None]
-        qyc = qy[s:e, None]
+        qc = [Q[j][s:e, None] for j in range(d)]
         cand_idx: list[np.ndarray] = []
         cand_d2: list[np.ndarray] = []
         for t in range(n_tiles):
             ps, pe = t * p_chunk, min((t + 1) * p_chunk, n)
             d2 = ws1[: e - s, : pe - ps]
-            dy = ws2[: e - s, : pe - ps]
-            np.subtract(qxc, px[None, ps:pe], out=d2)
+            dj = ws2[: e - s, : pe - ps]
+            np.subtract(qc[0], P[0][None, ps:pe], out=d2)
             d2 *= d2
-            np.subtract(qyc, py[None, ps:pe], out=dy)
-            dy *= dy
-            d2 += dy
+            for j in range(1, d):
+                np.subtract(qc[j], P[j][None, ps:pe], out=dj)
+                dj *= dj
+                d2 += dj
             kk = min(k_eff, pe - ps)
             if kk < pe - ps:
                 ii = np.broadcast_to(np.arange(ps, pe, dtype=np.int64), d2.shape)
@@ -531,3 +585,17 @@ def brute_knn_batch(
             out_d2[s:e] = dd
             out_idx[s:e] = ii
     return out_idx, out_d2
+
+
+def brute_knn_batch(
+    px: np.ndarray,
+    py: np.ndarray,
+    qx: np.ndarray,
+    qy: np.ndarray,
+    k: int,
+    q_chunk: int = 64,
+    p_chunk: int = 1_024,
+    tie_key: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """2-D wrapper over :func:`brute_knn_nd`."""
+    return brute_knn_nd([px, py], [qx, qy], k, q_chunk, p_chunk, tie_key)

@@ -35,11 +35,11 @@ import ray
 from pkd_tree_ray.geometry import (
     box_contains_box,
     boxes_intersect,
-    p2b_max_dist2,
-    p2b_min_dist2,
+    pnd_b_max_dist2,
+    pnd_b_min_dist2,
 )
 from pkd_tree_ray.index import PkdIndex
-from pkd_tree_ray.kdtree import KDTree2D, brute_knn_batch
+from pkd_tree_ray.kdtree import KDTreeND, brute_knn_nd
 
 _CLASSIFY_CHUNK = 4_096  # queries classified per driver-side chunk
 
@@ -184,16 +184,17 @@ def _classify_boxes(index: PkdIndex, boxes: np.ndarray):
 
 def _classify_circles(index: PkdIndex, circles: np.ndarray):
     """Same for balls: contained = max-dist <= r^2, overlap = min-dist
-    <= r^2 (``range_count.hpp:104-118``)."""
+    <= r^2 (``range_count.hpp:104-118``).  circles: (m, d+1) =
+    [centers..., r]."""
     cells, counts, bboxes = _live(index)
     m = len(circles)
     base = np.zeros(m, dtype=np.int64)
     parts: list[_Pairs] = []
     for s in range(0, m, _CLASSIFY_CHUNK):
         q = np.asarray(circles[s: s + _CLASSIFY_CHUNK], dtype=np.int64)
-        r2 = (q[:, 2] * q[:, 2])[:, None]
-        mind = p2b_min_dist2(q[:, 0], q[:, 1], bboxes)
-        maxd = p2b_max_dist2(q[:, 0], q[:, 1], bboxes)
+        r2 = (q[:, -1] * q[:, -1])[:, None]
+        mind = pnd_b_min_dist2(q[:, :-1], bboxes)
+        maxd = pnd_b_max_dist2(q[:, :-1], bboxes)
         contained = maxd <= r2
         partial = (mind <= r2) & ~contained
         base[s: s + len(q)] = contained @ counts
@@ -218,15 +219,27 @@ def _iter_cell_runs(cell_col: np.ndarray):
 # range count
 # ----------------------------------------------------------------------
 
+def _box_masks(fc: list[np.ndarray], qb: np.ndarray) -> np.ndarray:
+    """(n_boxes, n_points) inclusive containment masks; fc = per-dim
+    point arrays, qb = (n_boxes, 2d) boxes."""
+    d = len(fc)
+    m = np.ones((len(qb), len(fc[0])), dtype=bool)
+    for j in range(d):
+        m &= fc[j][None, :] >= qb[:, j, None]
+        m &= fc[j][None, :] <= qb[:, d + j, None]
+    return m
+
+
 class _RangeCountScan:
     """Actor: counts hits of broadcast boxes in the partial cells.
     Builds a per-fragment kd-tree when a fragment serves many queries
     (tree query O(log n + hits) beats an O(n) mask per query);
     otherwise vectorized masks — the SERIAL_BUILD_CUTOFF idea."""
 
-    def __init__(self, queries_ref, leaf_size: int, cutoff: int, tree_provider=None):
+    def __init__(self, queries_ref, dims, leaf_size: int, cutoff: int, tree_provider=None):
         boxes, (cells, offs, qids) = _maybe_get(queries_ref)
         self.boxes = boxes
+        self.dims = dims
         self.cells, self.offs, self.qids = cells, offs, qids
         self.leaf_size = leaf_size
         self.cutoff = cutoff
@@ -240,27 +253,22 @@ class _RangeCountScan:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cell_col = batch["cell"].to_numpy()
-        x = batch["x"].to_numpy()
-        y = batch["y"].to_numpy()
+        cs = [batch[dc].to_numpy() for dc in self.dims]
         out_q: list[np.ndarray] = []
         out_c: list[np.ndarray] = []
         for cell, sl in _iter_cell_runs(cell_col):
             qs = self._qids_for(cell)
             if not len(qs):
                 continue
-            fx, fy = x[sl], y[sl]
+            fc = [c[sl] for c in cs]
             qb = self.boxes[qs]
-            if len(qs) >= 64 and len(fx) >= 131_072:
-                tree = self.tree_provider(cell, fx, fy) if self.tree_provider else KDTree2D(fx, fy)
+            if len(qs) >= 64 and len(fc[0]) >= 131_072:
+                tree = self.tree_provider(cell, fc) if self.tree_provider else KDTreeND(fc)
                 cnts = np.array([tree.range_count(b) for b in qb], dtype=np.int64)
             else:
                 cnts = np.empty(len(qs), dtype=np.int64)
                 for s0 in range(0, len(qs), 128):  # bound mask memory
-                    qc = qb[s0: s0 + 128]
-                    inb = (
-                        (fx[None, :] >= qc[:, 0, None]) & (fx[None, :] <= qc[:, 2, None])
-                        & (fy[None, :] >= qc[:, 1, None]) & (fy[None, :] <= qc[:, 3, None])
-                    )
+                    inb = _box_masks(fc, qb[s0: s0 + 128])
                     cnts[s0: s0 + 128] = inb.sum(axis=1)
             out_q.append(qs)
             out_c.append(cnts)
@@ -274,7 +282,8 @@ class _RangeCountScan:
 def range_count(index: PkdIndex, boxes: np.ndarray, config=None) -> pa.Table:
     """Batch orthogonal range count -> (qid, cnt), inclusive bounds.
 
-    qid = row position in ``boxes``.
+    qid = row position in ``boxes``; boxes are (m, 2d)
+    [mins..., maxs...] in the index's configured dimensionality.
     """
     cfg = config or index.config
     boxes = np.asarray(boxes, dtype=np.int64)
@@ -293,9 +302,9 @@ def range_count(index: PkdIndex, boxes: np.ndarray, config=None) -> pa.Table:
 
         partial = (
             _scan_stage(
-                index.scan_cells(cell_qids.cell_list(), columns=["cell", "x", "y"]),
+                index.scan_cells(cell_qids.cell_list(), columns=["cell", *cfg.dims]),
                 _RangeCountScan,
-                (ref, cfg.leaf_size, cfg.brute_force_cutoff),
+                (ref, cfg.dims, cfg.leaf_size, cfg.brute_force_cutoff),
                 cfg,
                 len(cell_qids.cell_list()),
             )
@@ -315,38 +324,42 @@ def range_count(index: PkdIndex, boxes: np.ndarray, config=None) -> pa.Table:
 # ----------------------------------------------------------------------
 
 class _CircleCountScan:
-    def __init__(self, queries_ref, leaf_size: int, cutoff: int, tree_provider=None):
+    def __init__(self, queries_ref, dims, leaf_size: int, cutoff: int, tree_provider=None):
         circles, (cells, offs, qids) = _maybe_get(queries_ref)
-        self.circles = circles
+        self.circles = circles  # (m, d+1) = [centers..., r]
+        self.dims = dims
         self.cells, self.offs, self.qids = cells, offs, qids
         self.cutoff = cutoff
         self.tree_provider = tree_provider
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cell_col = batch["cell"].to_numpy()
-        x = batch["x"].to_numpy()
-        y = batch["y"].to_numpy()
+        cs = [batch[dc].to_numpy() for dc in self.dims]
+        d = len(cs)
         out_q, out_c = [], []
         for cell, sl in _iter_cell_runs(cell_col):
             i = np.searchsorted(self.cells, cell)
             if i >= len(self.cells) or self.cells[i] != cell:
                 continue
             qs = self.qids[self.offs[i]: self.offs[i + 1]]
-            fx, fy = x[sl], y[sl]
+            fc = [c[sl] for c in cs]
             qc = self.circles[qs]
-            if len(qs) >= 64 and len(fx) >= 131_072:
-                tree = self.tree_provider(cell, fx, fy) if self.tree_provider else KDTree2D(fx, fy)
+            if len(qs) >= 64 and len(fc[0]) >= 131_072:
+                tree = self.tree_provider(cell, fc) if self.tree_provider else KDTreeND(fc)
                 cnts = np.array(
-                    [tree.circle_count(c[0], c[1], c[2]) for c in qc], dtype=np.int64
+                    [tree.ball_count(c[:-1], c[-1]) for c in qc], dtype=np.int64
                 )
             else:
                 cnts = np.empty(len(qs), dtype=np.int64)
                 for s0 in range(0, len(qs), 128):
                     qk = qc[s0: s0 + 128]
-                    dx = fx[None, :] - qk[:, 0, None]
-                    dy = fy[None, :] - qk[:, 1, None]
+                    dj = fc[0][None, :] - qk[:, 0, None]
+                    d2 = dj * dj
+                    for j in range(1, d):
+                        dj = fc[j][None, :] - qk[:, j, None]
+                        d2 += dj * dj
                     cnts[s0: s0 + 128] = (
-                        dx * dx + dy * dy <= (qk[:, 2] * qk[:, 2])[:, None]
+                        d2 <= (qk[:, -1] * qk[:, -1])[:, None]
                     ).sum(axis=1)
             out_q.append(qs)
             out_c.append(cnts.astype(np.int64))
@@ -357,7 +370,7 @@ class _CircleCountScan:
 
 def circle_count(index: PkdIndex, circles: np.ndarray, config=None) -> pa.Table:
     """Batch circular range count -> (qid, cnt); membership is
-    dist2 <= r^2 inclusive."""
+    dist2 <= r^2 inclusive.  circles: (m, d+1) = [centers..., r]."""
     cfg = config or index.config
     circles = np.asarray(circles, dtype=np.int64)
     base, cell_qids = _classify_circles(index, circles)
@@ -375,9 +388,9 @@ def circle_count(index: PkdIndex, circles: np.ndarray, config=None) -> pa.Table:
 
         partial = (
             _scan_stage(
-                index.scan_cells(cell_qids.cell_list(), columns=["cell", "x", "y"]),
+                index.scan_cells(cell_qids.cell_list(), columns=["cell", *cfg.dims]),
                 _CircleCountScan,
-                (ref, cfg.leaf_size, cfg.brute_force_cutoff),
+                (ref, cfg.dims, cfg.leaf_size, cfg.brute_force_cutoff),
                 cfg,
                 len(cell_qids.cell_list()),
             )
@@ -397,12 +410,13 @@ def circle_count(index: PkdIndex, circles: np.ndarray, config=None) -> pa.Table:
 # ----------------------------------------------------------------------
 
 class _RangeReportScan:
-    """Actor: emits (qid, id, x, y) rows.  Fully-contained cells are
+    """Actor: emits (qid, id, *dims) rows.  Fully-contained cells are
     flattened without predicate evaluation (``range_query.hpp:92-97``)."""
 
-    def __init__(self, queries_ref, id_col: str):
+    def __init__(self, queries_ref, dims, id_col: str):
         boxes, full, partial = _maybe_get(queries_ref)
         self.boxes = boxes
+        self.dims = dims
         self.full_cells, self.full_offs, self.full_qids = full
         self.part_cells, self.part_offs, self.part_qids = partial
         self.id_col = id_col
@@ -416,8 +430,7 @@ class _RangeReportScan:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cell_col = batch["cell"].to_numpy()
-        x = batch["x"].to_numpy()
-        y = batch["y"].to_numpy()
+        cs = [batch[dc].to_numpy() for dc in self.dims]
         take_idx: list[np.ndarray] = []
         take_qid: list[np.ndarray] = []
         for cell, sl in _iter_cell_runs(cell_col):
@@ -427,42 +440,34 @@ class _RangeReportScan:
                 take_qid.append(np.full(len(rows), q, dtype=np.int64))
             part_qs = self._lookup(self.part_cells, self.part_offs, self.part_qids, cell)
             if len(part_qs):
-                fx, fy = x[sl], y[sl]
-                qb = self.boxes[part_qs]
-                inb = (
-                    (fx[None, :] >= qb[:, 0, None])
-                    & (fx[None, :] <= qb[:, 2, None])
-                    & (fy[None, :] >= qb[:, 1, None])
-                    & (fy[None, :] <= qb[:, 3, None])
-                )
+                fc = [c[sl] for c in cs]
+                inb = _box_masks(fc, self.boxes[part_qs])
                 qi, ri = np.nonzero(inb)
                 take_idx.append(rows[ri])
                 take_qid.append(part_qs[qi])
         if not take_idx:
-            return pa.table(
-                {
-                    "qid": pa.array([], pa.int64()),
-                    self.id_col: pa.array([], batch[self.id_col].type),
-                    "x": pa.array([], pa.int64()),
-                    "y": pa.array([], pa.int64()),
-                }
-            )
+            cols = {
+                "qid": pa.array([], pa.int64()),
+                self.id_col: pa.array([], batch[self.id_col].type),
+            }
+            for dc in self.dims:
+                cols[dc] = pa.array([], pa.int64())
+            return pa.table(cols)
         idx = np.concatenate(take_idx)
         qid = np.concatenate(take_qid)
         taken = batch.take(pa.array(idx))
-        return pa.table(
-            {
-                "qid": pa.array(qid, pa.int64()),
-                self.id_col: taken[self.id_col],
-                "x": taken["x"],
-                "y": taken["y"],
-            }
-        )
+        cols = {
+            "qid": pa.array(qid, pa.int64()),
+            self.id_col: taken[self.id_col],
+        }
+        for dc in self.dims:
+            cols[dc] = taken[dc]
+        return pa.table(cols)
 
 
 def range_report(index: PkdIndex, boxes: np.ndarray, config=None):
     """Batch orthogonal range report -> streaming Dataset
-    (qid, <id>, x, y)."""
+    (qid, <id>, *dims)."""
     cfg = config or index.config
     boxes = np.asarray(boxes, dtype=np.int64)
     cells, counts, bboxes = _live(index)
@@ -486,9 +491,9 @@ def range_report(index: PkdIndex, boxes: np.ndarray, config=None):
 
         return rd.from_arrow(pool.scan("range_report", ref, needed))
     return _scan_stage(
-        index.scan_cells(needed, columns=["cell", index.id_col, "x", "y"]),
+        index.scan_cells(needed, columns=["cell", index.id_col, *cfg.dims]),
         _RangeReportScan,
-        (ref, index.id_col),
+        (ref, cfg.dims, index.id_col),
         cfg,
         len(needed),
     )
@@ -505,9 +510,10 @@ class _KnnScan:
     groupby(qid) — correctness does not require a fragment to see its
     whole cell."""
 
-    def __init__(self, queries_ref, id_col: str, leaf_size: int, cutoff: int, tree_provider=None):
-        (qx, qy, k, cells, offs, qids) = _maybe_get(queries_ref)
-        self.qx, self.qy, self.k = qx, qy, k
+    def __init__(self, queries_ref, dims, id_col: str, leaf_size: int, cutoff: int, tree_provider=None):
+        (Q, k, cells, offs, qids) = _maybe_get(queries_ref)
+        self.Q, self.k = Q, k  # Q: (m, d) query matrix
+        self.dims = dims
         self.cells, self.offs, self.qids = cells, offs, qids
         self.id_col = id_col
         self.leaf_size = leaf_size
@@ -516,8 +522,8 @@ class _KnnScan:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cell_col = batch["cell"].to_numpy()
-        x = batch["x"].to_numpy()
-        y = batch["y"].to_numpy()
+        cs = [batch[dc].to_numpy() for dc in self.dims]
+        d = len(cs)
         nb_all = batch[self.id_col].to_numpy(zero_copy_only=False)
         out_qid: list[np.ndarray] = []
         out_row: list[np.ndarray] = []
@@ -530,25 +536,27 @@ class _KnnScan:
             qs = self.qids[self.offs[i]: self.offs[i + 1]]
             if not len(qs):
                 continue
-            fx, fy = x[sl], y[sl]
+            fc = [c[sl] for c in cs]
             key = nb_all[sl]  # (dist2, neighbor id) tie-break inside the cut
             rows = np.arange(sl.start, sl.stop, dtype=np.int64)
             # vectorized brute top-k wins until the fragment is very
             # large AND serves many queries (the numpy kd-tree pays
             # Python-per-node costs; measured crossover ~1e5 rows)
-            if len(fx) >= 131_072 and len(qs) >= 64:
+            if len(fc[0]) >= 131_072 and len(qs) >= 64:
                 tree = (
-                    self.tree_provider(cell, fx, fy)
+                    self.tree_provider(cell, fc)
                     if self.tree_provider
-                    else KDTree2D(fx, fy, tie_key=key)
+                    else KDTreeND(fc, tie_key=key)
                 )
                 for q in qs:
-                    idx, d2, _ = tree.knn(int(self.qx[q]), int(self.qy[q]), k)
+                    idx, d2, _ = tree.knn_point(self.Q[q], k)
                     out_qid.append(np.full(len(idx), q, dtype=np.int64))
                     out_row.append(rows[idx])
                     out_d2.append(d2)
             else:
-                idx, d2 = brute_knn_batch(fx, fy, self.qx[qs], self.qy[qs], k, tie_key=key)
+                idx, d2 = brute_knn_nd(
+                    fc, [self.Q[qs, j] for j in range(d)], k, tie_key=key
+                )
                 k_eff = idx.shape[1]
                 out_qid.append(np.repeat(qs, k_eff))
                 out_row.append(rows[idx.ravel()])
@@ -584,14 +592,14 @@ def _topk_per_qid(qid: np.ndarray, dist2: np.ndarray, neighbor: np.ndarray, k: i
     return order[keep], ranks[keep] + 1
 
 
-def _seed_cells(index: PkdIndex, qx: np.ndarray, qy: np.ndarray, k: int) -> "_Pairs":
+def _seed_cells(index: PkdIndex, Q: np.ndarray, k: int) -> "_Pairs":
     """Phase A routing: for each query the nearest cells (by bbox
     min-distance) whose cumulative count reaches k.  Fully vectorized
     (mask over the per-query distance-sorted cell order)."""
     cells, counts, bboxes = _live(index)
     parts: list[_Pairs] = []
-    for s in range(0, len(qx), _CLASSIFY_CHUNK):
-        d2 = p2b_min_dist2(qx[s: s + _CLASSIFY_CHUNK], qy[s: s + _CLASSIFY_CHUNK], bboxes)
+    for s in range(0, len(Q), _CLASSIFY_CHUNK):
+        d2 = pnd_b_min_dist2(Q[s: s + _CLASSIFY_CHUNK], bboxes)
         order = np.argsort(d2, axis=1, kind="stable")
         csum = np.cumsum(counts[order], axis=1)
         enough = csum >= k
@@ -603,28 +611,28 @@ def _seed_cells(index: PkdIndex, qx: np.ndarray, qy: np.ndarray, k: int) -> "_Pa
     return _Pairs.concat(parts)
 
 
-def _knn_partials(index: PkdIndex, qx, qy, k, pairs: "_Pairs", cfg):
-    ref = ray.put((qx, qy, k, *_csr(pairs)))
+def _knn_partials(index: PkdIndex, Q, k, pairs: "_Pairs", cfg):
+    ref = ray.put((Q, k, *_csr(pairs)))
     needed = pairs.cell_list()
     return _scan_stage(
-        index.scan_cells(needed, columns=["cell", index.id_col, "x", "y"]),
+        index.scan_cells(needed, columns=["cell", index.id_col, *cfg.dims]),
         _KnnScan,
-        (ref, index.id_col, cfg.leaf_size, cfg.brute_force_cutoff),
+        (ref, cfg.dims, index.id_col, cfg.leaf_size, cfg.brute_force_cutoff),
         cfg,
         len(needed),
     )
 
 
-def _knn_partials_frame(index: PkdIndex, qx, qy, k, pairs: "_Pairs", cfg):
+def _knn_partials_frame(index: PkdIndex, Q, k, pairs: "_Pairs", cfg):
     """Shrunk kNN partials as a pandas frame — via the resident shard
     pool when attached (in-memory scan, shard-side shrink), else the
     Dataset scan path."""
     pool = getattr(index, "pool", None)
     if pool is not None:
-        ref = ray.put((qx, qy, k, *_csr(pairs)))
+        ref = ray.put((Q, k, *_csr(pairs)))
         return pool.scan("knn", ref, pairs.cell_list()).to_pandas()
     return (
-        _knn_partials(index, qx, qy, k, pairs, cfg)
+        _knn_partials(index, Q, k, pairs, cfg)
         .map_batches(lambda t: _shrink_partials(t, k), batch_format="pyarrow")
         .to_pandas()
     )
@@ -644,15 +652,15 @@ def _shrink_partials(batch: pa.Table, k: int) -> pa.Table:
     return batch.take(pa.array(np.sort(rows)))
 
 
-def _exact_bounds(index: PkdIndex, qx, qy, k, cfg) -> np.ndarray:
+def _exact_bounds(index: PkdIndex, Q, k, cfg) -> np.ndarray:
     """Classic phase-A: scan seed cells, return per-query upper bound
     on the kth distance (the reference's guided-descent first pass)."""
-    m = len(qx)
+    m = len(Q)
     bounds = np.full(m, np.iinfo(np.int64).max, dtype=np.int64)
-    seed = _seed_cells(index, qx, qy, k)
+    seed = _seed_cells(index, Q, k)
     if not seed:
         return bounds
-    apdf = _knn_partials_frame(index, qx, qy, k, seed, cfg)
+    apdf = _knn_partials_frame(index, Q, k, seed, cfg)
     if len(apdf):
         aqid = apdf["qid"].to_numpy()
         ad2 = apdf["dist2"].to_numpy()
@@ -664,30 +672,36 @@ def _exact_bounds(index: PkdIndex, qx, qy, k, cfg) -> np.ndarray:
     return bounds
 
 
-def _density_bounds(index: PkdIndex, qx, qy, k, safety: int = 2) -> np.ndarray:
+def _density_bounds(index: PkdIndex, Q, k, safety: int = 2) -> np.ndarray:
     """Estimated kth-distance bound from directory stats alone (no
     scan): assume roughly uniform density in the query's home cell,
-    r_k^2 ~ safety * k * area / count.  NOT exact — every query is
-    verified after the scan and repaired exactly if the estimate was
-    too small (see ``knn``)."""
+    r_k^2 ~ (safety * k * volume / count)^(2/d).  NOT exact — every
+    query is verified after the scan and repaired exactly if the
+    estimate was too small (see ``knn``)."""
     d = index.directory
-    idx = d.index_of(d.assign(qx, qy))
+    nd = index.config.ndim
+    idx = d.index_of(d.assign_nd([Q[:, j] for j in range(nd)]))
     counts = d.counts[idx]
     bb = d.bboxes[idx]
-    area = (bb[:, 2] - bb[:, 0] + 1) * (bb[:, 3] - bb[:, 1] + 1)
+    # float to avoid overflow at d >= 3 (volume alone can reach 2^60)
+    vol = np.ones(len(bb), dtype=np.float64)
+    for j in range(nd):
+        vol *= (bb[:, nd + j] - bb[:, j] + 1).astype(np.float64)
     with np.errstate(divide="ignore"):
-        est = (safety * np.int64(k) * area) // np.maximum(counts, 1)
+        r_d = safety * float(k) * vol / np.maximum(counts, 1)  # ~ r^d
+    est_f = np.power(r_d, 2.0 / nd)
+    est = np.minimum(est_f, float(np.iinfo(np.int64).max // 4)).astype(np.int64)
     est = np.maximum(est, 4)  # never a zero-radius bound
     # empty home cell -> no basis for an estimate
     est[counts == 0] = np.iinfo(np.int64).max
     return est
 
 
-def _candidate_pairs(index: PkdIndex, qx, qy, bounds) -> "_Pairs":
+def _candidate_pairs(index: PkdIndex, Q, bounds) -> "_Pairs":
     cells, counts, bboxes = _live(index)
     parts: list[_Pairs] = []
-    for s in range(0, len(qx), _CLASSIFY_CHUNK):
-        d2 = p2b_min_dist2(qx[s: s + _CLASSIFY_CHUNK], qy[s: s + _CLASSIFY_CHUNK], bboxes)
+    for s in range(0, len(Q), _CLASSIFY_CHUNK):
+        d2 = pnd_b_min_dist2(Q[s: s + _CLASSIFY_CHUNK], bboxes)
         qi, ci = np.nonzero(d2 <= bounds[s: s + d2.shape[0], None])
         parts.append(_Pairs(cells[ci], (qi + s).astype(np.int64)))
     return _Pairs.concat(parts)
@@ -702,8 +716,17 @@ def _merge_topk_driver(pdf, k):
 
 
 def knn(index: PkdIndex, qx: np.ndarray, qy: np.ndarray, k: int, config=None):
+    """2-D batch kNN — see :func:`knn_nd`."""
+    Q = np.stack(
+        [np.asarray(qx, dtype=np.int64), np.asarray(qy, dtype=np.int64)], axis=1
+    )
+    return knn_nd(index, Q, k, config)
+
+
+def knn_nd(index: PkdIndex, Q: np.ndarray, k: int, config=None):
     """Batch kNN -> (qid, rank, neighbor, dist2); squared distances,
     ties broken by (dist2, neighbor id), rank 1-based.  Exact.
+    ``Q``: (m, d) query matrix in the index's dimensionality.
 
     Strategy (the distributed analog of guided descent + sibling
     pruning, ``nn_search.hpp:108-125``):
@@ -725,9 +748,10 @@ def knn(index: PkdIndex, qx: np.ndarray, qy: np.ndarray, k: int, config=None):
     two-phase bound).
     """
     cfg = config or index.config
-    qx = np.asarray(qx, dtype=np.int64)
-    qy = np.asarray(qy, dtype=np.int64)
-    m = len(qx)
+    Q = np.asarray(Q, dtype=np.int64)
+    if Q.ndim != 2 or Q.shape[1] != cfg.ndim:
+        raise ValueError(f"query matrix must be (m, {cfg.ndim})")
+    m = len(Q)
 
     def empty():
         return pa.table(
@@ -746,9 +770,9 @@ def knn(index: PkdIndex, qx: np.ndarray, qy: np.ndarray, k: int, config=None):
         # distributed path: exact two-phase + groupby(qid) merge (the
         # pool path below handles large results itself — its merge runs
         # as parallel qid-slice tasks and returns a ref-backed Dataset)
-        bounds = _exact_bounds(index, qx, qy, k, cfg)
-        pairs = _candidate_pairs(index, qx, qy, bounds)
-        partials = _knn_partials(index, qx, qy, k, pairs, cfg).map_batches(
+        bounds = _exact_bounds(index, Q, k, cfg)
+        pairs = _candidate_pairs(index, Q, bounds)
+        partials = _knn_partials(index, Q, k, pairs, cfg).map_batches(
             lambda t: _shrink_partials(t, k), batch_format="pyarrow"
         )
 
@@ -770,7 +794,7 @@ def knn(index: PkdIndex, qx: np.ndarray, qy: np.ndarray, k: int, config=None):
         return partials.groupby("qid").map_groups(topk, batch_format="pyarrow")
 
     # fast path: density-estimated bound, one scan, exact repair
-    bounds = _density_bounds(index, qx, qy, k)
+    bounds = _density_bounds(index, Q, k)
     k_eff_pool = min(k, index.total_rows)
     pool = getattr(index, "pool", None)
     if pool is not None:
@@ -778,12 +802,12 @@ def knn(index: PkdIndex, qx: np.ndarray, qy: np.ndarray, k: int, config=None):
         # queries x cells candidate pass); merge + verification run in
         # parallel tasks over qid slices for large results, which come
         # back as a ref-backed Dataset that never lands on the driver
-        merged, uidx = pool.knn_topk(qx, qy, k, bounds, k_eff_pool)
+        merged, uidx = pool.knn_topk(Q, k, bounds, k_eff_pool)
         repair_tbl = None
         if len(uidx):
-            b2 = _exact_bounds(index, qx[uidx], qy[uidx], k, cfg)
-            pairs2 = _candidate_pairs(index, qx[uidx], qy[uidx], b2)
-            pdf2 = _knn_partials_frame(index, qx[uidx], qy[uidx], k, pairs2, cfg)
+            b2 = _exact_bounds(index, Q[uidx], k, cfg)
+            pairs2 = _candidate_pairs(index, Q[uidx], b2)
+            pdf2 = _knn_partials_frame(index, Q[uidx], k, pairs2, cfg)
             q2, r2, n2, d2_ = _merge_topk_driver(pdf2, k)
             repair_tbl = pa.table(
                 {
@@ -805,8 +829,8 @@ def knn(index: PkdIndex, qx: np.ndarray, qy: np.ndarray, k: int, config=None):
             merged = merged.union(_rd.from_arrow(repair_tbl))
         return merged
 
-    pairs = _candidate_pairs(index, qx, qy, bounds)
-    pdf = _knn_partials_frame(index, qx, qy, k, pairs, cfg)
+    pairs = _candidate_pairs(index, Q, bounds)
+    pdf = _knn_partials_frame(index, Q, k, pairs, cfg)
     rq, rr, rn, rd = (
         _merge_topk_driver(pdf, k)
         if len(pdf)
@@ -824,9 +848,9 @@ def knn(index: PkdIndex, qx: np.ndarray, qy: np.ndarray, k: int, config=None):
     unsafe = (found < k_eff) | (kth > bounds)
     if unsafe.any():
         uidx = np.nonzero(unsafe)[0]
-        b2 = _exact_bounds(index, qx[uidx], qy[uidx], k, cfg)
-        pairs2 = _candidate_pairs(index, qx[uidx], qy[uidx], b2)
-        pdf2 = _knn_partials_frame(index, qx[uidx], qy[uidx], k, pairs2, cfg)
+        b2 = _exact_bounds(index, Q[uidx], k, cfg)
+        pairs2 = _candidate_pairs(index, Q[uidx], b2)
+        pdf2 = _knn_partials_frame(index, Q[uidx], k, pairs2, cfg)
         q2, r2, n2, d2_ = _merge_topk_driver(pdf2, k)
         keep = ~np.isin(rq, uidx)
         rq = np.concatenate([rq[keep], uidx[q2]])

@@ -49,10 +49,13 @@ class IndexShard:
     tasks (build/update pipelines) sharing the cluster.  Actual scan
     concurrency is bounded by the fan-out of each query batch."""
 
-    def __init__(self, id_col: str, leaf_size: int, cutoff: int):
+    def __init__(self, id_col: str, dims: tuple[str, ...], leaf_size: int, cutoff: int):
         self.id_col = id_col
+        self.dims = tuple(dims)
+        self.nd = len(self.dims)
         self.leaf_size = leaf_size
         self.cutoff = cutoff
+        #: cells[cell] = (file_key, ids, [per-dim coord arrays], bbox(2d,))
         self.cells: dict[int, tuple] = {}
         self.trees: dict[int, object] = {}
 
@@ -71,7 +74,7 @@ class IndexShard:
             cur = self.cells.get(cell)
             if cur is not None and cur[0] == key:
                 continue
-            ts = [pq.read_table(f, columns=[self.id_col, "x", "y"]) for f in files]
+            ts = [pq.read_table(f, columns=[self.id_col, *self.dims]) for f in files]
             t = pa.concat_tables(ts) if len(ts) > 1 else ts[0]
             if tombs:
                 dead = np.unique(
@@ -88,31 +91,32 @@ class IndexShard:
                     t[self.id_col].to_numpy(zero_copy_only=False), dead
                 )
                 t = t.filter(pa.array(keep))
-            x = np.ascontiguousarray(t["x"].to_numpy())
-            y = np.ascontiguousarray(t["y"].to_numpy())
-            bbox = (
-                np.array([x.min(), y.min(), x.max(), y.max()], dtype=np.int64)
-                if len(x)
-                else np.array([0, 0, -1, -1], dtype=np.int64)
-            )
+            fc = [np.ascontiguousarray(t[dc].to_numpy()) for dc in self.dims]
+            if len(fc[0]):
+                bbox = np.array(
+                    [c.min() for c in fc] + [c.max() for c in fc], dtype=np.int64
+                )
+            else:
+                bbox = np.array(
+                    [0] * self.nd + [-1] * self.nd, dtype=np.int64
+                )
             self.cells[cell] = (
                 key,
                 t[self.id_col].to_numpy(zero_copy_only=False),
-                x,
-                y,
+                fc,
                 bbox,
             )
             self.trees.pop(cell, None)
         return int(sum(len(v[1]) for v in self.cells.values()))
 
-    def _tree(self, cell: int, fx: np.ndarray, fy: np.ndarray):
-        from pkd_tree_ray.kdtree import KDTree2D
+    def _tree(self, cell: int, fc: list[np.ndarray]):
+        from pkd_tree_ray.kdtree import KDTreeND
 
         t = self.trees.get(cell)
         if t is None:
             # tie_key = the cell's resident ids, so the bounded kNN
             # queue breaks kth-distance ties by neighbor id (ADVICE r1)
-            t = KDTree2D(fx, fy, tie_key=self.cells[cell][1])
+            t = KDTreeND(fc, tie_key=self.cells[cell][1])
             self.trees[cell] = t
         return t
 
@@ -123,21 +127,23 @@ class IndexShard:
         against only this shard's cells) are answered with the
         cache-blocked brute kernel.  Returns shrunk per-query top-k
         partials (qid, neighbor, dist2)."""
-        from pkd_tree_ray.kdtree import brute_knn_batch
+        from pkd_tree_ray.kdtree import brute_knn_nd, brute_range_filter_nd
         from pkd_tree_ray.queries import _topk_per_qid
 
-        from pkd_tree_ray.kdtree import brute_range_filter
-
-        qx, qy, k, bounds = payload
+        Q, k, bounds = payload  # Q: (m, d) query matrix
+        nd = self.nd
+        Qc = [np.ascontiguousarray(Q[:, j]) for j in range(nd)]
         out_q: list[np.ndarray] = []
         out_n: list[np.ndarray] = []
         out_d: list[np.ndarray] = []
-        for cell, (key, ids, x, y, bbox) in self.cells.items():
-            if len(x) == 0:
+        for cell, (key, ids, fc, bbox) in self.cells.items():
+            if len(fc[0]) == 0:
                 continue
-            dx = np.maximum(np.maximum(bbox[0] - qx, qx - bbox[2]), 0)
-            dy = np.maximum(np.maximum(bbox[1] - qy, qy - bbox[3]), 0)
-            bd2 = dx * dx + dy * dy
+            dj = np.maximum(np.maximum(bbox[0] - Qc[0], Qc[0] - bbox[nd]), 0)
+            bd2 = dj * dj
+            for j in range(1, nd):
+                dj = np.maximum(np.maximum(bbox[j] - Qc[j], Qc[j] - bbox[nd + j]), 0)
+                bd2 += dj * dj
             qs = np.nonzero(bd2 <= bounds)[0]
             if not len(qs):
                 continue
@@ -152,14 +158,14 @@ class IndexShard:
             hq = qs[home]
             fq = qs[~home]
             if len(hq):
-                idx, d2 = brute_knn_batch(x, y, qx[hq], qy[hq], k, tie_key=ids)
+                idx, d2 = brute_knn_nd(fc, [c[hq] for c in Qc], k, tie_key=ids)
                 k_eff = idx.shape[1]
                 out_q.append(np.repeat(hq, k_eff))
                 out_n.append(ids[idx.ravel()])
                 out_d.append(d2.ravel())
             if len(fq):
-                qi, pi, d2f = brute_range_filter(
-                    x, y, qx[fq], qy[fq], bounds[fq]
+                qi, pi, d2f = brute_range_filter_nd(
+                    fc, [c[fq] for c in Qc], bounds[fq]
                 )
                 if len(qi):
                     if len(qi) > 4 * k * len(fq):
@@ -200,19 +206,19 @@ class IndexShard:
         scan."""
         dead = ray.get(dead_ref) if isinstance(dead_ref, ray.ObjectRef) else dead_ref
         out = {}
-        for cell, (key, ids, x, y, bbox) in self.cells.items():
+        for cell, (key, ids, fc, bbox) in self.cells.items():
             n = int(np.isin(ids, dead).sum())
             if n:
                 out[cell] = n
         return out
 
     def _batch(self, cell: int, with_id: bool) -> pa.Table:
-        key, ids, x, y, bbox = self.cells[cell]
-        cols = {"cell": pa.array(np.full(len(x), cell, dtype=np.int64))}
+        key, ids, fc, bbox = self.cells[cell]
+        cols = {"cell": pa.array(np.full(len(fc[0]), cell, dtype=np.int64))}
         if with_id:
             cols[self.id_col] = pa.array(ids)
-        cols["x"] = pa.array(x)
-        cols["y"] = pa.array(y)
+        for dc, c in zip(self.dims, fc):
+            cols[dc] = pa.array(c)
         return pa.table(cols)
 
     def scan(self, kind: str, payload, wanted: np.ndarray) -> pa.Table:
@@ -222,16 +228,16 @@ class IndexShard:
         from pkd_tree_ray import queries as q
 
         if kind == "range_count":
-            kernel = q._RangeCountScan(payload, self.leaf_size, self.cutoff, self._tree)
+            kernel = q._RangeCountScan(payload, self.dims, self.leaf_size, self.cutoff, self._tree)
             with_id = False
         elif kind == "circle_count":
-            kernel = q._CircleCountScan(payload, self.leaf_size, self.cutoff, self._tree)
+            kernel = q._CircleCountScan(payload, self.dims, self.leaf_size, self.cutoff, self._tree)
             with_id = False
         elif kind == "range_report":
-            kernel = q._RangeReportScan(payload, self.id_col)
+            kernel = q._RangeReportScan(payload, self.dims, self.id_col)
             with_id = True
         elif kind == "knn":
-            kernel = q._KnnScan(payload, self.id_col, self.leaf_size, self.cutoff, self._tree)
+            kernel = q._KnnScan(payload, self.dims, self.id_col, self.leaf_size, self.cutoff, self._tree)
             with_id = True
         else:  # pragma: no cover
             raise ValueError(kind)
@@ -254,8 +260,8 @@ class IndexShard:
         cols = {"cell": pa.array([], pa.int64())}
         if with_id:
             cols[self.id_col] = pa.array([], pa.int64())
-        cols["x"] = pa.array([], pa.int64())
-        cols["y"] = pa.array([], pa.int64())
+        for dc in self.dims:
+            cols[dc] = pa.array([], pa.int64())
         return pa.table(cols)
 
 
@@ -339,7 +345,7 @@ class ShardedQueryPool:
         cfg = index.config
         self.n_shards = n_shards
         self.actors = [
-            IndexShard.remote(index.id_col, cfg.leaf_size, cfg.brute_force_cutoff)
+            IndexShard.remote(index.id_col, cfg.dims, cfg.leaf_size, cfg.brute_force_cutoff)
             for _ in range(n_shards)
         ]
         self.owner: dict[int, int] = {}
@@ -395,11 +401,11 @@ class ShardedQueryPool:
         ]
         return pa.concat_tables(ray.get(futs))
 
-    def knn_partials(self, qx: np.ndarray, qy: np.ndarray, k: int, bounds: np.ndarray):
+    def knn_partials(self, Q: np.ndarray, k: int, bounds: np.ndarray):
         """One-hop kNN partials: broadcast (queries, bounds) once; every
         shard classifies against its own cells and answers locally.
-        Returns the concatenated shrunk partial table."""
-        ref = ray.put((qx, qy, k, bounds))
+        Returns the concatenated shrunk partial table.  Q: (m, d)."""
+        ref = ray.put((Q, k, bounds))
         return pa.concat_tables(
             ray.get([a.knn_auto.remote(ref) for a in self.actors])
         )
@@ -408,7 +414,7 @@ class ShardedQueryPool:
     #: Ray tasks over qid slices instead of one driver-side lexsort
     _DRIVER_MERGE_ROWS = 400_000
 
-    def knn_topk(self, qx: np.ndarray, qy: np.ndarray, k: int, bounds: np.ndarray, k_eff: int):
+    def knn_topk(self, Q: np.ndarray, k: int, bounds: np.ndarray, k_eff: int):
         """Final ranked top-k + verification.
 
         Returns ``(result, unsafe_qids)`` where unsafe queries (bound
@@ -420,9 +426,9 @@ class ShardedQueryPool:
         Dataset that never materializes on the driver."""
         from pkd_tree_ray.queries import _topk_per_qid
 
-        ref = ray.put((qx, qy, k, bounds))
+        ref = ray.put((Q, k, bounds))
         part_refs = [a.knn_auto.remote(ref) for a in self.actors]
-        m = len(qx)
+        m = len(Q)
         if m * k <= self._DRIVER_MERGE_ROWS:
             pdf = pa.concat_tables(ray.get(part_refs))
             qid = pdf["qid"].to_numpy()

@@ -22,7 +22,15 @@ import numpy as np
 import pyarrow as pa
 
 from pkd_tree_ray.fixtures import phash_to_xy
-from pkd_tree_ray.hashing import COORD_MOD, XA, YA, mulhash_coord, sql_coord_exprs
+from pkd_tree_ray.hashing import (
+    COORD_MOD,
+    XA,
+    YA,
+    ZA,
+    mulhash_coord,
+    sql_coord_exprs,
+    sql_coord_exprs_3d,
+)
 
 
 # --- image path ---------------------------------------------------------
@@ -110,6 +118,31 @@ def lineitem_points_amplified(sf_dir: str, rep: int):
     ).map_batches(derive, batch_format="pyarrow")
 
 
+def lineitem_points_3d(sf_dir: str):
+    """d=3 point table (the reference's headline dimensionality — its
+    build/kNN baselines are d=3, ``script/data/build.csv``): same pids,
+    z from a third SQL-exact multiplicative hash."""
+    import ray.data as rd
+
+    def derive(batch: pa.Table) -> pa.Table:
+        pid = (
+            batch["l_orderkey"].to_numpy() * 8
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        return pa.table(
+            {
+                "point_id": pid,
+                "x": mulhash_coord(pid, XA),
+                "y": mulhash_coord(pid, YA),
+                "z": mulhash_coord(pid, ZA),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    ).map_batches(derive, batch_format="pyarrow")
+
+
 def orders_points(sf_dir: str):
     """Secondary point table (insert-batch source — the reference's
     second input file convention, ``tests/test.cpp:555-561``)."""
@@ -183,6 +216,13 @@ def sql_lineitem_points() -> str:
     x, y = sql_coord_exprs(LINEITEM_PID)
     return (
         f"SELECT {LINEITEM_PID} AS point_id, {x} AS x, {y} AS y FROM lineitem"
+    )
+
+
+def sql_lineitem_points_3d() -> str:
+    x, y, z = sql_coord_exprs_3d(LINEITEM_PID)
+    return (
+        f"SELECT {LINEITEM_PID} AS point_id, {x} AS x, {y} AS y, {z} AS z FROM lineitem"
     )
 
 

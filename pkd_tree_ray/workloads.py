@@ -67,6 +67,36 @@ def knn_query_points(m: int = 20) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
+def range_boxes_3d() -> np.ndarray:
+    """12 cubes in [mins..., maxs...] layout — the d=3 mirror of
+    :func:`range_boxes` (the reference's range baselines run d=2,3,5;
+    ``script/data/range_count.csv``)."""
+    rng = _rng(20)
+    spans = [C // 50, C // 10, C // 4, (3 * C) // 5]
+    out = []
+    for span in spans:
+        for _ in range(3):
+            mins = [int(rng.randint(0, C - span)) for _ in range(3)]
+            out.append(mins + [m + span for m in mins])
+    return np.array(out, dtype=np.int64)
+
+
+def circles_3d() -> np.ndarray:
+    """8 balls (cx, cy, cz, r)."""
+    rng = _rng(21)
+    out = []
+    for r in [C // 20, C // 8, C // 4, (2 * C) // 5]:
+        for _ in range(2):
+            out.append([int(rng.randint(0, C)) for _ in range(3)] + [r])
+    return np.array(out, dtype=np.int64)
+
+
+def knn_query_points_3d(m: int = 20) -> np.ndarray:
+    """(m, 3) uniform query matrix (OOD convention as in 2-D)."""
+    rng = _rng(22)
+    return rng.randint(0, C, (m, 3)).astype(np.int64)
+
+
 def polygons() -> list[np.ndarray]:
     """3 convex CCW polygons (triangle, quad, hexagon) — literal
     vertices for the point-in-polygon join, expressible as half-plane
@@ -103,6 +133,30 @@ def sql_values_circles(cs: np.ndarray) -> str:
 def sql_values_points(qx: np.ndarray, qy: np.ndarray) -> str:
     rows = ", ".join(f"({i}, {x}, {y})" for i, (x, y) in enumerate(zip(qx, qy)))
     return f"(VALUES {rows}) AS q(qid, qx, qy)"
+
+
+def sql_values_boxes_3d(boxes: np.ndarray) -> str:
+    rows = ", ".join(
+        f"({i}, {b[0]}, {b[1]}, {b[2]}, {b[3]}, {b[4]}, {b[5]})"
+        for i, b in enumerate(boxes)
+    )
+    return (
+        f"(VALUES {rows}) AS q(qid, min_x, min_y, min_z, max_x, max_y, max_z)"
+    )
+
+
+def sql_values_circles_3d(cs: np.ndarray) -> str:
+    rows = ", ".join(
+        f"({i}, {c[0]}, {c[1]}, {c[2]}, {c[3]})" for i, c in enumerate(cs)
+    )
+    return f"(VALUES {rows}) AS q(qid, cx, cy, cz, r)"
+
+
+def sql_values_points_3d(Q: np.ndarray) -> str:
+    rows = ", ".join(
+        f"({i}, {p[0]}, {p[1]}, {p[2]})" for i, p in enumerate(Q)
+    )
+    return f"(VALUES {rows}) AS q(qid, qx, qy, qz)"
 
 
 def sql_polygon_predicate(verts: np.ndarray, xcol: str = "x", ycol: str = "y") -> str:
