@@ -158,21 +158,22 @@ class CellDirectory:
         """Build adaptive leaves from (sampled) full-depth Morton codes.
 
         ``codes`` are Morton codes at ``config.max_depth``; ``weights``
-        optional per-code multiplicities; ``scale`` inflates sampled
-        counts to full-population estimates.  Mirrors ``pick_pivots`` +
-        ``divide_rotate`` (``build_tree.hpp:18-70``): recursively split
-        any node whose estimated population exceeds the split
-        threshold.
+        optional per-code multiplicities (int or float — sampled
+        planners pass fractional population weights); ``scale``
+        inflates sampled counts to full-population estimates.  Mirrors
+        ``pick_pivots`` + ``divide_rotate`` (``build_tree.hpp:18-70``):
+        recursively split any node whose estimated population exceeds
+        the split threshold.
         """
         nd = config.ndim
         fanout = 1 << nd
         codes = np.asarray(codes, dtype=np.int64)
         if weights is None:
-            weights = np.ones(len(codes), dtype=np.int64)
+            weights = np.ones(len(codes), dtype=np.float64)
         codes_sorted = np.sort(codes, kind="stable")
         order = np.argsort(codes, kind="stable")
-        w_sorted = np.asarray(weights, dtype=np.int64)[order]
-        cum = np.concatenate([[0], np.cumsum(w_sorted)])
+        w_sorted = np.asarray(weights, dtype=np.float64)[order]
+        cum = np.concatenate([[0.0], np.cumsum(w_sorted)])
 
         # bulk build splits down to the target row count; the coarser
         # split_threshold (split_factor x target) is hysteresis used only
@@ -183,10 +184,10 @@ class CellDirectory:
         starts: list[int] = []
         depths: list[int] = []
 
-        def count_in(lo: int, hi: int) -> int:
+        def count_in(lo: int, hi: int) -> float:
             i = np.searchsorted(codes_sorted, lo, side="left")
             j = np.searchsorted(codes_sorted, hi, side="left")
-            return int(cum[j] - cum[i])
+            return float(cum[j] - cum[i])
 
         stack = [(0, 0)]  # (prefix, depth)
         while stack:
