@@ -255,7 +255,13 @@ def run_suite() -> dict:
     return result
 
 
-def run_scaling() -> None:
+def run_scaling(rounds: int | None = None) -> None:
+    """N interleaved (8-cpu, 32-cpu) suite pairs in fresh processes;
+    the reported efficiency is the MEDIAN of the per-pair throughput
+    efficiencies (r1 verdict: a best-of-N pass under ambient shared-
+    host load is fragile — the median is the honest statistic)."""
+    rounds = rounds or int(os.environ.get("GRAFT_SCALING_ROUNDS", "5"))
+
     def run_at(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
@@ -267,25 +273,35 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run_at(8), run_at(32)
-    eff_wall = (lo["value"] / hi["value"]) / (32 / 8)
-    # the pass metric: query THROUGHPUT (concurrent streams) per the
-    # north rule; wall-clock efficiency of the full suite also reported
-    eff_tp = (hi["concurrent_queries_per_sec"] / lo["concurrent_queries_per_sec"]) / (32 / 8)
+    pairs = []
+    for _ in range(rounds):
+        # interleaved so ambient host load hits both sides alike
+        pairs.append((run_at(8), run_at(32)))
+    effs_tp = sorted(
+        (hi["concurrent_queries_per_sec"] / lo["concurrent_queries_per_sec"]) / (32 / 8)
+        for lo, hi in pairs
+    )
+    effs_wall = sorted(
+        (lo["value"] / hi["value"]) / (32 / 8) for lo, hi in pairs
+    )
+    med_tp = effs_tp[len(effs_tp) // 2]
+    med_wall = effs_wall[len(effs_wall) // 2]
+    lo, hi = pairs[-1]
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency, num_cpus 8 -> 32 (N vs 4N)",
+                "metric": "scaling efficiency, num_cpus 8 -> 32 (N vs 4N), median of %d interleaved pairs" % rounds,
                 "sec_8": lo["value"],
                 "sec_32": hi["value"],
-                "qps_8": lo["concurrent_queries_per_sec"],
-                "qps_32": hi["concurrent_queries_per_sec"],
+                "qps_8": [p[0]["concurrent_queries_per_sec"] for p in pairs],
+                "qps_32": [p[1]["concurrent_queries_per_sec"] for p in pairs],
                 "queries_8": lo["queries"],
                 "queries_32": hi["queries"],
-                "throughput_scaling_efficiency": round(eff_tp, 3),
-                "wall_scaling_efficiency": round(eff_wall, 3),
-                "scaling_efficiency": round(eff_tp, 3),
-                "pass": eff_tp >= 0.8,
+                "throughput_efficiencies": [round(e, 3) for e in effs_tp],
+                "throughput_scaling_efficiency": round(med_tp, 3),
+                "wall_scaling_efficiency": round(med_wall, 3),
+                "scaling_efficiency": round(med_tp, 3),
+                "pass": med_tp >= 0.8,
             }
         )
     )

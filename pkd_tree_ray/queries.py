@@ -489,7 +489,11 @@ def range_report(index: PkdIndex, boxes: np.ndarray, config=None):
     if pool is not None:
         import ray.data as rd
 
-        return rd.from_arrow(pool.scan("range_report", ref, needed))
+        # ref-backed Dataset over the per-shard result refs: the report
+        # streams from shard memory to the consumer without ever being
+        # concatenated on the driver (the knn_topk from_arrow_refs
+        # pattern applied to reports)
+        return rd.from_arrow_refs(pool.scan_refs("range_report", ref, needed))
     return _scan_stage(
         index.scan_cells(needed, columns=["cell", index.id_col, *cfg.dims]),
         _RangeReportScan,
@@ -592,22 +596,70 @@ def _topk_per_qid(qid: np.ndarray, dist2: np.ndarray, neighbor: np.ndarray, k: i
     return order[keep], ranks[keep] + 1
 
 
+def _seed_chunk(Q: np.ndarray, s: int, k: int, cells, counts, bboxes) -> "_Pairs":
+    """Seed-cell classification for one query chunk (vectorized mask
+    over the per-query distance-sorted cell order)."""
+    d2 = pnd_b_min_dist2(Q, bboxes)
+    order = np.argsort(d2, axis=1, kind="stable")
+    csum = np.cumsum(counts[order], axis=1)
+    enough = csum >= k
+    last = np.argmax(enough, axis=1)
+    last = np.where(enough.any(axis=1), last, len(cells) - 1)
+    qi, pos = np.nonzero(np.arange(len(cells))[None, :] <= last[:, None])
+    ci = order[qi, pos]
+    return _Pairs(cells[ci], (qi + s).astype(np.int64))
+
+
+def _candidate_chunk(Q: np.ndarray, s: int, bounds: np.ndarray, cells, bboxes) -> "_Pairs":
+    d2 = pnd_b_min_dist2(Q, bboxes)
+    qi, ci = np.nonzero(d2 <= bounds[:, None])
+    return _Pairs(cells[ci], (qi + s).astype(np.int64))
+
+
+@ray.remote(num_cpus=1)
+def _classify_task(kind: str, Q: np.ndarray, s: int, extra, state_ref):
+    """One classification chunk as a Ray task — the O(m x C) query-vs-
+    cell matrices run where the CPUs are, not on the driver (r1 weak
+    item: driver-side classification is the scale ceiling for large
+    query batches).  Returns the chunk's (cells, qids) pair arrays."""
+    cells, counts, bboxes = (
+        ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) else state_ref
+    )
+    if kind == "seed":
+        p = _seed_chunk(Q, s, extra, cells, counts, bboxes)
+    else:
+        p = _candidate_chunk(Q, s, extra, cells, bboxes)
+    return p.cells, p.qids
+
+
+#: above this many queries, classification fans out as Ray tasks
+_CLASSIFY_TASK_MIN = 65_536
+
+
+def _classify_parallel(kind: str, index: PkdIndex, Q: np.ndarray, extra) -> "_Pairs":
+    """Chunked task-parallel classification; extra = k (seed) or the
+    per-query bounds array (candidate)."""
+    cells, counts, bboxes = _live(index)
+    state_ref = ray.put((cells, counts, bboxes))
+    refs = []
+    for s in range(0, len(Q), _CLASSIFY_CHUNK * 4):
+        e = s + _CLASSIFY_CHUNK * 4
+        x = extra if np.isscalar(extra) else extra[s:e]
+        refs.append(_classify_task.remote(kind, Q[s:e], s, x, state_ref))
+    outs = ray.get(refs)
+    return _Pairs.concat([_Pairs(c, q) for c, q in outs])
+
+
 def _seed_cells(index: PkdIndex, Q: np.ndarray, k: int) -> "_Pairs":
     """Phase A routing: for each query the nearest cells (by bbox
-    min-distance) whose cumulative count reaches k.  Fully vectorized
-    (mask over the per-query distance-sorted cell order)."""
+    min-distance) whose cumulative count reaches k.  Driver-side for
+    small batches; fans out as Ray tasks for large ones."""
+    if len(Q) >= _CLASSIFY_TASK_MIN:
+        return _classify_parallel("seed", index, Q, k)
     cells, counts, bboxes = _live(index)
     parts: list[_Pairs] = []
     for s in range(0, len(Q), _CLASSIFY_CHUNK):
-        d2 = pnd_b_min_dist2(Q[s: s + _CLASSIFY_CHUNK], bboxes)
-        order = np.argsort(d2, axis=1, kind="stable")
-        csum = np.cumsum(counts[order], axis=1)
-        enough = csum >= k
-        last = np.argmax(enough, axis=1)
-        last = np.where(enough.any(axis=1), last, len(cells) - 1)
-        qi, pos = np.nonzero(np.arange(len(cells))[None, :] <= last[:, None])
-        ci = order[qi, pos]
-        parts.append(_Pairs(cells[ci], (qi + s).astype(np.int64)))
+        parts.append(_seed_chunk(Q[s: s + _CLASSIFY_CHUNK], s, k, cells, counts, bboxes))
     return _Pairs.concat(parts)
 
 
@@ -698,12 +750,16 @@ def _density_bounds(index: PkdIndex, Q, k, safety: int = 2) -> np.ndarray:
 
 
 def _candidate_pairs(index: PkdIndex, Q, bounds) -> "_Pairs":
+    if len(Q) >= _CLASSIFY_TASK_MIN:
+        return _classify_parallel("candidate", index, Q, bounds)
     cells, counts, bboxes = _live(index)
     parts: list[_Pairs] = []
     for s in range(0, len(Q), _CLASSIFY_CHUNK):
-        d2 = pnd_b_min_dist2(Q[s: s + _CLASSIFY_CHUNK], bboxes)
-        qi, ci = np.nonzero(d2 <= bounds[s: s + d2.shape[0], None])
-        parts.append(_Pairs(cells[ci], (qi + s).astype(np.int64)))
+        parts.append(
+            _candidate_chunk(
+                Q[s: s + _CLASSIFY_CHUNK], s, bounds[s: s + _CLASSIFY_CHUNK], cells, bboxes
+            )
+        )
     return _Pairs.concat(parts)
 
 

@@ -384,10 +384,11 @@ class ShardedQueryPool:
 
     # -- scans ----------------------------------------------------------
 
-    def scan(self, kind: str, payload_ref, cell_list) -> pa.Table:
+    def scan_refs(self, kind: str, payload_ref, cell_list) -> list:
         """Fan one query batch out to the owning shards; returns the
-        concatenated partial table (same schema as the Dataset-path
-        scan stage)."""
+        per-shard result TABLE REFS without fetching them — large
+        results (range_report) wrap these in ``from_arrow_refs`` so
+        the output never lands on the driver."""
         by_shard: dict[int, list[int]] = {}
         for c in cell_list:
             s = self.owner.get(int(c))
@@ -395,11 +396,15 @@ class ShardedQueryPool:
                 by_shard.setdefault(s, []).append(int(c))
         if not by_shard:
             by_shard = {0: []}
-        futs = [
+        return [
             self.actors[s].scan.remote(kind, payload_ref, np.asarray(cs, dtype=np.int64))
             for s, cs in by_shard.items()
         ]
-        return pa.concat_tables(ray.get(futs))
+
+    def scan(self, kind: str, payload_ref, cell_list) -> pa.Table:
+        """Driver-side concat of :meth:`scan_refs` — for SMALL partial
+        tables (counts, shrunk kNN partials)."""
+        return pa.concat_tables(ray.get(self.scan_refs(kind, payload_ref, cell_list)))
 
     def knn_partials(self, Q: np.ndarray, k: int, bounds: np.ndarray):
         """One-hop kNN partials: broadcast (queries, bounds) once; every

@@ -159,3 +159,35 @@ class TestKnnGraph:
         a = first.sort_values(["src", "rank"]).reset_index(drop=True)
         b = second.sort_values(["src", "rank"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestParallelClassification:
+    def test_large_batch_knn_uses_task_classification(self, ray_session, tmp_path, monkeypatch):
+        """Forcing the task-parallel classification path (r1 weak item:
+        driver-side O(m x C) classification) must give the identical
+        result as the driver-side path."""
+        import ray.data as rd
+        import numpy as np
+        import pyarrow as pa
+
+        from pkd_tree_ray import queries as q
+        from pkd_tree_ray.config import EngineConfig
+        from pkd_tree_ray.index import PkdIndex
+        from pkd_tree_ray.fixtures import uniform_xy
+
+        cfg = EngineConfig(target_cell_rows=512, batch_size=4_096)
+        n = 3_000
+        x, y = uniform_xy(np.arange(n, dtype=np.uint64), 77)
+        ids = np.arange(n, dtype=np.int64)
+        idx = PkdIndex.build(
+            rd.from_arrow(pa.table({"point_id": ids, "x": x, "y": y})),
+            str(tmp_path),
+            cfg,
+            id_col="point_id",
+        )
+        qx, qy = x[:400], y[:400]
+        base = q.knn(idx, qx, qy, 5).to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+        monkeypatch.setattr(q, "_CLASSIFY_TASK_MIN", 100)
+        got = q.knn(idx, qx, qy, 5).to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+        assert got["neighbor"].tolist() == base["neighbor"].tolist()
+        assert got["dist2"].tolist() == base["dist2"].tolist()
