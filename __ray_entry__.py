@@ -254,11 +254,11 @@ def _q_fingerprints(sf_dir: str):
 
 
 def _q_minhash_neardup(sf_dir: str):
-    from pkd_tree_ray.text import jaccard_verify, minhash_candidates
+    from pkd_tree_ray.text import minhash_neardup
 
     docs = _docs(sf_dir)
-    cand = minhash_candidates(docs).to_pandas()
-    return jaccard_verify(docs, cand, threshold=0.5)
+    out = minhash_neardup(docs, threshold=0.5).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def _ann_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
@@ -341,7 +341,7 @@ def _q_ann_ivf(sf_dir: str):
 
     qids, qv = _ann_queries(sf_dir)
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    out = ann_ivf(emb, qv, k=5)
+    out = ann_ivf(emb, qv, k=5, path=_idx_path(sf_dir, "ivf"))
     return out.set_column(
         out.schema.get_field_index("qid"),
         "qid",

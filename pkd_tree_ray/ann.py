@@ -27,13 +27,23 @@ QUANT = 1_000
 
 
 def _emb_matrix(batch: pa.Table) -> np.ndarray:
-    """(n, d) float32 matrix from the list<float> column, zero-ish
-    copy via the flattened values buffer."""
-    col = batch["embedding"].combine_chunks()
-    arr = col if isinstance(col, pa.ListArray) else col.chunk(0)
-    d = len(arr[0])
-    flat = np.asarray(arr.values, dtype=np.float32)
-    return flat.reshape(len(arr), d)
+    """(n, d) float32 matrix from the embedding column, zero-ish copy
+    via the flattened values buffer.  Accepts list<float> /
+    fixed_size_list and Ray's Arrow tensor extension type."""
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.ChunkedArray):  # older pyarrow keeps chunking
+        col = col.chunk(0)
+    if isinstance(col, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
+        d = len(col[0])
+        flat = np.asarray(col.values, dtype=np.float32)
+        return flat.reshape(len(col), d)
+    # Ray tensor extension array / anything else: generic conversion
+    arr = col.to_numpy(zero_copy_only=False)
+    if isinstance(arr, np.ndarray) and arr.ndim == 2:
+        return arr.astype(np.float32, copy=False)
+    return np.stack([np.asarray(v, dtype=np.float32) for v in arr])
 
 
 def _quantize(m: np.ndarray) -> np.ndarray:
@@ -119,12 +129,21 @@ def embedding_neardup(
     Scale shape mirrors MinHash-LSH (text.py): random-hyperplane
     signatures (``bands`` bands of ``bits`` sign bits each, planes
     broadcast once) -> ``groupby(band, key)`` bucket shuffle of (id,
-    key) pairs only -> within-bucket candidate pairs -> exact cosine
-    verification over a broadcast semi-join fetch of just the candidate
-    vectors.  Recall < 1 by LSH design; precision exact.
-    -> (vec_a, vec_b, cos_permille)
+    key) pairs only -> within-bucket candidate pairs (oversized
+    buckets capped star+chain) -> DISTRIBUTED exact-cosine
+    verification: candidate vectors and pair edges meet in a groupby
+    join (:func:`pairjoin.pairwise_join_verify`) — nothing but the
+    candidate id list ever lands on the driver (r1 weak item).
+    Recall < 1 by LSH design; precision exact.
+    -> pa.Table (vec_a, vec_b, cos_permille)
     """
     import pandas as pd
+
+    from pkd_tree_ray.pairjoin import (
+        bucket_pairs_capped,
+        pairwise_join_verify,
+        semi_filter_ids,
+    )
 
     rng = np.random.RandomState(seed)
     first = embeddings.limit(1).to_pandas()
@@ -154,11 +173,8 @@ def embedding_neardup(
         )
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group["vec_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": []}, dtype=np.int64)
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"vec_a": ids[a], "vec_b": ids[b]})
+        a, b = bucket_pairs_capped(group["vec_id"].to_numpy())
+        return pd.DataFrame({"vec_a": a, "vec_b": b})
 
     from ray.data.aggregate import Count
 
@@ -170,9 +186,26 @@ def embedding_neardup(
         .groupby(["vec_a", "vec_b"])
         .aggregate(Count(alias_name="nb"))
         .select_columns(["vec_a", "vec_b"])
+    )
+
+    def both_ids(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    np.concatenate(
+                        [batch["vec_a"].to_numpy(), batch["vec_b"].to_numpy()]
+                    )
+                )
+            }
+        )
+
+    idf = (
+        cand.map_batches(both_ids, batch_format="pyarrow")
+        .groupby("vec_id")
+        .aggregate(Count(alias_name="n"))
         .to_pandas()
     )
-    if not len(cand):
+    if not len(idf):
         return pa.table(
             {
                 "vec_a": pa.array([], pa.int64()),
@@ -180,39 +213,232 @@ def embedding_neardup(
                 "cos_permille": pa.array([], pa.int64()),
             }
         )
-    # exact verification: broadcast semi-join fetch of candidate vectors
-    cand_ids = np.unique(
-        np.concatenate([cand["vec_a"].to_numpy(), cand["vec_b"].to_numpy()])
+    payload = semi_filter_ids(
+        embeddings.select_columns(["vec_id", "embedding"]),
+        "vec_id",
+        idf["vec_id"].to_numpy(dtype=np.int64),
     )
-    idref = ray.put(cand_ids)
 
-    def semi(batch: pa.Table) -> pa.Table:
-        ids = ray.get(idref)
-        keep = np.isin(batch["vec_id"].to_numpy(), ids)
-        return batch.filter(pa.array(keep))
+    thr = threshold
 
-    fetched = (
-        embeddings.select_columns(["vec_id", "embedding"])
-        .map_batches(semi, batch_format="pyarrow")
-        .to_pandas()
-    )
-    vecs = {
-        int(i): np.asarray(v, dtype=np.float64)
-        for i, v in zip(fetched["vec_id"], fetched["embedding"])
-    }
-    out_a, out_b, out_c = [], [], []
-    for a, b in zip(cand["vec_a"], cand["vec_b"]):
-        va, vb = vecs[int(a)], vecs[int(b)]
+    def verify_fn(va: np.ndarray, vb: np.ndarray):
+        va = va.astype(np.float64)
+        vb = vb.astype(np.float64)
         cos = float(va @ vb / max(np.linalg.norm(va) * np.linalg.norm(vb), 1e-30))
-        if cos >= threshold:
-            out_a.append(int(a))
-            out_b.append(int(b))
-            out_c.append(int(cos * 1000))
+        return int(cos * 1000) if cos >= thr else None
+
+    out = pairwise_join_verify(
+        payload, cand, "vec_id", "vec_a", "vec_b", "embedding", pa.float32(),
+        verify_fn, "cos_permille",
+    ).to_pandas()
+    out = out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     return pa.table(
         {
-            "vec_a": pa.array(out_a, pa.int64()),
-            "vec_b": pa.array(out_b, pa.int64()),
-            "cos_permille": pa.array(out_c, pa.int64()),
+            "vec_a": pa.array(out["vec_a"].to_numpy(dtype=np.int64), pa.int64()),
+            "vec_b": pa.array(out["vec_b"].to_numpy(dtype=np.int64), pa.int64()),
+            "cos_permille": pa.array(out["cos_permille"].to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+class IvfIndex:
+    """Persisted IVF index: centroid manifest + one list-partitioned
+    Parquet file per inverted list.
+
+    The r1 implementation re-scanned (and re-centroid-assigned) the
+    ENTIRE embeddings table on every query call — at scale that's a
+    full corpus read per batch, defeating IVF's point.  This is the
+    build/probe split: ``build`` assigns rows once and writes
+    ``lists/list-<c>.parquet`` files (resumable: existing files of the
+    layout are kept), ``query`` reads ONLY the probed lists' files
+    (``last_files_read`` records them for the access-bound tests).
+    Same two-level shape as PkdIndex: small broadcast routing state
+    (centroids) + partitioned data.
+    """
+
+    def __init__(self, path: str, centroids: np.ndarray, list_files: dict[int, str]):
+        self.path = path
+        self.centroids = centroids
+        self.list_files = list_files
+        self.last_files_read: list[str] = []
+
+    @classmethod
+    def build(
+        cls,
+        embeddings,
+        path: str,
+        n_lists: int = 16,
+        sample_rows: int = 2_048,
+        seed: int = 42,
+        resume: bool = True,
+    ) -> "IvfIndex":
+        import json
+        import os
+
+        manifest = os.path.join(path, "ivf_manifest.json")
+        if resume and os.path.exists(manifest):
+            return cls.open(path)
+        os.makedirs(os.path.join(path, "lists"), exist_ok=True)
+        sample = embeddings.limit(sample_rows).to_pandas()
+        sm = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+        rng = np.random.RandomState(seed)
+        cent = sm[rng.choice(len(sm), size=min(n_lists, len(sm)), replace=False)]
+        for _ in range(5):  # Lloyd-lite
+            d = ((sm[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(axis=1)
+            for c in range(len(cent)):
+                members = sm[a == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        cref = ray.put(cent)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            cent_ = ray.get(cref)
+            pm = _emb_matrix(batch).astype(np.float64)
+            d = ((pm[:, None, :] - cent_[None, :, :]) ** 2).sum(-1)
+            return batch.append_column(
+                "list_id", pa.array(d.argmin(axis=1).astype(np.int64))
+            )
+
+        def write_list(group: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            c = int(group["list_id"][0].as_py())
+            final = os.path.join(path, "lists", f"list-{c:05d}.parquet")
+            if not (resume and os.path.exists(final)):
+                tmp = final + ".tmp"
+                pq.write_table(group, tmp)
+                os.replace(tmp, final)
+            return pa.table(
+                {"list_id": pa.array([c], pa.int64()), "rows": pa.array([group.num_rows], pa.int64())}
+            )
+
+        rows = (
+            embeddings.select_columns(["vec_id", "embedding"])
+            .map_batches(assign, batch_format="pyarrow")
+            .groupby("list_id")
+            .map_groups(write_list, batch_format="pyarrow")
+            .to_pandas()
+        )
+        list_files = {
+            int(r["list_id"]): os.path.join(path, "lists", f"list-{int(r['list_id']):05d}.parquet")
+            for r in rows.to_dict("records")
+        }
+        with open(manifest + ".tmp", "w") as f:
+            json.dump(
+                {
+                    "centroids": cent.tolist(),
+                    "list_files": {str(k): v for k, v in list_files.items()},
+                },
+                f,
+            )
+        os.replace(manifest + ".tmp", manifest)
+        return cls(path, cent, list_files)
+
+    @classmethod
+    def open(cls, path: str) -> "IvfIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "ivf_manifest.json")) as f:
+            m = json.load(f)
+        return cls(
+            path,
+            np.asarray(m["centroids"], dtype=np.float64),
+            {int(k): v for k, v in m["list_files"].items()},
+        )
+
+    def query(self, query_vecs: np.ndarray, k: int, nprobe: int = 4) -> pa.Table:
+        import ray.data as rd
+
+        cent = self.centroids
+        q = np.asarray(query_vecs, dtype=np.float64)
+        qd = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        probes = np.argsort(qd, axis=1)[:, :nprobe]  # (m, nprobe)
+        lists: dict[int, np.ndarray] = {
+            int(c): np.nonzero((probes == c).any(axis=1))[0]
+            for c in np.unique(probes)
+        }
+        needed = sorted(c for c in lists if c in self.list_files)
+        self.last_files_read = [self.list_files[c] for c in needed]
+        if not needed:
+            return _empty_topk()
+        lref = ray.put(lists)
+        qref = ray.put(q)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            lists_ = ray.get(lref)
+            qv = ray.get(qref)
+            pm = _emb_matrix(batch).astype(np.float64)
+            vid = batch["vec_id"].to_numpy()
+            assign = batch["list_id"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for c in np.unique(assign):
+                qs = lists_.get(int(c), np.empty(0, np.int64))
+                if not len(qs):
+                    continue
+                rows = np.nonzero(assign == c)[0]
+                pq_ = _quantize(pm[rows])
+                qq = _quantize(qv[qs])
+                score = (
+                    (qq * qq).sum(axis=1)[:, None]
+                    - 2 * (qq @ pq_.T)
+                    + (pq_ * pq_).sum(axis=1)[None, :]
+                )
+                kk = min(k, score.shape[1])
+                part = np.argpartition(score, kk - 1, axis=1)[:, :kk]
+                out_q.append(np.repeat(qs, kk))
+                out_n.append(vid[rows[part.ravel()]])
+                out_s.append(np.take_along_axis(score, part, axis=1).ravel())
+            if not out_q:
+                return pa.table(
+                    {
+                        "qid": pa.array([], pa.int64()),
+                        "neighbor": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "qid": np.concatenate(out_q),
+                    "neighbor": np.concatenate(out_n),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+        pdf = (
+            rd.read_parquet(self.last_files_read, columns=["vec_id", "embedding", "list_id"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas()
+        )
+        if not len(pdf):
+            return _empty_topk()
+        qid = pdf["qid"].to_numpy()
+        nb = pdf["neighbor"].to_numpy()
+        sc = pdf["score"].to_numpy()
+        order = np.lexsort((nb, sc, qid))
+        qs = qid[order]
+        uq, starts, cnts = np.unique(qs, return_index=True, return_counts=True)
+        ranks = np.arange(len(qs), dtype=np.int64) - np.repeat(starts, cnts)
+        keep = ranks < k
+        rows = order[keep]
+        return pa.table(
+            {
+                "qid": pa.array(qid[rows], pa.int64()),
+                "rank": pa.array(ranks[keep] + 1, pa.int64()),
+                "neighbor": pa.array(nb[rows], pa.int64()),
+                "score": pa.array(sc[rows], pa.int64()),
+            }
+        )
+
+
+def _empty_topk() -> pa.Table:
+    return pa.table(
+        {
+            "qid": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "neighbor": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64()),
         }
     )
 
@@ -225,103 +451,21 @@ def ann_ivf(
     nprobe: int = 4,
     sample_rows: int = 2_048,
     seed: int = 42,
+    path: str | None = None,
 ):
-    """IVF approximate top-k: centroids from a deterministic sample
-    (a few Lloyd iterations on the driver), rows assigned to nearest
-    centroid inside ``map_batches``, each query scans its ``nprobe``
-    nearest lists.  Recall < 1 by design; tested against the
-    brute-force baseline for recall, not equality.
+    """IVF approximate top-k via a PERSISTED list-partitioned index
+    (:class:`IvfIndex`): build once under ``path`` (resumable), then
+    each query batch reads only its ``nprobe`` lists' files.  Recall
+    < 1 by design; tested against the brute-force baseline for recall,
+    not equality.
 
     -> pa.Table (qid, rank, neighbor, score)  [score = quantized L2]
     """
-    sample = embeddings.limit(sample_rows).to_pandas()
-    sm = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
-    rng = np.random.RandomState(seed)
-    cent = sm[rng.choice(len(sm), size=min(n_lists, len(sm)), replace=False)]
-    for _ in range(5):  # Lloyd-lite
-        d = ((sm[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-        a = d.argmin(axis=1)
-        for c in range(len(cent)):
-            members = sm[a == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
-    cref = ray.put(cent)
-    q = np.asarray(query_vecs, dtype=np.float64)
-    qd = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-    probes = np.argsort(qd, axis=1)[:, :nprobe]  # (m, nprobe)
-    # per-list query sets
-    lists: dict[int, np.ndarray] = {
-        int(c): np.nonzero((probes == c).any(axis=1))[0] for c in range(len(cent))
-    }
-    lref = ray.put(lists)
-    qref = ray.put(q)
+    if path is None:
+        import tempfile
 
-    def partial(batch: pa.Table) -> pa.Table:
-        cent_ = ray.get(cref)
-        lists_ = ray.get(lref)
-        qv = ray.get(qref)
-        pm = _emb_matrix(batch).astype(np.float64)
-        vid = batch["vec_id"].to_numpy()
-        d = ((pm[:, None, :] - cent_[None, :, :]) ** 2).sum(-1)
-        assign = d.argmin(axis=1)
-        out_q, out_n, out_s = [], [], []
-        for c in np.unique(assign):
-            qs = lists_.get(int(c), np.empty(0, np.int64))
-            if not len(qs):
-                continue
-            rows = np.nonzero(assign == c)[0]
-            pq = _quantize(pm[rows])
-            qq = _quantize(qv[qs])
-            score = (
-                (qq * qq).sum(axis=1)[:, None]
-                - 2 * (qq @ pq.T)
-                + (pq * pq).sum(axis=1)[None, :]
-            )
-            kk = min(k, score.shape[1])
-            part = np.argpartition(score, kk - 1, axis=1)[:, :kk]
-            out_q.append(np.repeat(qs, kk))
-            out_n.append(vid[rows[part.ravel()]])
-            out_s.append(np.take_along_axis(score, part, axis=1).ravel())
-        if not out_q:
-            return pa.table(
-                {
-                    "qid": pa.array([], pa.int64()),
-                    "neighbor": pa.array([], pa.int64()),
-                    "score": pa.array([], pa.int64()),
-                }
-            )
-        return pa.table(
-            {
-                "qid": np.concatenate(out_q),
-                "neighbor": np.concatenate(out_n),
-                "score": np.concatenate(out_s),
-            }
-        )
-
-    pdf = embeddings.map_batches(partial, batch_format="pyarrow").to_pandas()
-    if not len(pdf):
-        return pa.table(
-            {
-                "qid": pa.array([], pa.int64()),
-                "rank": pa.array([], pa.int64()),
-                "neighbor": pa.array([], pa.int64()),
-                "score": pa.array([], pa.int64()),
-            }
-        )
-    qid = pdf["qid"].to_numpy()
-    nb = pdf["neighbor"].to_numpy()
-    sc = pdf["score"].to_numpy()
-    order = np.lexsort((nb, sc, qid))
-    qs = qid[order]
-    uq, starts, cnts = np.unique(qs, return_index=True, return_counts=True)
-    ranks = np.arange(len(qs), dtype=np.int64) - np.repeat(starts, cnts)
-    keep = ranks < k
-    rows = order[keep]
-    return pa.table(
-        {
-            "qid": pa.array(qid[rows], pa.int64()),
-            "rank": pa.array(ranks[keep] + 1, pa.int64()),
-            "neighbor": pa.array(nb[rows], pa.int64()),
-            "score": pa.array(sc[rows], pa.int64()),
-        }
+        path = tempfile.mkdtemp(prefix="pkd_ivf_")
+    idx = IvfIndex.build(
+        embeddings, path, n_lists=n_lists, sample_rows=sample_rows, seed=seed
     )
+    return idx.query(query_vecs, k, nprobe=nprobe)

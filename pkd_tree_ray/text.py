@@ -244,14 +244,14 @@ class MinHasher:
 
 def minhash_candidates(docs):
     """-> Dataset of candidate near-dup pairs (doc_a, doc_b) from LSH
-    buckets (doc_a < doc_b, distinct)."""
+    buckets (doc_a < doc_b, distinct).  Oversized buckets are
+    sub-linearised (star+chain, :func:`pairjoin.bucket_pairs_capped`)
+    so a duplicate-heavy corpus cannot make one bucket O(B^2)."""
+    from pkd_tree_ray.pairjoin import bucket_pairs_capped
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+        a, b = bucket_pairs_capped(group["doc_id"].to_numpy())
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
 
     bands = docs.select_columns(["doc_id", "text"]).map_batches(
         MinHasher, batch_format="pandas", concurrency=(1, 8)
@@ -270,50 +270,122 @@ def minhash_candidates(docs):
     )
 
 
-def jaccard_verify(docs, pairs: pd.DataFrame, threshold: float = 0.5) -> pd.DataFrame:
-    """Verify candidate pairs with exact word-shingle Jaccard.
-    -> (doc_a, doc_b, jaccard_permille).
+def _shingle_hashes(text: str, token, shingle: int = 3) -> np.ndarray:
+    """Sorted distinct 64-bit hashes of the word shingles — the
+    compact, joinable form of the shingle set."""
+    from pandas.util import hash_array
 
-    The candidate set is small by construction (LSH buckets), but the
-    corpus is not: the texts of candidate docs are fetched with a
-    broadcast semi-join — the candidate id set ships to workers via
-    ``ray.put`` and the docs Dataset streams through a filter — so only
-    the candidates' texts ever reach the driver."""
-    import ray
+    toks = token.findall(text or "")
+    sh = [" ".join(toks[i: i + shingle]) for i in range(max(1, len(toks) - shingle + 1))]
+    hv = hash_array(np.array(sh, dtype=object), hash_key="pkd_shingle_0000")
+    return np.unique(hv.view(np.int64))
 
-    import pyarrow as pa
 
-    token = re.compile(_TOKEN_RE)
-    cand_ids = np.unique(
-        np.concatenate([pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()])
-    ) if len(pairs) else np.empty(0, np.int64)
-    idref = ray.put(cand_ids)
+def minhash_neardup(docs, threshold: float = 0.5, candidates=None):
+    """Full near-dup pipeline -> Dataset (doc_a, doc_b,
+    jaccard_permille): LSH candidates + DISTRIBUTED exact-Jaccard
+    verification.
 
-    def semi(batch: pa.Table) -> pa.Table:
-        ids = ray.get(idref)
-        keep = np.isin(batch["doc_id"].to_numpy(), ids)
-        return batch.filter(pa.array(keep))
+    Verification never lands on the driver (r1 weak item): candidate
+    doc ids (ints, the only driver-side state) broadcast-semi-filter
+    the corpus; the surviving docs' shingle-hash sets and the pair
+    edges meet in a ``groupby(doc_id)`` (the distributed join), then a
+    ``groupby(pair)`` computes exact Jaccard from the two hash sets —
+    :func:`pairjoin.pairwise_join_verify`.  Texts transit the shuffles
+    only for candidate docs.
+    """
+    from ray.data.aggregate import Count
 
-    fetched = (
-        docs.select_columns(["doc_id", "text"])
-        .map_batches(semi, batch_format="pyarrow")
+    from pkd_tree_ray.pairjoin import pairwise_join_verify, semi_filter_ids
+
+    cand = candidates if candidates is not None else minhash_candidates(docs)
+
+    # distinct candidate ids via a distributed aggregate — only the id
+    # list (one int per candidate doc) reaches the driver
+    def both_ids(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(
+                        [batch["doc_a"].to_numpy(), batch["doc_b"].to_numpy()]
+                    )
+                )
+            }
+        )
+
+    idf = (
+        cand.map_batches(both_ids, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n"))
         .to_pandas()
     )
-    texts = dict(zip(fetched["doc_id"], fetched["text"]))
+    cand_ids = idf["doc_id"].to_numpy(dtype=np.int64)
+    if not len(cand_ids):
+        import ray.data as rd
 
-    def shingles(t):
-        toks = token.findall(t or "")
-        return set(" ".join(toks[i: i + 3]) for i in range(max(1, len(toks) - 2)))
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard_permille": pa.array([], pa.int64()),
+                }
+            )
+        )
 
-    out = []
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-        sa, sb = shingles(texts.get(a, "")), shingles(texts.get(b, ""))
-        j = len(sa & sb) / max(1, len(sa | sb))
-        if j >= threshold:
-            out.append((int(a), int(b), int(j * 1000)))
-    return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard_permille"]).astype(
-        np.int64, errors="ignore"
+    class ShingleSets:
+        def __init__(self):
+            self.token = re.compile(_TOKEN_RE)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            hashes = [_shingle_hashes(t, self.token) for t in batch["text"].to_pylist()]
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "hashes": pa.array(hashes, pa.list_(pa.int64())),
+                }
+            )
+
+    payload = semi_filter_ids(
+        docs.select_columns(["doc_id", "text"]), "doc_id", cand_ids
+    ).map_batches(ShingleSets, batch_format="pyarrow", concurrency=(1, 8))
+
+    thr = threshold
+
+    def verify_fn(ha: np.ndarray, hb: np.ndarray):
+        ha = ha.astype(np.int64)
+        hb = hb.astype(np.int64)
+        inter = len(np.intersect1d(ha, hb, assume_unique=True))
+        union = len(ha) + len(hb) - inter
+        j = inter / max(1, union)
+        return int(j * 1000) if j >= thr else None
+
+    return pairwise_join_verify(
+        payload, cand, "doc_id", "doc_a", "doc_b", "hashes", pa.int64(),
+        verify_fn, "jaccard_permille",
     )
+
+
+def jaccard_verify(docs, pairs: pd.DataFrame, threshold: float = 0.5) -> pd.DataFrame:
+    """Verify candidate pairs with exact word-shingle Jaccard.
+    -> (doc_a, doc_b, jaccard_permille).  Thin driver-frame wrapper
+    over the distributed :func:`minhash_neardup` verification."""
+    import ray.data as rd
+
+    if not len(pairs):
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_permille": []}).astype(
+            np.int64
+        )
+    cand = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_a": pairs["doc_a"].to_numpy(dtype=np.int64),
+                "doc_b": pairs["doc_b"].to_numpy(dtype=np.int64),
+            }
+        )
+    )
+    out = minhash_neardup(docs, threshold, candidates=cand).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ----------------------------------------------------------------------
