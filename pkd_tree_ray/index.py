@@ -403,6 +403,30 @@ class PkdIndex:
         }
         _atomic_write_json(manifest, os.path.join(self.path, "manifest.json"))
 
+    def vacuum(self) -> dict:
+        """Drop part files not referenced by THIS version — superseded
+        base files, compacted-away sidecars and applied tombstones
+        accumulate across functional updates until vacuumed.
+
+        Collapses the version history: older ``PkdIndex`` handles (and
+        any index sharing this directory tree) become invalid.  Returns
+        {files_removed, bytes_freed}."""
+        import glob
+
+        referenced = {f for fs in self.cell_files.values() for f in fs}
+        referenced |= {f for fs in self.tomb_files.values() for f in fs}
+        removed = 0
+        freed = 0
+        for f in glob.glob(os.path.join(self.path, "parts", "*.parquet")):
+            if f not in referenced:
+                try:
+                    freed += os.path.getsize(f)
+                    os.remove(f)
+                    removed += 1
+                except OSError:  # pragma: no cover — concurrent cleanup
+                    pass
+        return {"files_removed": removed, "bytes_freed": freed}
+
     @classmethod
     def open(cls, path: str) -> "PkdIndex":
         with open(os.path.join(path, "manifest.json")) as f:
@@ -665,7 +689,17 @@ class PkdIndex:
                 compact_set = set(affected_set)
                 tomb_set = set()
             sidecar_set = set()
-            needs_reassign = False
+            # THIN_LEAVE_WRAP analog (kdTreeParallel.h:40): sibling
+            # groups that drop below merge_factor x target after this
+            # delete coarsen into their parent cell; members join the
+            # compaction so their rows re-file under the parent id
+            directory, merged = _merge_cold_cells(
+                directory, affected_set, dict(zip(map(int, affected), map(int, dcnt))), cfg
+            )
+            needs_reassign = bool(merged)
+            if merged:
+                compact_set |= merged
+                tomb_set -= merged
 
         side_lineage: list[dict] = []
         comp_lineage: list[dict] = []
@@ -1177,6 +1211,76 @@ def _split_hot_cells(
         [directory.depths[keep], np.array([a[1] for a in additions], dtype=np.int64)]
     )
     return CellDirectory(new_starts, new_depths, config), split_cells
+
+
+def _merge_cold_cells(
+    directory: CellDirectory,
+    affected_set: set[int],
+    removal_by_cell: dict[int, int],
+    config: EngineConfig,
+) -> tuple[CellDirectory, set[int]]:
+    """Coarsen sibling groups that fall below ``merge_factor x
+    target_cell_rows`` after a delete — the distributed mirror of the
+    THIN_LEAVE_WRAP shrink rebuild (``kdTreeParallel.h:40``,
+    delete-triggered rebuild ``batch_delete.hpp:113-143``).
+
+    A group merges only when (a) one of its members is affected by
+    this delete, (b) all 2^d siblings exist as leaves at the same
+    depth, and (c) their combined predicted post-delete count fits one
+    target cell.  Returns (new_directory, merged_leaf_cell_ids); the
+    caller must compact the merged leaves so their rows re-file under
+    the parent (child 0 aliases the parent's start — same re-route
+    rule as hot-cell splits)."""
+    nd = config.ndim
+    fanout = 1 << nd
+    thresh = config.merge_factor * config.target_cell_rows
+    starts, depths, counts = directory.starts, directory.depths, directory.counts
+    pos_of = {int(s): i for i, s in enumerate(starts)}
+    post = counts.astype(np.float64).copy()
+    for c, r in removal_by_cell.items():
+        i = pos_of.get(int(c))
+        if i is not None:
+            post[i] = max(0.0, post[i] - r)
+    merged_leaves: set[int] = set()
+    additions: list[tuple[int, int]] = []
+    visited: set[tuple[int, int]] = set()
+    for c in affected_set:
+        i = pos_of.get(int(c))
+        if i is None:
+            continue
+        dd = int(depths[i])
+        if dd == 0 or post[i] >= thresh:
+            continue
+        span_child = 1 << (nd * (config.max_depth - dd))
+        span_parent = span_child * fanout
+        p = (int(starts[i]) // span_parent) * span_parent
+        if (p, dd) in visited:
+            continue
+        visited.add((p, dd))
+        sib_pos = []
+        ok = True
+        for q in range(fanout):
+            j = pos_of.get(p + q * span_child)
+            if j is None or int(depths[j]) != dd or int(starts[j]) in merged_leaves:
+                ok = False
+                break
+            sib_pos.append(j)
+        if not ok:
+            continue
+        if sum(post[j] for j in sib_pos) > config.target_cell_rows:
+            continue
+        merged_leaves.update(int(starts[j]) for j in sib_pos)
+        additions.append((p, dd - 1))
+    if not additions:
+        return directory, set()
+    keep = np.array([int(s) not in merged_leaves for s in starts], dtype=bool)
+    new_starts = np.concatenate(
+        [starts[keep], np.array([a[0] for a in additions], dtype=np.int64)]
+    )
+    new_depths = np.concatenate(
+        [depths[keep], np.array([a[1] for a in additions], dtype=np.int64)]
+    )
+    return CellDirectory(new_starts, new_depths, config), merged_leaves
 
 
 def _apply_deletes(group: pa.Table, id_col: str, dims: tuple[str, ...] = ("x", "y")) -> pa.Table:
