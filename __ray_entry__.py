@@ -67,6 +67,20 @@ def _base_index_3d(sf_dir: str) -> PkdIndex:
     return _INDEX_CACHE[key]
 
 
+def _base_index_float(sf_dir: str) -> PkdIndex:
+    """Index over the float64-derived, grid-quantized point table (the
+    harness' coord=double variant, testFramework.h:18-19)."""
+    key = (sf_dir, "lineitem_float")
+    if key not in _INDEX_CACHE:
+        pts = sources.lineitem_points_float(sf_dir).map_batches(
+            lambda t: t.select(["point_id", "x", "y"]), batch_format="pyarrow"
+        )
+        _INDEX_CACHE[key] = PkdIndex.build(
+            pts, _idx_path(sf_dir, "lineitem_float"), _CFG, id_col="point_id"
+        )
+    return _INDEX_CACHE[key]
+
+
 def _inserted_index(sf_dir: str) -> PkdIndex:
     """Base index + batch insert of the orders-derived points."""
     key = (sf_dir, "inserted")
@@ -164,6 +178,19 @@ def _q_circle_count_d3(sf_dir: str) -> pa.Table:
     return circle_count(_base_index_3d(sf_dir), workloads.circles_3d())
 
 
+def _q_knn_float(sf_dir: str, k: int):
+    from pkd_tree_ray.queries import knn
+
+    qx, qy = workloads.knn_query_points_float()
+    return knn(_base_index_float(sf_dir), qx, qy, k)
+
+
+def _q_range_count_float(sf_dir: str) -> pa.Table:
+    from pkd_tree_ray.queries import range_count
+
+    return range_count(_base_index_float(sf_dir), workloads.range_boxes_float())
+
+
 def _q_insert_range_count(sf_dir: str) -> pa.Table:
     from pkd_tree_ray.queries import range_count
 
@@ -197,16 +224,12 @@ def _q_pip_join(sf_dir: str):
 def _q_knn_join(sf_dir: str):
     from pkd_tree_ray.joins import knn_join
 
-    left = (
-        sources.customer_points(sf_dir)
-        .map_batches(
-            lambda t: t.filter(pa.array(t["c_custkey"].to_numpy() % 30 == 0)),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
+    left = sources.customer_points(sf_dir).map_batches(
+        lambda t: t.filter(pa.array(t["c_custkey"].to_numpy() % 30 == 0)),
+        batch_format="pyarrow",
     )
-    left_tbl = pa.Table.from_pandas(left, preserve_index=False)
-    return knn_join(_base_index(sf_dir), left_tbl, "c_custkey", k=3)
+    # Dataset left: knn_join enforces the broadcast-small cap itself
+    return knn_join(_base_index(sf_dir), left, "c_custkey", k=3)
 
 
 # --- training-data ops (documents / embeddings tables) -----------------
@@ -508,6 +531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_k10_d3": lambda sf: _q_knn_d3(sf, 10),
         "range_count_d3": _q_range_count_d3,
         "circle_count_d3": _q_circle_count_d3,
+        "knn_k10_float": lambda sf: _q_knn_float(sf, 10),
+        "range_count_float": _q_range_count_float,
         "insert_range_count": _q_insert_range_count,
         "delete_range_count": _q_delete_range_count,
         "tile_counts": _q_tile_counts,
@@ -602,6 +627,38 @@ FROM q
 """
 
 
+def _knn_float_sql(k: int) -> str:
+    qx, qy = workloads.knn_query_points_float()
+    return f"""
+WITH pts AS ({sources.sql_lineitem_points_float()}),
+q AS (SELECT * FROM {workloads.sql_values_points(qx, qy)}),
+d AS (
+  SELECT q.qid, p.point_id AS neighbor,
+         (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy) AS dist2,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy),
+                    p.point_id
+         ) AS "rank"
+  FROM pts p CROSS JOIN q
+)
+SELECT qid, "rank", neighbor, dist2 FROM d WHERE "rank" <= {k}
+"""
+
+
+def _range_count_float_sql() -> str:
+    boxes = workloads.range_boxes_float()
+    return f"""
+WITH pts AS ({sources.sql_lineitem_points_float()}),
+q AS (SELECT * FROM {workloads.sql_values_boxes(boxes)})
+SELECT q.qid,
+       (SELECT count(*) FROM pts p
+        WHERE p.x BETWEEN q.min_x AND q.max_x
+          AND p.y BETWEEN q.min_y AND q.max_y) AS cnt
+FROM q
+"""
+
+
 def _range_count_sql(pts_sql: str) -> str:
     boxes = workloads.range_boxes()
     return f"""
@@ -658,6 +715,8 @@ FROM q
         "knn_k10_d3": _knn_d3_sql(10),
         "range_count_d3": _range_count_d3_sql(),
         "circle_count_d3": _circle_count_d3_sql(),
+        "knn_k10_float": _knn_float_sql(10),
+        "range_count_float": _range_count_float_sql(),
         "insert_range_count": _range_count_sql(
             f"{sources.sql_lineitem_points()} UNION ALL {sources.sql_orders_points()}"
         ),

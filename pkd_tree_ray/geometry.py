@@ -179,6 +179,40 @@ def bbox_of(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     )
 
 
+# --- float (double) coordinate kit --------------------------------------
+# The reference's harness default is ``coord = double`` with an
+# epsilon-aware comparator (``include/cpdd/comparator.h:10-79``); its
+# README recommends int64 storage.  The engine mirrors that split:
+# float64 inputs are QUANTIZED onto the int64 grid at ingestion
+# (``quantize_coords``) and the epsilon comparators below provide the
+# Num_Comparator semantics for float-space pre/post-processing.
+
+FLOAT_EPS = 1e-9
+
+
+def num_eq(a, b, eps: float = FLOAT_EPS) -> np.ndarray:
+    """|a - b| <= eps — ``Num_Comparator::Eq`` (comparator.h:24-31)."""
+    return np.abs(np.asarray(a, dtype=np.float64) - np.asarray(b, dtype=np.float64)) <= eps
+
+
+def num_lt(a, b, eps: float = FLOAT_EPS) -> np.ndarray:
+    """a < b - eps — strict less with tolerance (comparator.h:33-45)."""
+    return np.asarray(a, dtype=np.float64) < np.asarray(b, dtype=np.float64) - eps
+
+
+def num_gt(a, b, eps: float = FLOAT_EPS) -> np.ndarray:
+    return np.asarray(a, dtype=np.float64) > np.asarray(b, dtype=np.float64) + eps
+
+
+def quantize_coords(v: np.ndarray, scale: int) -> np.ndarray:
+    """float64 -> int64 grid: floor(v * scale).  IEEE multiplication +
+    floor is deterministic across numpy and DuckDB (both double), so a
+    SQL oracle applying the identical expression is bit-exact; two
+    floats within 1/scale of each other land on the same or adjacent
+    grid cell (the quantized analog of the epsilon comparator)."""
+    return np.floor(np.asarray(v, dtype=np.float64) * float(scale)).astype(np.int64)
+
+
 # --- convex polygons ----------------------------------------------------
 
 def points_in_convex_polygon(x: np.ndarray, y: np.ndarray, verts: np.ndarray) -> np.ndarray:

@@ -203,15 +203,44 @@ def point_in_polygon_join(index: PkdIndex, polys: list[np.ndarray]):
 # kNN join
 # ----------------------------------------------------------------------
 
-def knn_join(index: PkdIndex, left: pa.Table, key_col: str, k: int):
+#: hard cap on the broadcast-small left side of knn_join (rows); a
+#: larger left must be windowed by the caller (slice the left Dataset
+#: into <=cap chunks — each chunk's result is independent), keeping
+#: driver memory bounded instead of silently materializing.
+KNN_JOIN_LEFT_CAP = 5_000_000
+
+
+def knn_join(index: PkdIndex, left, key_col: str, k: int):
     """kNN join of a keyed query table (columns key_col, x, y) against
     the indexed points -> Dataset (<key_col>, rank, neighbor, dist2).
 
-    The left side is assumed broadcast-small (the reference's query
-    batches are 1% of the build side, ``testFramework.h:24``); a
-    both-sides-large kNN join would route left rows to cells by the
-    same directory and co-partition — documented scale path.
+    ``left`` may be a pyarrow Table or a Dataset.  The left side is
+    the broadcast-small side (the reference's query batches are 1% of
+    the build side, ``testFramework.h:24``) and is guarded by
+    ``KNN_JOIN_LEFT_CAP``: above the cap the caller must window the
+    left side into independent chunks (results concatenate) — there
+    is no silent driver materialization.  Large RESULTS already
+    stream (``knn`` returns a ref-backed Dataset past the merge
+    limit).
     """
+    if not isinstance(left, pa.Table):
+        n_left = left.count()
+        if n_left > KNN_JOIN_LEFT_CAP:
+            raise ValueError(
+                f"knn_join left side has {n_left} rows > cap "
+                f"{KNN_JOIN_LEFT_CAP}; window the left Dataset into "
+                "independent chunks and union the per-chunk results"
+            )
+        left = pa.concat_tables(
+            pa.table(b)
+            for b in left.select_columns([key_col, "x", "y"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    elif left.num_rows > KNN_JOIN_LEFT_CAP:
+        raise ValueError(
+            f"knn_join left side has {left.num_rows} rows > cap {KNN_JOIN_LEFT_CAP}"
+        )
     keys = left[key_col].to_numpy()
     qx = left["x"].to_numpy()
     qy = left["y"].to_numpy()

@@ -143,6 +143,56 @@ def lineitem_points_3d(sf_dir: str):
     ).map_batches(derive, batch_format="pyarrow")
 
 
+#: float-path quantization: 4 grid steps per unit keeps the quantized
+#: range ((COORD_MOD/7) * 4 ~ 571k) inside the 2^20 coordinate cube
+FLOAT_QUANT = 4
+
+
+def lineitem_points_float(sf_dir: str):
+    """Float64-coordinate variant (the harness' ``coord = double``
+    default, ``tests/testFramework.h:18-19``): coordinates are derived
+    as DOUBLE (an inexact /7.0 so the values are genuinely
+    non-integral) and quantized onto the int64 grid with
+    ``floor(v * FLOAT_QUANT)`` — IEEE-deterministic, reproduced
+    verbatim by the SQL oracle (:func:`sql_lineitem_points_float`).
+    Emits both the float columns (xf, yf) and the quantized index
+    columns (x, y)."""
+    import ray.data as rd
+
+    from pkd_tree_ray.geometry import quantize_coords
+
+    def derive(batch: pa.Table) -> pa.Table:
+        pid = (
+            batch["l_orderkey"].to_numpy() * 8
+            + batch["l_linenumber"].to_numpy().astype(np.int64)
+        )
+        xf = mulhash_coord(pid, XA).astype(np.float64) / 7.0
+        yf = mulhash_coord(pid, YA).astype(np.float64) / 7.0
+        return pa.table(
+            {
+                "point_id": pid,
+                "xf": xf,
+                "yf": yf,
+                "x": quantize_coords(xf, FLOAT_QUANT),
+                "y": quantize_coords(yf, FLOAT_QUANT),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    ).map_batches(derive, batch_format="pyarrow")
+
+
+def sql_lineitem_points_float() -> str:
+    x, y = sql_coord_exprs(LINEITEM_PID)
+    q = FLOAT_QUANT
+    return (
+        f"SELECT {LINEITEM_PID} AS point_id, "
+        f"CAST(floor((({x}) / 7.0) * {q}) AS BIGINT) AS x, "
+        f"CAST(floor((({y}) / 7.0) * {q}) AS BIGINT) AS y FROM lineitem"
+    )
+
+
 def orders_points(sf_dir: str):
     """Secondary point table (insert-batch source — the reference's
     second input file convention, ``tests/test.cpp:555-561``)."""

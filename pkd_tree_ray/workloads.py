@@ -97,6 +97,36 @@ def knn_query_points_3d(m: int = 20) -> np.ndarray:
     return rng.randint(0, C, (m, 3)).astype(np.int64)
 
 
+#: quantized float-space extent: floor((C/7) * 4) (sources.FLOAT_QUANT)
+C_FLOAT = (C // 7) * 4
+
+
+def range_boxes_float() -> np.ndarray:
+    """10 boxes over the quantized float-coordinate space."""
+    rng = _rng(23)
+    spans = [C_FLOAT // 50, C_FLOAT // 10, C_FLOAT // 4, (3 * C_FLOAT) // 5]
+    out = []
+    for span in spans[:2]:
+        for _ in range(3):
+            x0 = int(rng.randint(0, C_FLOAT - span))
+            y0 = int(rng.randint(0, C_FLOAT - span))
+            out.append([x0, y0, x0 + span, y0 + span])
+    for span in spans[2:]:
+        for _ in range(2):
+            x0 = int(rng.randint(0, C_FLOAT - span))
+            y0 = int(rng.randint(0, C_FLOAT - span))
+            out.append([x0, y0, x0 + span, y0 + span])
+    return np.array(out, dtype=np.int64)
+
+
+def knn_query_points_float(m: int = 20) -> tuple[np.ndarray, np.ndarray]:
+    rng = _rng(24)
+    return (
+        rng.randint(0, C_FLOAT, m).astype(np.int64),
+        rng.randint(0, C_FLOAT, m).astype(np.int64),
+    )
+
+
 def polygons() -> list[np.ndarray]:
     """3 convex CCW polygons (triangle, quad, hexagon) — literal
     vertices for the point-in-polygon join, expressible as half-plane

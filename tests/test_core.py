@@ -265,3 +265,59 @@ class TestDistributedMergePath:
         dist = (dist.to_pandas() if hasattr(dist, "to_pandas") else dist)
         dist = dist.sort_values(["qid", "rank"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(fast, dist)
+
+
+class TestFloatCoordinateKit:
+    """Float (double) coordinate support: epsilon comparators
+    (comparator.h:10-79) + grid quantization adapter."""
+
+    def test_epsilon_comparators(self):
+        from pkd_tree_ray.geometry import num_eq, num_gt, num_lt
+
+        a = np.array([1.0, 1.0, 2.0])
+        b = np.array([1.0 + 5e-10, 1.1, 1.9])
+        assert num_eq(a, b).tolist() == [True, False, False]
+        assert num_lt(a, b).tolist() == [False, True, False]
+        assert num_gt(a, b).tolist() == [False, False, True]
+
+    def test_quantize_is_floor_grid(self):
+        from pkd_tree_ray.geometry import quantize_coords
+
+        v = np.array([0.0, 0.24, 0.25, 0.9999, 1.0, 142857.3])
+        q = quantize_coords(v, 4)
+        assert q.tolist() == [0, 0, 1, 3, 4, 571429]
+
+    def test_float_pipeline_matches_float_oracle(self, ray_session, tmp_path):
+        """Build over quantized float64 coords; kNN result equals the
+        float-space oracle computed on the same quantization."""
+        import ray.data as rd
+        import pyarrow as pa
+
+        from pkd_tree_ray.config import EngineConfig
+        from pkd_tree_ray.geometry import quantize_coords
+        from pkd_tree_ray.index import PkdIndex
+        from pkd_tree_ray.queries import knn
+
+        rng = np.random.default_rng(21)
+        n = 3_000
+        fx = rng.random(n) * 140_000.0
+        fy = rng.random(n) * 140_000.0
+        ids = np.arange(n, dtype=np.int64)
+        x = quantize_coords(fx, 4)
+        y = quantize_coords(fy, 4)
+        cfg = EngineConfig(target_cell_rows=512, batch_size=4_096)
+        idx = PkdIndex.build(
+            rd.from_arrow(pa.table({"point_id": ids, "x": x, "y": y})),
+            str(tmp_path),
+            cfg,
+            id_col="point_id",
+        )
+        qfx, qfy = fx[:15], fy[:15]
+        qx, qy = quantize_coords(qfx, 4), quantize_coords(qfy, 4)
+        df = knn(idx, qx, qy, 5).to_pandas().sort_values(["qid", "rank"])
+        for q in range(15):
+            d2 = (x - qx[q]) ** 2 + (y - qy[q]) ** 2
+            order = np.lexsort((ids, d2))[:5]
+            sub = df[df["qid"] == q]
+            assert sub["dist2"].tolist() == d2[order].tolist()
+            assert sub["neighbor"].tolist() == ids[order].tolist()
