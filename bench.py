@@ -233,7 +233,53 @@ def run_suite() -> dict:
     vpool = ShardedQueryPool(vidx)
     vqx, vqy = self_query_sample(vx, vy, ratio=0.01, max_queries=len(qx))
     timed2("varden_knn_k10", lambda: consume(knn(vidx, vqx, vqy, 10)))
+    # 8b. OOD kNN: build varden, query UNIFORM points — the
+    # out-of-distribution phase (tests/test.cpp:494-509): query
+    # points come from a different distribution than the build, so
+    # kNN radii are large where the varden clusters are sparse.
+    timed2("varden_knn_k10_ood", lambda: consume(knn(vidx, qx, qy, 10)))
     vpool.shutdown()
+
+    # 9. update-ratio sweep (batchUpdateByStep, testFramework.h:306-468;
+    # headline csvs sweep insert/delete ratios 1e-4..1) — batch insert
+    # then strict delete of the same delta at each ratio, plus a
+    # serial (one-row-per-call) micro-baseline mirroring the
+    # reference's serial-vs-batch comparison.  Skipped in the scaling
+    # pairs (GRAFT_BENCH_SWEEP=0) so the pass metric stays an
+    # apples-to-apples query-throughput comparison.
+    if os.environ.get("GRAFT_BENCH_SWEEP", "1") != "0":
+        delta_base = (int(base_pid.max()) + 1) * 128  # above every amplified id
+
+        def delta_frame(m: int, salt: int) -> pd.DataFrame:
+            # ids disjoint from every amplified base id (those stay
+            # below delta_base) and from each other per salt; small
+            # enough for the SQL-exact multiplicative hash bound
+            dp = delta_base + salt * np.int64(n + 1) + np.arange(m, dtype=np.int64)
+            return pd.DataFrame(
+                {"point_id": dp, "x": mulhash_coord(dp, XA), "y": mulhash_coord(dp, YA)}
+            )
+
+        for ri, ratio in enumerate((1e-4, 1e-3, 1e-2, 1e-1)):
+            m = max(1, int(n * ratio))
+            dtbl = rd.from_pandas(delta_frame(m, ri))
+            tag = f"{ratio:.0e}".replace("e-0", "e-")
+            idx_r = timed(f"insert_r{tag}", lambda d=dtbl: idx.insert(d))
+            timed(
+                f"delete_r{tag}",
+                lambda d=dtbl, i=idx_r: i.delete(d, strict=True),
+            )
+        # serial baseline: 32 single-row updates, one call each
+        sd = delta_frame(32, 9)
+        rows = [rd.from_pandas(sd.iloc[j : j + 1]) for j in range(len(sd))]
+        t0 = time.perf_counter()
+        cur = idx
+        for r in rows:
+            cur = cur.insert(r)
+        timings["serial_insert_32"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        for r in rows:
+            cur = cur.delete(r, strict=True)
+        timings["serial_delete_32"] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
     knn_qps = round(3 * len(qx) / (timings["knn_k1"] + timings["knn_k10"] + timings["knn_k100"]), 1)
@@ -263,7 +309,7 @@ def run_scaling(rounds: int | None = None) -> None:
     rounds = rounds or int(os.environ.get("GRAFT_SCALING_ROUNDS", "5"))
 
     def run_at(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_SWEEP="0")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,

@@ -60,6 +60,88 @@ def _cell_file(path: str, cell: int, depth: int, version: int) -> str:
     return os.path.join(path, "parts", f"cell-{cell:012x}-d{depth}-v{version}.parquet")
 
 
+def _fp_columns(group: pa.Table) -> list[str]:
+    """Columns usable for the content fingerprint: numeric 8-byte."""
+    return [
+        name
+        for name, typ in zip(group.schema.names, group.schema.types)
+        if name != "cell" and (pa.types.is_integer(typ) or pa.types.is_floating(typ))
+    ]
+
+
+def _content_token(group: pa.Table, cols: list[str]) -> str:
+    """Order-insensitive 32-bit content hash of the group (splitmix64
+    xor-fold per column)."""
+    acc = np.uint64(group.num_rows)
+    for j, c in enumerate(cols):
+        v = group[c].to_numpy(zero_copy_only=False)
+        bits = v.astype(np.float64).view(np.uint64) if v.dtype.kind == "f" else v.astype(np.int64).view(np.uint64)
+        h = splitmix64(bits, seed=j + 1)
+        if len(h):
+            acc ^= np.bitwise_xor.reduce(h)
+    return f"{int(acc) & 0xFFFFFFFF:08x}"
+
+
+def _resume_matches(final: str, group: pa.Table, cols: list[str]) -> bool:
+    """True iff the existing file plausibly holds exactly this group's
+    content: row count + per-column min/max from Parquet footer stats
+    (no data read).  Guards resume against a DIFFERENT update branched
+    from the same base version (same version number, other delta)."""
+    try:
+        md = pq.read_metadata(final)
+    except Exception:
+        return False
+    if md.num_rows != group.num_rows:
+        return False
+    if group.num_rows == 0 or not cols:
+        return True
+    want = {}
+    for c in cols:
+        v = group[c].to_numpy(zero_copy_only=False)
+        want[c] = (v.min(), v.max())
+    got: dict[str, list] = {c: [None, None] for c in want}
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        for j in range(rg.num_columns):
+            cc = rg.column(j)
+            name = cc.path_in_schema
+            if name in got:
+                st = cc.statistics
+                if st is None or not st.has_min_max:
+                    return False  # cannot verify -> do not trust
+                lo, hi = got[name]
+                got[name][0] = st.min if lo is None else min(lo, st.min)
+                got[name][1] = st.max if hi is None else max(hi, st.max)
+    for c, (lo, hi) in want.items():
+        glo, ghi = got[c]
+        if glo is None or glo != lo or ghi != hi:
+            return False
+    return True
+
+
+def _resolve_update_file(final: str, group: pa.Table, resume: bool) -> tuple[str, bool]:
+    """Pick the path an update group writes to and whether the write
+    may be skipped (verified resume hit).
+
+    Functional-update hazard (r2): two different updates branched off
+    the SAME index version collide on the version-numbered file name;
+    blindly resuming silently drops the second delta, and overwriting
+    corrupts the sibling index that references the file.  An existing
+    file is therefore reused only when its footer stats match the
+    group; otherwise the group diverts to a deterministic
+    content-token name (stable across crash-resume of this update,
+    disjoint from the sibling's)."""
+    cols = _fp_columns(group)
+    if not os.path.exists(final):
+        return final, False
+    if resume and _resume_matches(final, group, cols):
+        return final, True
+    alt = final.replace(".parquet", f"-u{_content_token(group, cols)}.parquet")
+    if resume and os.path.exists(alt) and _resume_matches(alt, group, cols):
+        return alt, True
+    return alt, False
+
+
 def _empty_bbox(dims: tuple[str, ...]) -> list[int]:
     """Canonical empty box: mins=0, maxs=-1 (never covers anything)."""
     return [0] * len(dims) + [-1] * len(dims)
@@ -291,7 +373,8 @@ class PkdIndex:
             group = group.drop_columns(
                 [c for c in ("__op", "__part") if c in group.column_names]
             )
-            if resume and os.path.exists(final):
+            final, skip = _resolve_update_file(final, group, resume)
+            if skip:
                 rows = pq.read_metadata(final).num_rows
                 status = "skipped"
                 # bbox/lineage must describe the file KEPT, not the new
@@ -659,7 +742,31 @@ class PkdIndex:
                 if len(self.cell_files.get(c, [])) + 1 > cfg.max_cell_files
             }
             tombed = {c for c in affected_set if self.tomb_files.get(c)}
-            compact_set = split_parents | many_files | tombed
+            # weight-balance rebuild policy (tag_inbalance_node,
+            # inner_tree.hpp:78-148; INBALANCE_RATIO sweep, test.cpp
+            # bit10): a cell whose UNINDEXED sidecar rows would exceed
+            # imbalance_alpha of its total compacts now — its per-cell
+            # kd-tree is rebuilt over base+sidecars, the distributed
+            # mirror of rebuilding an alpha-imbalanced subtree.
+            alpha = cfg.imbalance_alpha
+            pos_of_ins = {int(c): i for i, c in enumerate(self.directory.starts)}
+            live_ins = self.directory.counts
+            dcnt_of_ins = {int(c): int(k) for c, k in zip(affected, dcnt)}
+            side_now: dict[int, int] = {}
+            for r in self.lineage:
+                if (
+                    r["cell"] in affected_set
+                    and r["rows"] > 0
+                    and r["file"].endswith("-delta.parquet")
+                ):
+                    side_now[r["cell"]] = side_now.get(r["cell"], 0) + r["rows"]
+            alpha_violated = {
+                c
+                for c in affected_set
+                if side_now.get(c, 0) + dcnt_of_ins[c]
+                > alpha * (int(live_ins[pos_of_ins[c]]) + dcnt_of_ins[c])
+            }
+            compact_set = split_parents | many_files | tombed | alpha_violated
             sidecar_set = affected_set - compact_set
             tomb_set: set[int] = set()
             needs_reassign = bool(split_parents)
@@ -895,8 +1002,10 @@ class PkdIndex:
             final = _cell_file(path, cell, depth, version).replace(
                 ".parquet", "-tomb.parquet"
             )
-            if not (resume and os.path.exists(final)):
-                _atomic_write_table(group.select(["cell", id_col]), final)
+            group = group.select(["cell", id_col])
+            final, skip = _resolve_update_file(final, group, resume)
+            if not skip:
+                _atomic_write_table(group, final)
             return pa.table(
                 {
                     "cell": pa.array([cell], pa.int64()),
@@ -1027,7 +1136,8 @@ class PkdIndex:
             group = group.drop_columns(
                 [c for c in ("__op", "__part") if c in group.column_names]
             )
-            if resume and os.path.exists(final):
+            final, skip = _resolve_update_file(final, group, resume)
+            if skip:
                 rows = pq.read_metadata(final).num_rows
                 status = "skipped"
                 bbox = _file_bbox(final, dims) if rows else _empty_bbox(dims)
@@ -1362,7 +1472,8 @@ def _write_parts_task(
     for c, s0, e0, f in zip(cells, starts, ends, files):
         t_start = time.perf_counter()
         g = tbl.slice(int(s0), int(e0 - s0))
-        if resume and os.path.exists(f):
+        f, skip = _resolve_update_file(f, g, resume)
+        if skip:
             rows = pq.read_metadata(f).num_rows
             st = "skipped" if status != "tomb" else status
         else:

@@ -253,7 +253,8 @@ class IndexShard:
         if kind == "knn" and out.num_rows:
             # shrink to per-query top-k before leaving the shard (the
             # same pre-aggregation the Dataset path applies per block)
-            out = q._shrink_partials(out, int(payload[2]))
+            # payload layout is (Q, k, *csr) — see _knn_partials_frame
+            out = q._shrink_partials(out, int(payload[1]))
         return out
 
     def _empty(self, with_id: bool) -> pa.Table:

@@ -191,3 +191,28 @@ class TestParallelClassification:
         got = q.knn(idx, qx, qy, 5).to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
         assert got["neighbor"].tolist() == base["neighbor"].tolist()
         assert got["dist2"].tolist() == base["dist2"].tolist()
+
+
+class TestPoolOODRepair:
+    def test_ood_queries_repair_through_pool_scan(self, built):
+        """OOD queries (uniform over the space, varden build —
+        test.cpp:494-509) force the density-bound repair path, whose
+        pool.scan payload is (Q, k, *csr) with MANY candidate cells;
+        r2 regression: shard-side shrink read k from the wrong slot."""
+        from pkd_tree_ray.queries import knn
+        from pkd_tree_ray.shards import ShardedQueryPool
+        from tests.oracle import knn_oracle
+
+        idx, x, y = built
+        rng = np.random.RandomState(7)
+        qx = rng.randint(0, 1_000_000, 60).astype(np.int64)
+        qy = rng.randint(0, 1_000_000, 60).astype(np.int64)
+        pool = ShardedQueryPool(idx, n_shards=3)
+        try:
+            df = knn(idx, qx, qy, 10).to_pandas().sort_values(["qid", "rank"])
+        finally:
+            pool.shutdown()
+        pid = np.arange(N, dtype=np.int64)
+        oracle = knn_oracle(x, y, pid, qx, qy, 10)
+        for q in range(len(qx)):
+            assert df[df["qid"] == q]["dist2"].tolist() == [e[0] for e in oracle[q]]

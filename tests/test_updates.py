@@ -425,3 +425,122 @@ class TestMergeAndVacuum:
         got = range_count(idx2, boxes).to_pandas()["cnt"].to_numpy()
         for q, box in enumerate(boxes):
             assert got[q] == range_count_oracle(ax, ay, box)
+
+
+class TestImbalancePolicy:
+    """imbalance_alpha as a live rebuild policy (tag_inbalance_node,
+    inner_tree.hpp:78-148; the INBALANCE_RATIO sweep, test.cpp bit10):
+    a cell compacts when its unindexed sidecar fraction would exceed
+    alpha."""
+
+    def _mk(self, tmp_path, alpha):
+        import ray.data as rd
+
+        cfg = EngineConfig(
+            target_cell_rows=512, batch_size=4_096, imbalance_alpha=alpha
+        )
+        n = 2_000
+        x, y = uniform_xy(np.arange(n, dtype=np.uint64), 42)
+        ids = np.arange(n, dtype=np.int64)
+        idx = PkdIndex.build(
+            rd.from_arrow(_table(ids, x, y)), str(tmp_path), cfg, id_col="point_id"
+        )
+        return idx, n
+
+    @staticmethod
+    def _n_sidecars(idx):
+        return sum(
+            1
+            for fs in idx.cell_files.values()
+            for f in fs
+            if f.endswith("-delta.parquet")
+        )
+
+    def test_small_insert_stays_sidecar(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        idx, n = self._mk(tmp_path, alpha=0.3)
+        m = max(1, n // 100)  # 1% — far below alpha per cell
+        ix, iy = uniform_xy(np.arange(m, dtype=np.uint64), 43)
+        idx2 = idx.insert(rd.from_arrow(_table(np.arange(n, n + m), ix, iy)))
+        assert self._n_sidecars(idx2) > 0
+        assert idx2.total_rows == n + m
+
+    def test_large_insert_triggers_alpha_rebuild(self, ray_session, tmp_path):
+        import ray.data as rd
+        from pkd_tree_ray.queries import range_count
+
+        idx, n = self._mk(tmp_path, alpha=0.3)
+        m = n  # 100% insert: every cell's sidecar fraction ~0.5 > 0.3
+        ix, iy = uniform_xy(np.arange(m, dtype=np.uint64), 43)
+        iids = np.arange(n, n + m, dtype=np.int64)
+        idx2 = idx.insert(rd.from_arrow(_table(iids, ix, iy)))
+        assert self._n_sidecars(idx2) == 0  # alpha forced compaction
+        assert idx2.total_rows == 2 * n
+        # correctness after the rebuild
+        x, y = uniform_xy(np.arange(n, dtype=np.uint64), 42)
+        ax, ay = np.concatenate([x, ix]), np.concatenate([y, iy])
+        boxes = point_pair_boxes(ax, ay, 10)
+        got = range_count(idx2, boxes).to_pandas()["cnt"].to_numpy()
+        for q, box in enumerate(boxes):
+            assert got[q] == range_count_oracle(ax, ay, box)
+
+    def test_strict_alpha_rebuilds_more_often(self, ray_session, tmp_path):
+        """alpha ~ 0 (strict balance) compacts on every insert where a
+        lax alpha absorbs it as a sidecar — the policy is live."""
+        import ray.data as rd
+
+        strict, n = self._mk(tmp_path / "s", alpha=0.01)
+        lax, _ = self._mk(tmp_path / "l", alpha=0.45)
+        m = n // 10  # 10%: above 1% bound, below 45% bound
+        ix, iy = uniform_xy(np.arange(m, dtype=np.uint64), 43)
+        t = _table(np.arange(n, n + m), ix, iy)
+        s2 = strict.insert(rd.from_arrow(t))
+        l2 = lax.insert(rd.from_arrow(t))
+        assert self._n_sidecars(s2) == 0
+        assert self._n_sidecars(l2) > 0
+        assert s2.total_rows == l2.total_rows == n + m
+
+
+class TestBranchedUpdates:
+    def test_two_different_inserts_from_same_version(self, ray_session, tmp_path):
+        """Functional-update branching (r2 regression): two DIFFERENT
+        deltas inserted off the same base version must not collide on
+        version-numbered files — blind resume dropped the second delta
+        (strict delete then reported missing rows)."""
+        import ray.data as rd
+
+        idx, ids, x, y = _mk_index(tmp_path, n=2_000)
+        n = len(ids)
+        ax_, ay_ = uniform_xy(np.arange(50, dtype=np.uint64), seed=50)
+        bx_, by_ = uniform_xy(np.arange(50, dtype=np.uint64), seed=51)
+        ta = _table(np.arange(n, n + 50), ax_, ay_)
+        tb = _table(np.arange(n + 100, n + 150), bx_, by_)
+        ia = idx.insert(rd.from_arrow(ta))
+        ib = idx.insert(rd.from_arrow(tb))  # same new version number
+        assert ia.total_rows == ib.total_rows == n + 50
+        # each branch holds exactly its own delta: strict delete works
+        ib2 = ib.delete(rd.from_arrow(tb), strict=True)
+        assert ib2.total_rows == n
+        ia2 = ia.delete(rd.from_arrow(ta), strict=True)
+        assert ia2.total_rows == n
+        # and branch A never held B's rows
+        with pytest.raises(ValueError):
+            ia.delete(rd.from_arrow(tb), strict=True)
+
+    def test_crash_resume_same_delta_reuses_files(self, ray_session, tmp_path):
+        """The resume contract itself still holds: re-running the SAME
+        insert (same base version, same delta) reuses the files."""
+        import glob
+        import ray.data as rd
+
+        idx, ids, x, y = _mk_index(tmp_path, n=2_000)
+        n = len(ids)
+        ix, iy = uniform_xy(np.arange(40, dtype=np.uint64), seed=50)
+        t = _table(np.arange(n, n + 40), ix, iy)
+        i1 = idx.insert(rd.from_arrow(t))
+        files_before = set(glob.glob(str(tmp_path) + "/parts/*.parquet"))
+        i2 = idx.insert(rd.from_arrow(t))  # identical job re-run
+        files_after = set(glob.glob(str(tmp_path) + "/parts/*.parquet"))
+        assert files_after == files_before  # no new files
+        assert i2.total_rows == i1.total_rows == n + 40
