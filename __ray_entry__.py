@@ -28,6 +28,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pkd_tree_ray.config import EngineConfig
 from pkd_tree_ray import sources, workloads
@@ -158,6 +159,19 @@ def _q_knn(sf_dir: str, k: int):
 
     qx, qy = workloads.knn_query_points()
     return knn(_base_index(sf_dir), qx, qy, k)
+
+
+def _q_knn_visit_stats(sf_dir: str):
+    """Per-query kNN work diagnostics (qid, cells_scanned,
+    nodes_visited, rows_scanned) — the reference's per-query
+    visited-node counter (tests/testFramework.h:516).  Rows-only
+    check: counters depend on tree shape, not on a SQL-expressible
+    quantity."""
+    from pkd_tree_ray.queries import knn_stats
+
+    qx, qy = workloads.knn_query_points()
+    Q = np.stack([qx, qy], axis=1)
+    return knn_stats(_base_index(sf_dir), Q, 10)
 
 
 def _q_knn_d3(sf_dir: str, k: int):
@@ -449,11 +463,9 @@ def _q_image_knn(sf_dir: str):
     pts = geotag_images(images).map_batches(
         lambda t: pa.table(
             {
-                # image_id "img%012d" -> int64 id for the index
-                "point_id": pa.array(
-                    np.asarray(
-                        [int(s[3:]) for s in t["image_id"].to_pylist()], dtype=np.int64
-                    )
+                # image_id "img%012d" -> int64 id (Arrow-native slice+cast)
+                "point_id": pc.cast(
+                    pc.utf8_slice_codeunits(t["image_id"], 3, 99), pa.int64()
                 ),
                 "x": t["x"],
                 "y": t["y"],
@@ -553,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_knn": _q_image_knn,
         "image_decode_stats": _q_image_decode_stats,
         "knn_graph": _q_knn_graph,
+        "knn_visit_stats": _q_knn_visit_stats,
     }
 
 

@@ -924,3 +924,119 @@ def knn_nd(index: PkdIndex, Q: np.ndarray, k: int, config=None):
             "dist2": pa.array(rd, pa.int64()),
         }
     )
+
+
+# -- per-query visit diagnostics ---------------------------------------
+
+
+class _KnnStatsScan:
+    """Diagnostic scan kernel: per (query, cell) work counters instead
+    of neighbors — kd-tree nodes visited (``testFramework.h:516``'s
+    per-query counter) for tree-served fragments, rows scanned for
+    brute-forced ones."""
+
+    def __init__(self, queries_ref, dims, id_col, leaf_size, cutoff, tree_provider=None):
+        (Q, k, cells, offs, qids) = _maybe_get(queries_ref)
+        self.Q, self.k = Q, k
+        self.dims = dims
+        self.cells, self.offs, self.qids = cells, offs, qids
+        self.cutoff = cutoff
+        self.tree_provider = tree_provider
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cell_col = batch["cell"].to_numpy()
+        cs = [batch[dc].to_numpy() for dc in self.dims]
+        out_qid: list[np.ndarray] = []
+        out_vis: list[np.ndarray] = []
+        out_rows: list[np.ndarray] = []
+        for cell, sl in _iter_cell_runs(cell_col):
+            i = np.searchsorted(self.cells, cell)
+            if i >= len(self.cells) or self.cells[i] != cell:
+                continue
+            qs = self.qids[self.offs[i]: self.offs[i + 1]]
+            if not len(qs):
+                continue
+            fc = [c[sl] for c in cs]
+            n_frag = len(fc[0])
+            if n_frag >= self.cutoff:
+                tree = (
+                    self.tree_provider(cell, fc)
+                    if self.tree_provider
+                    else KDTreeND(fc)
+                )
+                vis = np.empty(len(qs), dtype=np.int64)
+                for j, q in enumerate(qs):
+                    _, _, v = tree.knn_point(self.Q[q], self.k)
+                    vis[j] = v
+                out_qid.append(qs.astype(np.int64))
+                out_vis.append(vis)
+                out_rows.append(np.zeros(len(qs), dtype=np.int64))
+            else:
+                out_qid.append(qs.astype(np.int64))
+                out_vis.append(np.zeros(len(qs), dtype=np.int64))
+                out_rows.append(np.full(len(qs), n_frag, dtype=np.int64))
+        if not out_qid:
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "nodes_visited": pa.array([], pa.int64()),
+                    "rows_scanned": pa.array([], pa.int64()),
+                    "cells": pa.array([], pa.int64()),
+                }
+            )
+        qid = np.concatenate(out_qid)
+        return pa.table(
+            {
+                "qid": pa.array(qid),
+                "nodes_visited": pa.array(np.concatenate(out_vis)),
+                "rows_scanned": pa.array(np.concatenate(out_rows)),
+                "cells": pa.array(np.ones(len(qid), dtype=np.int64)),
+            }
+        )
+
+
+def knn_stats(index: PkdIndex, Q: np.ndarray, k: int, config=None) -> pa.Table:
+    """Per-query kNN work metrics (the reference prints per-query
+    visited-node counts, ``tests/testFramework.h:516``): for each
+    query, the number of candidate cells its bound touched, kd-tree
+    nodes visited in tree-served fragments, and rows scanned in
+    brute-forced fragments.  Diagnostic — uses the exact two-phase
+    bound so the counts reflect the provably-sufficient search volume.
+
+    Returns a table (qid, cells_scanned, nodes_visited, rows_scanned)
+    sorted by qid."""
+    cfg = config or index.config
+    Q = np.asarray(Q, dtype=np.int64)
+    m = len(Q)
+    empty = pa.table(
+        {
+            "qid": pa.array([], pa.int64()),
+            "cells_scanned": pa.array([], pa.int64()),
+            "nodes_visited": pa.array([], pa.int64()),
+            "rows_scanned": pa.array([], pa.int64()),
+        }
+    )
+    if m == 0 or index.total_rows == 0:
+        return empty
+    bounds = _exact_bounds(index, Q, k, cfg)
+    pairs = _candidate_pairs(index, Q, bounds)
+    needed = pairs.cell_list()
+    if not needed:
+        return empty
+    ref = ray.put((Q, k, *_csr(pairs)))
+    pdf = (
+        _scan_stage(
+            index.scan_cells(needed, columns=["cell", *cfg.dims]),
+            _KnnStatsScan,
+            (ref, cfg.dims, index.id_col, cfg.leaf_size, cfg.brute_force_cutoff),
+            cfg,
+            len(needed),
+        )
+        .to_pandas()
+    )
+    agg = pdf.groupby("qid").agg(
+        cells_scanned=("cells", "sum"),
+        nodes_visited=("nodes_visited", "sum"),
+        rows_scanned=("rows_scanned", "sum"),
+    ).reset_index().sort_values("qid")
+    return pa.Table.from_pandas(agg, preserve_index=False)

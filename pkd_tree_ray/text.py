@@ -152,23 +152,30 @@ class LangId:
     heuristic class; deterministic tie-break by language name)."""
 
     def __init__(self):
-        self.token = re.compile(r"[a-zA-Z]+")
         self.cjk = re.compile(r"[一-鿿]")
+        # one compiled whole-word regex per marker, applied as a
+        # vectorized str.contains pass over the batch (a marker is
+        # "present" iff some [a-zA-Z]+ token lowercases to it)
+        self.langs = sorted(l for l, m in _LANG_MARKERS.items() if m)
+        self.markers = {
+            lang: [
+                re.compile(rf"(?i)(?<![a-zA-Z]){re.escape(w)}(?![a-zA-Z])")
+                for w in sorted(_LANG_MARKERS[lang])
+            ]
+            for lang in self.langs
+        }
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        preds = []
-        for text in batch["text"]:
-            if self.cjk.search(text or ""):
-                preds.append("zh")
-                continue
-            words = set(w.lower() for w in self.token.findall(text or ""))
-            scores = {
-                lang: len(words & marks)
-                for lang, marks in _LANG_MARKERS.items()
-                if marks
-            }
-            best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-            preds.append(best[0] if best[1] > 0 else "und")
+        texts = batch["text"].fillna("")
+        scores = np.zeros((len(texts), len(self.langs)), dtype=np.int64)
+        for j, lang in enumerate(self.langs):
+            for rx in self.markers[lang]:
+                scores[:, j] += texts.str.contains(rx).to_numpy()
+        # argmax over name-sorted columns = (-score, name) tie-break
+        best = scores.argmax(axis=1)
+        preds = np.array(self.langs, dtype=object)[best]
+        preds[scores.max(axis=1) == 0] = "und"
+        preds[texts.str.contains(self.cjk).to_numpy()] = "zh"
         return pd.DataFrame({"doc_id": batch["doc_id"], "pred_lang": preds})
 
 
@@ -402,19 +409,31 @@ class SimHasher:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         from pandas.util import hash_array
 
-        sims = np.empty(len(batch), dtype=np.int64)
-        for i, text in enumerate(batch["text"]):
-            toks = self.token.findall(text or "")
-            if not toks:
-                sims[i] = 0
-                continue
-            hv = hash_array(np.array(toks, dtype=object), hash_key="pkd_simhash_0000")
-            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-                np.int64
-            )
-            majority = (bits.sum(axis=0) * 2 > len(toks)).astype(np.uint64)
-            sims[i] = int(
-                np.bitwise_or.reduce(majority << np.arange(64, dtype=np.uint64)).view(np.int64)
+        # one flat token stream for the whole batch, bit-expanded in
+        # bounded chunks and segment-summed per doc (no per-doc loop)
+        toks_per = batch["text"].fillna("").map(self.token.findall)
+        counts = toks_per.map(len).to_numpy(dtype=np.int64)
+        sims = np.zeros(len(batch), dtype=np.int64)
+        total = int(counts.sum())
+        if total:
+            flat = np.empty(total, dtype=object)
+            pos = 0
+            for lst in toks_per:
+                flat[pos: pos + len(lst)] = lst
+                pos += len(lst)
+            owner = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+            hv = hash_array(flat, hash_key="pkd_simhash_0000")
+            shifts = np.arange(64, dtype=np.uint64)
+            ones = np.zeros((len(batch), 64), dtype=np.int64)
+            chunk = 1 << 18
+            for s in range(0, total, chunk):
+                e = min(s + chunk, total)
+                bits = ((hv[s:e, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+                np.add.at(ones, owner[s:e], bits)
+            majority = (ones * 2 > counts[:, None]).astype(np.uint64)
+            nz = counts > 0
+            sims[nz] = (
+                np.bitwise_or.reduce(majority[nz] << shifts[None, :], axis=1).view(np.int64)
             )
         return pd.DataFrame(
             {

@@ -234,3 +234,37 @@ class TestHotKeySalting:
         res = knn(idx, np.array([500_000]), np.array([500_000]), 5).to_pandas()
         assert (res["dist2"] == 0).all()
         idx.validate()
+
+
+class TestKnnStats:
+    def test_visited_node_metrics(self, ray_session, tmp_path):
+        """Per-query work counters (testFramework.h:516): every query
+        reports its scanned cells and visited-node/row work; total
+        work grows with k."""
+        import ray.data as rd
+        import pandas as pd
+        from pkd_tree_ray.config import EngineConfig
+        from pkd_tree_ray.fixtures import uniform_xy
+        from pkd_tree_ray.index import PkdIndex
+        from pkd_tree_ray.queries import knn_stats
+
+        cfg = EngineConfig(target_cell_rows=512, batch_size=4096)
+        n = 6_000
+        pid = np.arange(n, dtype=np.int64)
+        x, y = uniform_xy(pid, 21)
+        idx = PkdIndex.build(
+            rd.from_pandas(pd.DataFrame({"point_id": pid, "x": x, "y": y})),
+            str(tmp_path),
+            cfg,
+            id_col="point_id",
+        )
+        Q = np.stack([x[:40], y[:40]], axis=1)
+        s1 = knn_stats(idx, Q, 1).to_pandas()
+        s20 = knn_stats(idx, Q, 20).to_pandas()
+        assert sorted(s1["qid"]) == list(range(40))
+        assert (s1["cells_scanned"] >= 1).all()
+        # every query did SOME work, tree nodes or brute rows
+        assert ((s1["nodes_visited"] + s1["rows_scanned"]) > 0).all()
+        work1 = (s1["nodes_visited"] + s1["rows_scanned"]).sum()
+        work20 = (s20["nodes_visited"] + s20["rows_scanned"]).sum()
+        assert work20 >= work1
