@@ -61,7 +61,10 @@ def ann_bruteforce(
     -> pa.Table (qid, rank, neighbor, score) where score is int64
     quantized squared L2 (``metric='l2q'``) or negated scaled cosine.
     Per batch: matmul against the broadcast query matrix -> partial
-    top-k rows; final merge on the driver (m x k is small).
+    top-k rows (tie-inclusive at the kth-score boundary, so the
+    (score, neighbor) tie-break survives the cut); merge via a
+    distributed ``groupby(qid)`` — the driver only ever receives the
+    final m x k rows, independent of the corpus block count.
     """
     qref = ray.put(np.asarray(query_vecs))
 
@@ -84,37 +87,41 @@ def ann_bruteforce(
             pn = pm / np.linalg.norm(pm, axis=1, keepdims=True)
             score = -(qn @ pn.T)
         kk = min(k, score.shape[1])
-        part = np.argpartition(score, kk - 1, axis=1)[:, :kk]
-        m = score.shape[0]
+        # tie-inclusive cut: keep every candidate at the kth score so a
+        # smaller-id neighbor tied at the boundary can't be dropped
+        # before the (score, neighbor) merge
+        kth = np.partition(score, kk - 1, axis=1)[:, kk - 1][:, None]
+        qi, ni = np.nonzero(score <= kth)
         return pa.table(
             {
-                "qid": np.repeat(np.arange(m, dtype=np.int64), kk),
-                "neighbor": vid[part.ravel()],
-                "score": np.take_along_axis(score, part, axis=1).ravel()
-                if metric == "l2q"
-                else np.take_along_axis(score, part, axis=1).ravel(),
+                "qid": qi.astype(np.int64),
+                "neighbor": vid[ni],
+                "score": score[qi, ni],
             }
         )
 
-    pdf = embeddings.map_batches(partial, batch_format="pyarrow").to_pandas()
-    qid = pdf["qid"].to_numpy()
-    nb = pdf["neighbor"].to_numpy()
-    sc = pdf["score"].to_numpy()
-    order = np.lexsort((nb, sc, qid))
-    qs = qid[order]
-    uq, starts, cnts = np.unique(qs, return_index=True, return_counts=True)
-    ranks = np.arange(len(qs), dtype=np.int64) - np.repeat(starts, cnts)
-    keep = ranks < k
-    rows = order[keep]
-    out = pa.table(
-        {
-            "qid": pa.array(qid[rows], pa.int64()),
-            "rank": pa.array(ranks[keep] + 1, pa.int64()),
-            "neighbor": pa.array(nb[rows], pa.int64()),
-            "score": pa.array(sc[rows]),
-        }
+    def topk(group: pa.Table) -> pa.Table:
+        nb = group["neighbor"].to_numpy()
+        sc = group["score"].to_numpy()
+        order = np.lexsort((nb, sc))[:k]
+        out = group.take(pa.array(order))
+        return pa.table(
+            {
+                "qid": out["qid"],
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "neighbor": out["neighbor"],
+                "score": out["score"],
+            }
+        )
+
+    pdf = (
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(topk, batch_format="pyarrow")
+        .to_pandas()
     )
-    return out
+    pdf = pdf.sort_values(["qid", "rank"])
+    return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
 def embedding_neardup(
