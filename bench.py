@@ -103,6 +103,7 @@ def run_suite() -> dict:
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"[bench] {name}: {timings[name]:.2f}s", file=sys.stderr, flush=True)
         return out
 
     def timed2(name: str, fn):

@@ -724,12 +724,38 @@ def _exact_bounds(index: PkdIndex, Q, k, cfg) -> np.ndarray:
     return bounds
 
 
+def _directory_bound_chunk(Q: np.ndarray, k: int, counts, bboxes) -> np.ndarray:
+    """PROVABLE kth-distance upper bound from directory stats alone:
+    walk cells by bbox min-distance until their cumulative count
+    reaches k; every point in those cells lies within the running max
+    of their bbox max-distances, so the kth distance cannot exceed it.
+    Loose in-distribution (a home cell's max-dist spans the cell) but
+    decisive out-of-distribution, where the density heuristic has no
+    basis and previously fell back to an unbounded radius — an OOD
+    query batch then scanned essentially every cell (r2 bench: the
+    varden-build/uniform-query phase ran minutes instead of seconds)."""
+    d2min = pnd_b_min_dist2(Q, bboxes)
+    d2max = pnd_b_max_dist2(Q, bboxes)
+    order = np.argsort(d2min, axis=1, kind="stable")
+    csum = np.cumsum(counts[order], axis=1)
+    enough = csum >= k
+    j = np.argmax(enough, axis=1)
+    has = enough.any(axis=1)
+    run = np.maximum.accumulate(np.take_along_axis(d2max, order, axis=1), axis=1)
+    b = run[np.arange(len(Q)), j]
+    b[~has] = np.iinfo(np.int64).max
+    return b
+
+
 def _density_bounds(index: PkdIndex, Q, k, safety: int = 2) -> np.ndarray:
     """Estimated kth-distance bound from directory stats alone (no
-    scan): assume roughly uniform density in the query's home cell,
-    r_k^2 ~ (safety * k * volume / count)^(2/d).  NOT exact — every
-    query is verified after the scan and repaired exactly if the
-    estimate was too small (see ``knn``)."""
+    scan): min of (a) the home-cell uniform-density estimate
+    r_k^2 ~ (safety * k * volume / count)^(2/d) — tight when queries
+    follow the build distribution — and (b) the provable cumulative
+    directory bound (:func:`_directory_bound_chunk`) — what keeps OOD
+    queries from scanning the world.  NOT exact below the provable
+    bound — every query is verified after the scan and repaired
+    exactly if the estimate was too small (see ``knn``)."""
     d = index.directory
     nd = index.config.ndim
     idx = d.index_of(d.assign_nd([Q[:, j] for j in range(nd)]))
@@ -746,6 +772,12 @@ def _density_bounds(index: PkdIndex, Q, k, safety: int = 2) -> np.ndarray:
     est = np.maximum(est, 4)  # never a zero-radius bound
     # empty home cell -> no basis for an estimate
     est[counts == 0] = np.iinfo(np.int64).max
+    live = d.counts > 0
+    cells_l, counts_l, bboxes_l = d.starts[live], d.counts[live], d.bboxes[live]
+    if len(cells_l):
+        for s in range(0, len(Q), _CLASSIFY_CHUNK):
+            cap = _directory_bound_chunk(Q[s: s + _CLASSIFY_CHUNK], k, counts_l, bboxes_l)
+            est[s: s + _CLASSIFY_CHUNK] = np.minimum(est[s: s + _CLASSIFY_CHUNK], cap)
     return est
 
 

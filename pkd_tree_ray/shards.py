@@ -148,15 +148,33 @@ class IndexShard:
             if not len(qs):
                 continue
             # cell bboxes are disjoint, so bd2 == 0 identifies a query's
-            # HOME cell: it answers with a full local top-k.  Any OTHER
-            # candidate cell overlaps the query ball only in a sliver —
+            # HOME cell: it answers with a full local top-k.  A foreign
+            # cell usually overlaps the query ball only in a sliver —
             # emit just the rows inside the bound (cheaper to compute,
             # far fewer partial rows through the object store); the
             # merge-side verification (kth <= bound, found >= k) already
-            # guarantees exactness for both emit shapes.
+            # guarantees exactness for both emit shapes.  BUT a foreign
+            # query whose ball COVERS the cell (bbox max-dist <= bound —
+            # the out-of-distribution case: the directory bound is the
+            # max-dist of the nearest populated cells) must take the
+            # top-k path too: the sliver filter would admit ~the whole
+            # cell per query, materializing q x n pair rows (r2: OOD
+            # phase ran minutes and thrashed the object store).
             home = bd2[qs] == 0
-            hq = qs[home]
-            fq = qs[~home]
+            # fraction of the cell bbox inside the query ball's
+            # bounding box: a deep overlap (> 1/8 of the cell) would
+            # make the sliver filter emit ~fraction x n_cell rows per
+            # query — route those through the bounded top-k path
+            r = np.sqrt(bounds[qs].astype(np.float64))
+            frac = np.ones(len(qs), dtype=np.float64)
+            for j in range(nd):
+                lo, hi = float(bbox[j]), float(bbox[nd + j])
+                qj = Qc[j][qs].astype(np.float64)
+                ext = np.minimum(qj + r, hi) - np.maximum(qj - r, lo)
+                frac *= np.clip(ext, 0.0, hi - lo + 1.0) / (hi - lo + 1.0)
+            deep = frac > 0.125
+            hq = qs[home | deep]
+            fq = qs[~home & ~deep]
             if len(hq):
                 idx, d2 = brute_knn_nd(fc, [c[hq] for c in Qc], k, tie_key=ids)
                 k_eff = idx.shape[1]
