@@ -734,17 +734,16 @@ def _directory_bound_chunk(Q: np.ndarray, k: int, counts, bboxes) -> np.ndarray:
     basis and previously fell back to an unbounded radius — an OOD
     query batch then scanned essentially every cell (r2 bench: the
     varden-build/uniform-query phase ran minutes instead of seconds)."""
-    d2min = pnd_b_min_dist2(Q, bboxes)
-    d2max = pnd_b_max_dist2(Q, bboxes)
-    order = np.argsort(d2min, axis=1, kind="stable")
-    csum = np.cumsum(counts[order], axis=1)
-    enough = csum >= k
-    j = np.argmax(enough, axis=1)
-    has = enough.any(axis=1)
-    run = np.maximum.accumulate(np.take_along_axis(d2max, order, axis=1), axis=1)
-    b = run[np.arange(len(Q)), j]
-    b[~has] = np.iinfo(np.int64).max
-    return b
+    ok = counts >= k
+    if ok.any():
+        # any single cell holding >= k points bounds the kth distance
+        # by its bbox max-dist; take the best such cell per query.
+        # One masked min pass — an argsort-based nearest-prefix walk
+        # here cost ~0.4ms/query at 913 cells (38s per 100k batch).
+        return pnd_b_max_dist2(Q, bboxes[ok]).min(axis=1)
+    # k exceeds every single cell (k > target_cell_rows — not a real
+    # workload): all live cells together hold max(k, n) points
+    return pnd_b_max_dist2(Q, bboxes).max(axis=1)
 
 
 def _density_bounds(index: PkdIndex, Q, k, safety: int = 2) -> np.ndarray:
@@ -772,12 +771,43 @@ def _density_bounds(index: PkdIndex, Q, k, safety: int = 2) -> np.ndarray:
     est = np.maximum(est, 4)  # never a zero-radius bound
     # empty home cell -> no basis for an estimate
     est[counts == 0] = np.iinfo(np.int64).max
-    live = d.counts > 0
-    cells_l, counts_l, bboxes_l = d.starts[live], d.counts[live], d.bboxes[live]
-    if len(cells_l):
-        for s in range(0, len(Q), _CLASSIFY_CHUNK):
-            cap = _directory_bound_chunk(Q[s: s + _CLASSIFY_CHUNK], k, counts_l, bboxes_l)
-            est[s: s + _CLASSIFY_CHUNK] = np.minimum(est[s: s + _CLASSIFY_CHUNK], cap)
+    # home-cell provable cap: the home cell's rows all lie within its
+    # bbox max-dist, so when it holds >= k rows that distance bounds
+    # the kth.  O(m), no all-cells pass.
+    dj_min = np.zeros(len(Q), dtype=np.float64)
+    d2h_min = np.zeros(len(Q), dtype=np.float64)
+    d2h_max = np.zeros(len(Q), dtype=np.float64)
+    for j in range(nd):
+        qj = Q[:, j].astype(np.float64)
+        lo = bb[:, j].astype(np.float64)
+        hi = bb[:, nd + j].astype(np.float64)
+        dj_min = np.maximum(np.maximum(lo - qj, qj - hi), 0.0)
+        d2h_min += dj_min * dj_min
+        dj_max = np.maximum(np.abs(qj - lo), np.abs(hi - qj))
+        d2h_max += dj_max * dj_max
+    cap0_ok = counts >= k
+    est[cap0_ok] = np.minimum(
+        est[cap0_ok],
+        np.minimum(d2h_max[cap0_ok], float(np.iinfo(np.int64).max // 4)).astype(np.int64),
+    )
+    # full masked-min pass ONLY for queries the home cell can't bound
+    # tightly: out-of-distribution (outside the home bbox) or a home
+    # cell with < k rows.  In-distribution batches skip it entirely.
+    need = (counts < k) | (d2h_min > 0)
+    if need.any():
+        live = d.counts > 0
+        if live.any():
+            Qn = Q[need]
+            capn = np.empty(len(Qn), dtype=np.float64)
+            counts_l, bboxes_l = d.counts[live], d.bboxes[live]
+            for s in range(0, len(Qn), _CLASSIFY_CHUNK):
+                capn[s: s + _CLASSIFY_CHUNK] = _directory_bound_chunk(
+                    Qn[s: s + _CLASSIFY_CHUNK], k, counts_l, bboxes_l
+                )
+            est[need] = np.minimum(
+                est[need],
+                np.minimum(capn, float(np.iinfo(np.int64).max // 4)).astype(np.int64),
+            )
     return est
 
 
