@@ -28,12 +28,19 @@ distributed index that ``map_batches`` cannot hold across pipelines.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
 import ray
 
 from pkd_tree_ray.index import PkdIndex
+
+#: a foreign query ball overlapping more than this fraction of a cell's
+#: bbox volume takes the bounded top-k path instead of the sliver
+#: filter (see knn_auto); env-overridable for experiments.
+_DEEP_OVERLAP_FRAC = float(os.environ.get("PKD_DEEP_FRAC", "0.125"))
 
 
 @ray.remote(num_cpus=0)
@@ -172,7 +179,7 @@ class IndexShard:
                 qj = Qc[j][qs].astype(np.float64)
                 ext = np.minimum(qj + r, hi) - np.maximum(qj - r, lo)
                 frac *= np.clip(ext, 0.0, hi - lo + 1.0) / (hi - lo + 1.0)
-            deep = frac > 0.125
+            deep = frac > _DEEP_OVERLAP_FRAC
             hq = qs[home | deep]
             fq = qs[~home & ~deep]
             if len(hq):
