@@ -772,7 +772,8 @@ FROM documents GROUP BY text
 SELECT doc_id,
   len(regexp_extract_all(text, '\S+')) AS n_tokens,
   len(list_distinct(regexp_extract_all(text, '\S+'))) AS n_uniq,
-  length(regexp_replace(text, '\s', '', 'g')) AS n_alpha
+  length(regexp_replace(text, '\s', '', 'g')) AS n_alpha,
+  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]{1,3}|[^\sa-zA-Z0-9]+')) AS n_bpe
 FROM documents
 """,
         "quality_scores": r"""

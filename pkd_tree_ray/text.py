@@ -76,9 +76,15 @@ class TextStats:
     ``regexp_replace``), making this stage oracle-checkable.
     """
 
+    #: BPE-ish subword chunking (RE2-safe, so DuckDB's regexp_extract_all
+    #: reproduces it exactly): alpha runs, <=3-digit number chunks (how
+    #: modern BPE vocabularies chunk long numbers), punctuation runs.
+    BPE_RE = r"[a-zA-Z]+|[0-9]{1,3}|[^\sa-zA-Z0-9]+"
+
     def __init__(self):
         self.token = re.compile(_TOKEN_RE)
         self.ws = re.compile(r"\s")
+        self.bpe = re.compile(self.BPE_RE)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         toks = batch["text"].str.findall(self.token)
@@ -91,6 +97,7 @@ class TextStats:
                 .str.replace(self.ws, "", regex=True)
                 .str.len()
                 .astype(np.int64),
+                "n_bpe": batch["text"].str.count(self.bpe).astype(np.int64),
             }
         )
 
