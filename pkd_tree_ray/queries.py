@@ -726,9 +726,10 @@ def _exact_bounds(index: PkdIndex, Q, k, cfg) -> np.ndarray:
 
 def _directory_bound_chunk(Q: np.ndarray, k: int, counts, bboxes) -> np.ndarray:
     """PROVABLE kth-distance upper bound from directory stats alone:
-    walk cells by bbox min-distance until their cumulative count
-    reaches k; every point in those cells lies within the running max
-    of their bbox max-distances, so the kth distance cannot exceed it.
+    any single cell holding >= k points bounds the kth distance by its
+    bbox max-distance, so the min of that bound over all such cells is
+    a valid cap (one vectorized masked-min pass — a cumulative
+    nearest-cells walk would be tighter but cost ~0.4 ms/query).
     Loose in-distribution (a home cell's max-dist spans the cell) but
     decisive out-of-distribution, where the density heuristic has no
     basis and previously fell back to an unbounded radius — an OOD
