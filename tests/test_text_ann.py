@@ -91,6 +91,36 @@ class TestTextStats:
         assert df["stop_permille"].tolist()[0] == 333
         assert df["uniq_permille"].tolist()[1] == 1000
 
+    def test_bpe_count_matches_duckdb(self):
+        """n_bpe's Python regex must agree with the DuckDB RE2 pattern
+        in oracle_sql() on adversarial inputs (unicode, >3-digit runs,
+        punctuation runs, mixed alnum) — the driver compares them."""
+        import duckdb
+        import pandas as pd
+
+        from pkd_tree_ray.text import TextStats
+
+        texts = [
+            "abc1234567def!!??  x9y",
+            "número 100000 — ça va? 日本語テスト 12345",
+            "a1b2c3 ... $$$ 999 9999 99999",
+            "",
+            "   ",
+            "tabs\tand\nnewlines 42",
+        ]
+        ts = TextStats()
+        got = ts(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))[
+            "n_bpe"
+        ].tolist()
+        con = duckdb.connect()
+        want = [
+            con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [t, TextStats.BPE_RE]
+            ).fetchone()[0]
+            for t in texts
+        ]
+        assert got == want
+
     def test_lang_id(self, ray_session):
         from pkd_tree_ray.text import lang_id
 
