@@ -43,17 +43,50 @@ _CFG3 = EngineConfig(dims=("x", "y", "z"), target_cell_rows=8_192, batch_size=32
 _INDEX_CACHE: dict[tuple, Any] = {}
 
 
+def _code_fingerprint() -> str:
+    """Hash of the engine source files.  Baked into every /tmp cache
+    path so on-disk state written by a DIFFERENT code revision (a prior
+    round's driver pass) is never trusted — the r2 empty-CORRECTNESS
+    postmortem's prime suspect was cross-round /tmp reuse."""
+    import glob
+
+    h = hashlib.sha1()
+    root = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(root, "pkd_tree_ray", "*.py")))
+    files.append(os.path.abspath(__file__))
+    for f in files:
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:10]
+
+
+_CODE_FP = _code_fingerprint()
+
+
 def _idx_path(sf_dir: str, variant: str) -> str:
-    slug = hashlib.sha1(f"{sf_dir}:{variant}".encode()).hexdigest()[:16]
+    slug = hashlib.sha1(f"{sf_dir}:{variant}:{_CODE_FP}".encode()).hexdigest()[:16]
     return f"/tmp/pkd_idx/{slug}"
+
+
+def _build_robust(points_factory, path: str, cfg, id_col: str = "point_id") -> PkdIndex:
+    """Build with resume; if anything on the cached path is poisoned
+    (stale/corrupt part files, mismatched manifest), wipe the directory
+    and rebuild from scratch ONCE — a single query entry must never
+    take down the whole driver correctness pass."""
+    import shutil
+
+    try:
+        return PkdIndex.build(points_factory(), path, cfg, id_col=id_col)
+    except Exception:
+        shutil.rmtree(path, ignore_errors=True)
+        return PkdIndex.build(points_factory(), path, cfg, id_col=id_col, resume=False)
 
 
 def _base_index(sf_dir: str) -> PkdIndex:
     key = (sf_dir, "lineitem")
     if key not in _INDEX_CACHE:
-        _INDEX_CACHE[key] = PkdIndex.build(
-            sources.lineitem_points(sf_dir), _idx_path(sf_dir, "lineitem"), _CFG,
-            id_col="point_id",
+        _INDEX_CACHE[key] = _build_robust(
+            lambda: sources.lineitem_points(sf_dir), _idx_path(sf_dir, "lineitem"), _CFG
         )
     return _INDEX_CACHE[key]
 
@@ -61,9 +94,10 @@ def _base_index(sf_dir: str) -> PkdIndex:
 def _base_index_3d(sf_dir: str) -> PkdIndex:
     key = (sf_dir, "lineitem3d")
     if key not in _INDEX_CACHE:
-        _INDEX_CACHE[key] = PkdIndex.build(
-            sources.lineitem_points_3d(sf_dir), _idx_path(sf_dir, "lineitem3d"), _CFG3,
-            id_col="point_id",
+        _INDEX_CACHE[key] = _build_robust(
+            lambda: sources.lineitem_points_3d(sf_dir),
+            _idx_path(sf_dir, "lineitem3d"),
+            _CFG3,
         )
     return _INDEX_CACHE[key]
 
@@ -73,11 +107,13 @@ def _base_index_float(sf_dir: str) -> PkdIndex:
     harness' coord=double variant, testFramework.h:18-19)."""
     key = (sf_dir, "lineitem_float")
     if key not in _INDEX_CACHE:
-        pts = sources.lineitem_points_float(sf_dir).map_batches(
-            lambda t: t.select(["point_id", "x", "y"]), batch_format="pyarrow"
-        )
-        _INDEX_CACHE[key] = PkdIndex.build(
-            pts, _idx_path(sf_dir, "lineitem_float"), _CFG, id_col="point_id"
+        def pts():
+            return sources.lineitem_points_float(sf_dir).map_batches(
+                lambda t: t.select(["point_id", "x", "y"]), batch_format="pyarrow"
+            )
+
+        _INDEX_CACHE[key] = _build_robust(
+            pts, _idx_path(sf_dir, "lineitem_float"), _CFG
         )
     return _INDEX_CACHE[key]
 
@@ -120,6 +156,28 @@ def _deleted_index(sf_dir: str) -> PkdIndex:
 # ----------------------------------------------------------------------
 # query implementations
 # ----------------------------------------------------------------------
+
+def _q_selfcheck(sf_dir: str) -> pa.Table:
+    """Cheap environment probe, run FIRST by the driver: reads one tiny
+    parquet through Ray Data and touches the /tmp scratch root.  If
+    this entry fails or mismatches, the whole round's correctness pass
+    is suspect for environmental (not operator) reasons — r2's
+    CORRECTNESS came back empty with every operator green on re-run."""
+    import ray.data as rd
+
+    n = rd.read_parquet(f"{sf_dir}/region.parquet").count()
+    os.makedirs("/tmp/pkd_idx", exist_ok=True)
+    probe = f"/tmp/pkd_idx/.probe-{os.getpid()}"
+    with open(probe, "w") as f:
+        f.write("ok")
+    os.remove(probe)
+    return pa.table(
+        {
+            "n_region": pa.array([int(n)], pa.int64()),
+            "tmp_writable": pa.array([1], pa.int64()),
+        }
+    )
+
 
 def _q_build_summary(sf_dir: str) -> pa.Table:
     idx = _base_index(sf_dir)
@@ -533,6 +591,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "selfcheck": _q_selfcheck,
         "build_summary": _q_build_summary,
         "range_count": _q_range_count,
         "range_report": _q_range_report,
@@ -700,6 +759,9 @@ def oracle_sql() -> dict[str, str]:
         for i, v in enumerate(polys)
     )
     return {
+        "selfcheck": """
+SELECT count(*) AS n_region, CAST(1 AS BIGINT) AS tmp_writable FROM region
+""",
         "build_summary": f"""
 WITH pts AS ({sources.sql_lineitem_points()})
 SELECT count(*) AS n, min(x) AS min_x, min(y) AS min_y,

@@ -82,17 +82,29 @@ def _content_token(group: pa.Table, cols: list[str]) -> str:
     return f"{int(acc) & 0xFFFFFFFF:08x}"
 
 
-def _resume_matches(final: str, group: pa.Table, cols: list[str]) -> bool:
-    """True iff the existing file plausibly holds exactly this group's
-    content: row count + per-column min/max from Parquet footer stats
-    (no data read).  Guards resume against a DIFFERENT update branched
-    from the same base version (same version number, other delta)."""
+#: Parquet footer key carrying the writer's content token — exact
+#: resume verification (ADVICE r2: footer min/max stats alone cannot
+#: distinguish two same-version deltas with coinciding count+extrema,
+#: e.g. tombstones {1,5,9} vs {1,6,9})
+_TOKEN_KEY = b"pkd_content_token"
+
+
+def _resume_matches(final: str, group: pa.Table, cols: list[str], token: str | None = None) -> bool:
+    """True iff the existing file holds exactly this group's content.
+
+    Primary check: the content token written into the Parquet footer
+    key-value metadata at write time — exact, order-insensitive.
+    Legacy files (written before the token existed) fall back to row
+    count + per-column min/max footer stats."""
     try:
         md = pq.read_metadata(final)
     except Exception:
         return False
     if md.num_rows != group.num_rows:
         return False
+    kv = md.metadata or {}
+    if token is not None and _TOKEN_KEY in kv:
+        return kv[_TOKEN_KEY].decode() == token
     if group.num_rows == 0 or not cols:
         return True
     want = {}
@@ -119,27 +131,30 @@ def _resume_matches(final: str, group: pa.Table, cols: list[str]) -> bool:
     return True
 
 
-def _resolve_update_file(final: str, group: pa.Table, resume: bool) -> tuple[str, bool]:
+def _resolve_update_file(final: str, group: pa.Table, resume: bool) -> tuple[str, bool, str]:
     """Pick the path an update group writes to and whether the write
-    may be skipped (verified resume hit).
+    may be skipped (verified resume hit).  Returns
+    ``(path, skip, content_token)`` — the token must be embedded in the
+    footer by the writer so a later resume can verify exactly.
 
     Functional-update hazard (r2): two different updates branched off
     the SAME index version collide on the version-numbered file name;
     blindly resuming silently drops the second delta, and overwriting
     corrupts the sibling index that references the file.  An existing
-    file is therefore reused only when its footer stats match the
-    group; otherwise the group diverts to a deterministic
-    content-token name (stable across crash-resume of this update,
-    disjoint from the sibling's)."""
+    file is therefore reused only when its footer token (or, for
+    legacy files, footer stats) matches the group; otherwise the group
+    diverts to a deterministic content-token name (stable across
+    crash-resume of this update, disjoint from the sibling's)."""
     cols = _fp_columns(group)
+    token = _content_token(group, cols)
     if not os.path.exists(final):
-        return final, False
-    if resume and _resume_matches(final, group, cols):
-        return final, True
-    alt = final.replace(".parquet", f"-u{_content_token(group, cols)}.parquet")
-    if resume and os.path.exists(alt) and _resume_matches(alt, group, cols):
-        return alt, True
-    return alt, False
+        return final, False, token
+    if resume and _resume_matches(final, group, cols, token):
+        return final, True, token
+    alt = final.replace(".parquet", f"-u{token}.parquet")
+    if resume and os.path.exists(alt) and _resume_matches(alt, group, cols, token):
+        return alt, True, token
+    return alt, False, token
 
 
 def _empty_bbox(dims: tuple[str, ...]) -> list[int]:
@@ -188,7 +203,11 @@ def _file_bbox(final: str, dims: tuple[str, ...]) -> list[int]:
     return _group_bbox(t, dims)
 
 
-def _atomic_write_table(table: pa.Table, final: str) -> None:
+def _atomic_write_table(table: pa.Table, final: str, token: str | None = None) -> None:
+    if token is not None:
+        meta = dict(table.schema.metadata or {})
+        meta[_TOKEN_KEY] = token.encode()
+        table = table.replace_schema_metadata(meta)
     tmp = final + ".tmp"
     pq.write_table(table, tmp)
     os.replace(tmp, final)
@@ -373,7 +392,7 @@ class PkdIndex:
             group = group.drop_columns(
                 [c for c in ("__op", "__part") if c in group.column_names]
             )
-            final, skip = _resolve_update_file(final, group, resume)
+            final, skip, token = _resolve_update_file(final, group, resume)
             if skip:
                 rows = pq.read_metadata(final).num_rows
                 status = "skipped"
@@ -384,7 +403,7 @@ class PkdIndex:
             else:
                 rows = group.num_rows
                 if rows:
-                    _atomic_write_table(group, final)
+                    _atomic_write_table(group, final, token)
                     bbox = _group_bbox(group, dims)
                 else:
                     bbox = _empty_bbox(dims)
@@ -754,10 +773,14 @@ class PkdIndex:
             dcnt_of_ins = {int(c): int(k) for c, k in zip(affected, dcnt)}
             side_now: dict[int, int] = {}
             for r in self.lineage:
+                # "-delta" as a basename substring, NOT a suffix:
+                # branched updates divert to ...-delta-u<token>.parquet
+                # (_resolve_update_file) and must still count toward
+                # the imbalance trigger (ADVICE r2)
                 if (
                     r["cell"] in affected_set
                     and r["rows"] > 0
-                    and r["file"].endswith("-delta.parquet")
+                    and "-delta" in os.path.basename(r["file"])
                 ):
                     side_now[r["cell"]] = side_now.get(r["cell"], 0) + r["rows"]
             alpha_violated = {
@@ -1003,9 +1026,9 @@ class PkdIndex:
                 ".parquet", "-tomb.parquet"
             )
             group = group.select(["cell", id_col])
-            final, skip = _resolve_update_file(final, group, resume)
+            final, skip, token = _resolve_update_file(final, group, resume)
             if not skip:
-                _atomic_write_table(group, final)
+                _atomic_write_table(group, final, token)
             return pa.table(
                 {
                     "cell": pa.array([cell], pa.int64()),
@@ -1136,7 +1159,7 @@ class PkdIndex:
             group = group.drop_columns(
                 [c for c in ("__op", "__part") if c in group.column_names]
             )
-            final, skip = _resolve_update_file(final, group, resume)
+            final, skip, token = _resolve_update_file(final, group, resume)
             if skip:
                 rows = pq.read_metadata(final).num_rows
                 status = "skipped"
@@ -1144,7 +1167,7 @@ class PkdIndex:
             else:
                 rows = group.num_rows
                 if rows:
-                    _atomic_write_table(group, final)
+                    _atomic_write_table(group, final, token)
                     bbox = _group_bbox(group, dims)
                 else:
                     bbox = _empty_bbox(dims)
@@ -1472,14 +1495,14 @@ def _write_parts_task(
     for c, s0, e0, f in zip(cells, starts, ends, files):
         t_start = time.perf_counter()
         g = tbl.slice(int(s0), int(e0 - s0))
-        f, skip = _resolve_update_file(f, g, resume)
+        f, skip, token = _resolve_update_file(f, g, resume)
         if skip:
             rows = pq.read_metadata(f).num_rows
             st = "skipped" if status != "tomb" else status
         else:
             rows = g.num_rows
             if rows:
-                _atomic_write_table(g, f)
+                _atomic_write_table(g, f, token)
             st = status
         if g.num_rows and status != "tomb":
             bbox = _group_bbox(g, dims)

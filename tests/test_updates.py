@@ -2,6 +2,8 @@
 ``batchInsert``/``batchDelete`` phases, ``tests/test.cpp:53-74``,
 validated after every step like ``checkCorrectParallel.cpp:139-168``)."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -453,7 +455,7 @@ class TestImbalancePolicy:
             1
             for fs in idx.cell_files.values()
             for f in fs
-            if f.endswith("-delta.parquet")
+            if "-delta" in os.path.basename(f)
         )
 
     def test_small_insert_stays_sidecar(self, ray_session, tmp_path):
@@ -527,6 +529,33 @@ class TestBranchedUpdates:
         # and branch A never held B's rows
         with pytest.raises(ValueError):
             ia.delete(rd.from_arrow(tb), strict=True)
+
+    def test_branched_tombstones_with_identical_footer_stats(self, ray_session, tmp_path):
+        """ADVICE r2 (medium): two deletes branched off the same base
+        whose tombstone sets coincide in count AND per-column min/max
+        ({1,5,9} vs {1,6,9}) defeat the stats-only resume check; the
+        footer content token must keep them distinct."""
+        import ray.data as rd
+        from pkd_tree_ray.config import EngineConfig
+        from pkd_tree_ray.index import PkdIndex
+
+        cfg = EngineConfig(target_cell_rows=100_000, batch_size=4_096)
+        n = 2_000
+        x, y = uniform_xy(np.arange(n, dtype=np.uint64), 42)
+        ids = np.arange(n, dtype=np.int64)
+        idx = PkdIndex.build(
+            rd.from_arrow(_table(ids, x, y)), str(tmp_path), cfg, id_col="point_id"
+        )
+        assert len(idx.cell_files) == 1  # single cell: forced collision
+        sa = np.array([1, 5, 9])
+        sb = np.array([1, 6, 9])  # same count, same min/max id
+        ia = idx.delete(rd.from_arrow(_table(ids[sa], x[sa], y[sa])), strict=True)
+        ib = idx.delete(rd.from_arrow(_table(ids[sb], x[sb], y[sb])), strict=True)
+        live_a = set(ia.scan_all(columns=["point_id"]).to_pandas()["point_id"])
+        live_b = set(ib.scan_all(columns=["point_id"]).to_pandas()["point_id"])
+        assert ia.total_rows == ib.total_rows == n - 3
+        assert 6 in live_a and 5 not in live_a
+        assert 5 in live_b and 6 not in live_b
 
     def test_crash_resume_same_delta_reuses_files(self, ray_session, tmp_path):
         """The resume contract itself still holds: re-running the SAME
