@@ -826,6 +826,174 @@ def _candidate_pairs(index: PkdIndex, Q, bounds) -> "_Pairs":
     return _Pairs.concat(parts)
 
 
+def _pairs_diff(a: "_Pairs", b: "_Pairs", starts: np.ndarray) -> "_Pairs":
+    """Pairs of ``a`` not present in ``b`` (cells keyed by directory
+    position so the (qid, cell) composite fits one int64)."""
+    if not a or not b:
+        return a
+    w = np.int64(len(starts) + 1)
+    ka = a.qids * w + np.searchsorted(starts, a.cells)
+    kb = b.qids * w + np.searchsorted(starts, b.cells)
+    keep = ~np.isin(ka, kb)
+    return _Pairs(a.cells[keep], a.qids[keep])
+
+
+def _bounds_from_partials(qid, d2, nb, m: int, k: int, k_eff: int) -> np.ndarray:
+    """Per-query kth-distance upper bound from scan partials: the kth
+    smallest found distance (exact over the rows seen; +inf where
+    fewer than ``k_eff`` rows were found)."""
+    bounds = np.full(m, np.iinfo(np.int64).max, dtype=np.int64)
+    if len(qid):
+        rows, _ = _topk_per_qid(qid, d2, nb, k)
+        qs, ds = qid[rows], d2[rows]
+        uq, st, ct = np.unique(qs, return_index=True, return_counts=True)
+        full = ct >= k_eff
+        bounds[uq[full]] = ds[st[full] + ct[full] - 1]
+    return bounds
+
+
+@ray.remote(num_cpus=1)
+def _kth_bounds_slice(lo: int, hi: int, k: int, k_eff: int, *parts: pa.Table) -> np.ndarray:
+    """bounds[lo:hi] from qid-sorted partial tables — runs where the
+    partials live so large seed results never land on the driver."""
+    picked = []
+    for t in parts:
+        if not t.num_rows:
+            continue
+        qid = t["qid"].to_numpy()
+        a = int(np.searchsorted(qid, lo, side="left"))
+        b = int(np.searchsorted(qid, hi, side="left"))
+        if b > a:
+            picked.append(t.slice(a, b - a))
+    if not picked:
+        return np.full(hi - lo, np.iinfo(np.int64).max, dtype=np.int64)
+    pdf = pa.concat_tables(picked)
+    return _bounds_from_partials(
+        pdf["qid"].to_numpy() - lo,
+        pdf["dist2"].to_numpy(),
+        pdf["neighbor"].to_numpy(zero_copy_only=False),
+        hi - lo,
+        k,
+        k_eff,
+    )
+
+
+def _pool_two_phase(index: PkdIndex, pool, Q: np.ndarray, k: int, k_eff: int):
+    """Two-phase kNN over the resident shard pool with seed-partial
+    reuse — the distributed guided descent (``nn_search.hpp:108-125``):
+
+    A) scan each query's nearest cells holding >= k points cumulative
+       (usually ONE cell) -> exact kth-distance bound from REAL points;
+    B) scan ONLY candidate cells not already seeded (bbox min-dist
+       <= the seed bound — a few % of queries add one) and merge both
+       phases' partials.
+
+    Replaces the r2 density/bbox-bound + one-scan + repair shape on
+    the serving path: bbox bounds are provable but loose out of
+    distribution (~4.3 candidate cells per OOD query = the 43.6 s
+    varden-OOD bench phase), while the seed bound leaves ~1.05 scans
+    per query and needs no repair in the common case (it comes from
+    >= k_eff actual points, so the merged result provably holds every
+    true neighbor).  Returns ``(merged, unsafe_qids)`` with the same
+    contract as ``ShardedQueryPool.knn_topk``.
+    """
+    m = len(Q)
+    seed = _seed_cells(index, Q, k)
+    p1_refs = pool.knn_pairs_refs(Q, k, seed)
+    driver_merge = m * k <= type(pool)._DRIVER_MERGE_ROWS
+
+    def empty_ranked():
+        return pa.table(
+            {
+                "qid": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "neighbor": pa.array([], pa.int64()),
+                "dist2": pa.array([], pa.int64()),
+            }
+        )
+
+    if driver_merge:
+        parts1 = [t for t in ray.get(p1_refs) if t.num_rows] if p1_refs else []
+        if parts1:
+            P1 = pa.concat_tables(parts1)
+            bounds = _bounds_from_partials(
+                P1["qid"].to_numpy(),
+                P1["dist2"].to_numpy(),
+                P1["neighbor"].to_numpy(zero_copy_only=False),
+                m,
+                k,
+                k_eff,
+            )
+        else:
+            P1 = None
+            bounds = np.full(m, np.iinfo(np.int64).max, dtype=np.int64)
+    else:
+        # bounds computed beside the data: qid-slice tasks over the refs
+        n_b = max(1, min(pool.n_shards, 8))
+        edges_b = np.linspace(0, m, n_b + 1).astype(np.int64)
+        brefs = [
+            _kth_bounds_slice.remote(
+                int(edges_b[i]), int(edges_b[i + 1]), k, k_eff, *p1_refs
+            )
+            for i in range(n_b)
+        ]
+        bounds = np.concatenate(ray.get(brefs))
+
+    cand = _candidate_pairs(index, Q, bounds)
+    delta = _pairs_diff(cand, seed, index.directory.starts)
+    p2_refs = pool.knn_pairs_refs(Q, k, delta) if delta else []
+
+    if driver_merge:
+        parts = parts1 + ([t for t in ray.get(p2_refs) if t.num_rows] if p2_refs else [])
+        if not parts:
+            return empty_ranked(), np.arange(m, dtype=np.int64) if index.total_rows else np.zeros(0, np.int64)
+        pdf = pa.concat_tables(parts)
+        qid = pdf["qid"].to_numpy()
+        d2 = pdf["dist2"].to_numpy()
+        nb = pdf["neighbor"].to_numpy(zero_copy_only=False)
+        rows, ranks = _topk_per_qid(qid, d2, nb, k)
+        rq = qid[rows]
+        found = np.zeros(m, dtype=np.int64)
+        uq, _, ct = np.unique(rq, return_index=True, return_counts=True)
+        found[uq] = ct
+        unsafe = np.nonzero(found < k_eff)[0]
+        if len(unsafe):
+            keep = ~np.isin(rq, unsafe)
+            rows, ranks = rows[keep], ranks[keep]
+        out = pdf.take(pa.array(rows))
+        return (
+            pa.table(
+                {
+                    "qid": out["qid"],
+                    "rank": pa.array(ranks, pa.int64()),
+                    "neighbor": out["neighbor"],
+                    "dist2": out["dist2"],
+                }
+            ),
+            unsafe,
+        )
+
+    from pkd_tree_ray.shards import _merge_qid_slice
+
+    bref = ray.put(bounds)
+    part_refs = p1_refs + p2_refs
+    n_merge = max(1, min(pool.n_shards, m * k // type(pool)._DRIVER_MERGE_ROWS + 1))
+    edges = np.linspace(0, m, n_merge + 1).astype(np.int64)
+    out_refs, unsafe_refs = [], []
+    for i in range(n_merge):
+        o, u = _merge_qid_slice.remote(
+            int(edges[i]), int(edges[i + 1]), k, k_eff, bref, *part_refs
+        )
+        out_refs.append(o)
+        unsafe_refs.append(u)
+    unsafe = (
+        np.concatenate(ray.get(unsafe_refs)) if unsafe_refs else np.zeros(0, np.int64)
+    )
+    import ray.data as rd_mod
+
+    return rd_mod.from_arrow_refs(out_refs), unsafe
+
+
 def _merge_topk_driver(pdf, k):
     qid = pdf["qid"].to_numpy()
     d2 = pdf["dist2"].to_numpy()
@@ -912,16 +1080,13 @@ def knn_nd(index: PkdIndex, Q: np.ndarray, k: int, config=None):
 
         return partials.groupby("qid").map_groups(topk, batch_format="pyarrow")
 
-    # fast path: density-estimated bound, one scan, exact repair
-    bounds = _density_bounds(index, Q, k)
     k_eff_pool = min(k, index.total_rows)
     pool = getattr(index, "pool", None)
     if pool is not None:
-        # shards classify against their own cells (no driver-side
-        # queries x cells candidate pass); merge + verification run in
-        # parallel tasks over qid slices for large results, which come
-        # back as a ref-backed Dataset that never lands on the driver
-        merged, uidx = pool.knn_topk(Q, k, bounds, k_eff_pool)
+        # serving path: two-phase with seed-partial reuse (exact kth
+        # bound from real points, ~1.05 cell scans per query in AND
+        # out of distribution) — see _pool_two_phase
+        merged, uidx = _pool_two_phase(index, pool, Q, k, k_eff_pool)
         repair_tbl = None
         if len(uidx):
             b2 = _exact_bounds(index, Q[uidx], k, cfg)
@@ -948,6 +1113,8 @@ def knn_nd(index: PkdIndex, Q: np.ndarray, k: int, config=None):
             merged = merged.union(_rd.from_arrow(repair_tbl))
         return merged
 
+    # no-pool fast path: density-estimated bound, one scan, exact repair
+    bounds = _density_bounds(index, Q, k)
     pairs = _candidate_pairs(index, Q, bounds)
     pdf = _knn_partials_frame(index, Q, k, pairs, cfg)
     rq, rr, rn, rd = (

@@ -65,18 +65,31 @@ class IndexShard:
         #: cells[cell] = (file_key, ids, [per-dim coord arrays], bbox(2d,))
         self.cells: dict[int, tuple] = {}
         self.trees: dict[int, object] = {}
+        #: cells this shard PRIMARILY owns (replicated hot cells are
+        #: resident but non-primary — excluded from enumeration kernels)
+        self.primary: set[int] = set()
 
     def sync(self, cell_files: dict[int, tuple]) -> int:
         """Load added/changed cells, drop removed ones.  Values are
-        (data_files, tombstone_files); all are versioned so "changed"
-        is a filename comparison.  Tombstoned ids are dropped at load —
-        shards hold LIVE rows only.  Returns resident row count."""
+        (data_files, tombstone_files, is_primary); all are versioned so
+        "changed" is a filename comparison.  Tombstoned ids are dropped
+        at load — shards hold LIVE rows only.  ``is_primary`` is False
+        for replicated hot cells (see ``ShardedQueryPool.refresh``):
+        kernels that ENUMERATE resident cells (knn_auto, count_matches)
+        skip replicas so a cell is never answered twice; the CSR-routed
+        ``knn_pairs`` answers exactly what it is routed.  Returns
+        resident row count."""
         import pyarrow.parquet as pq
 
         for cell in [c for c in self.cells if c not in cell_files]:
             del self.cells[cell]
             self.trees.pop(cell, None)
-        for cell, (files, tombs) in cell_files.items():
+            self.primary.discard(cell)
+        for cell, (files, tombs, is_primary) in cell_files.items():
+            if is_primary:
+                self.primary.add(cell)
+            else:
+                self.primary.discard(cell)
             key = (tuple(files), tuple(tombs))
             cur = self.cells.get(cell)
             if cur is not None and cur[0] == key:
@@ -144,7 +157,7 @@ class IndexShard:
         out_n: list[np.ndarray] = []
         out_d: list[np.ndarray] = []
         for cell, (key, ids, fc, bbox) in self.cells.items():
-            if len(fc[0]) == 0:
+            if cell not in self.primary or len(fc[0]) == 0:
                 continue
             dj = np.maximum(np.maximum(bbox[0] - Qc[0], Qc[0] - bbox[nd]), 0)
             bd2 = dj * dj
@@ -225,6 +238,56 @@ class IndexShard:
             }
         )
 
+    def knn_pairs(self, qk, cells: np.ndarray, offs: np.ndarray, qids: np.ndarray) -> pa.Table:
+        """CSR-routed kNN partials over resident arrays: for each
+        (cell, its routed queries) run the cache-blocked brute top-k
+        directly on the shard's numpy columns.  Unlike ``scan("knn")``
+        this never materializes a per-cell Arrow table — it is the
+        zero-copy kernel both phases of the two-phase kNN use (seed
+        scan and delta scan).  Returns qid-sorted shrunk partials."""
+        from pkd_tree_ray.kdtree import brute_knn_nd
+        from pkd_tree_ray.queries import _topk_per_qid
+
+        Q, k = qk
+        nd = self.nd
+        out_q: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        for i in range(len(cells)):
+            ent = self.cells.get(int(cells[i]))
+            if ent is None:
+                continue
+            qs = qids[offs[i]: offs[i + 1]]
+            key, ids, fc, bbox = ent
+            if not len(qs) or not len(fc[0]):
+                continue
+            idx, d2 = brute_knn_nd(
+                fc, [np.ascontiguousarray(Q[qs, j]) for j in range(nd)], k, tie_key=ids
+            )
+            k_eff = idx.shape[1]
+            out_q.append(np.repeat(qs, k_eff))
+            out_n.append(ids[idx.ravel()])
+            out_d.append(d2.ravel())
+        if not out_q:
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "neighbor": pa.array([], pa.int64()),
+                    "dist2": pa.array([], pa.int64()),
+                }
+            )
+        q = np.concatenate(out_q)
+        n = np.concatenate(out_n)
+        d = np.concatenate(out_d)
+        rows, _ = _topk_per_qid(q, d, n, k)
+        return pa.table(
+            {
+                "qid": pa.array(q[rows], pa.int64()),
+                "neighbor": pa.array(n[rows]),
+                "dist2": pa.array(d[rows], pa.int64()),
+            }
+        )
+
     def count_matches(self, dead_ref) -> dict:
         """Per-cell count of resident LIVE rows whose id is in the
         delete set — the in-memory form of the delete verification
@@ -232,6 +295,8 @@ class IndexShard:
         dead = ray.get(dead_ref) if isinstance(dead_ref, ray.ObjectRef) else dead_ref
         out = {}
         for cell, (key, ids, fc, bbox) in self.cells.items():
+            if cell not in self.primary:
+                continue  # replicated hot cell: its primary answers
             n = int(np.isin(ids, dead).sum())
             if n:
                 out[cell] = n
@@ -375,6 +440,8 @@ class ShardedQueryPool:
             for _ in range(n_shards)
         ]
         self.owner: dict[int, int] = {}
+        #: replicas[cell] = [primary shard, extra replica shards...]
+        self.replicas: dict[int, list[int]] = {}
         self.index: PkdIndex | None = None
         self.refresh(index)
 
@@ -383,25 +450,63 @@ class ShardedQueryPool:
     def refresh(self, index: PkdIndex) -> None:
         """(Re)assign cells to shards — greedy balance by directory
         count, deterministic — and sync each shard (only changed cells
-        move any data).  Attaches the pool to ``index``."""
+        move any data).  Attaches the pool to ``index``.
+
+        Hot-cell REPLICATION: out-of-distribution query traffic
+        concentrates on large-AREA cells (a uniform query cloud hits a
+        cell ∝ its bbox volume, and each routed query costs ∝ the
+        cell's rows — r3 profiling saw ONE shard do 164M of 663M
+        brute-kernel point-distances on the varden OOD phase).  A cell
+        whose expected traffic share ``area_frac × rows`` exceeds one
+        shard's fair slice is synced to extra shards as a NON-primary
+        replica; ``knn_pairs_refs`` splits that cell's routed queries
+        across the replicas, flattening the serving-load skew the same
+        way hot-key salting flattens a shuffle."""
         d = index.directory
         cells = [int(c) for c in index.cell_files]
         idx_of = {int(c): i for i, c in enumerate(d.starts)}
-        weights = np.array([int(d.counts[idx_of[c]]) for c in cells], dtype=np.int64)
-        order = np.argsort(-weights, kind="stable")
+        rows_of = np.array([int(d.counts[idx_of[c]]) for c in cells], dtype=np.int64)
+        order = np.argsort(-rows_of, kind="stable")
         load = np.zeros(self.n_shards, dtype=np.int64)
         owner: dict[int, int] = {}
         for i in order:
             s = int(np.argmin(load))
             owner[cells[i]] = s
-            load[s] += weights[i]
+            load[s] += rows_of[i]
         self.owner = owner
+        # traffic weight: fraction of total bbox volume x resident rows
+        nd = len(index.config.dims)
+        bb = d.bboxes[np.array([idx_of[c] for c in cells], dtype=np.int64)]
+        ext = np.maximum(
+            (bb[:, nd:] - bb[:, :nd] + 1).astype(np.float64), 0.0
+        )
+        vol = np.prod(ext, axis=1)
+        tot_vol = float(vol.sum()) or 1.0
+        traffic = vol / tot_vol * rows_of.astype(np.float64)
+        fair = float(traffic.sum()) / self.n_shards or 1.0
+        n_rep = np.minimum(
+            np.ceil(traffic / fair).astype(np.int64), self.n_shards
+        )
+        replicas: dict[int, list[int]] = {}
+        rep_load = load.astype(np.float64)
+        for i in np.argsort(-traffic, kind="stable"):
+            cell = cells[i]
+            holders = [owner[cell]]
+            for _ in range(int(n_rep[i]) - 1):
+                cand = [s for s in range(self.n_shards) if s not in holders]
+                if not cand:
+                    break
+                s = min(cand, key=lambda s: rep_load[s])
+                holders.append(s)
+                rep_load[s] += traffic[i] / n_rep[i]
+            replicas[cell] = holders
+        self.replicas = replicas
         per_shard: list[dict[int, tuple]] = [{} for _ in range(self.n_shards)]
-        for cell, s in owner.items():
-            per_shard[s][cell] = (
-                list(index.cell_files[cell]),
-                list(index.tomb_files.get(cell, [])),
-            )
+        for cell in cells:
+            entry_files = list(index.cell_files[cell])
+            entry_tombs = list(index.tomb_files.get(cell, []))
+            for j, s in enumerate(replicas[cell]):
+                per_shard[s][cell] = (entry_files, entry_tombs, j == 0)
         ray.get([a.sync.remote(files) for a, files in zip(self.actors, per_shard)])
         if self.index is not None and self.index is not index:
             self.index.pool = None  # old handle no longer served
@@ -431,6 +536,48 @@ class ShardedQueryPool:
         """Driver-side concat of :meth:`scan_refs` — for SMALL partial
         tables (counts, shrunk kNN partials)."""
         return pa.concat_tables(ray.get(self.scan_refs(kind, payload_ref, cell_list)))
+
+    def knn_pairs_refs(self, Q: np.ndarray, k: int, pairs) -> list:
+        """Fan explicit (cell, qid) CSR routing out to the owning
+        shards; each shard answers only its routed pairs on resident
+        arrays.  Returns per-shard partial-table refs (qid-sorted,
+        shrunk per-query top-k) WITHOUT fetching them — callers either
+        concat (small) or feed them to qid-slice merge tasks (large)."""
+        from pkd_tree_ray.queries import _csr
+
+        cells, offs, qids = _csr(pairs)
+        if not len(cells):
+            return []
+        qref = ray.put((Q, int(k)))
+        # per-shard routing: (cell, qid-slice) spans.  A replicated hot
+        # cell splits its routed queries into equal contiguous chunks,
+        # one per replica — each query still scans the cell exactly
+        # once, on exactly one holder.
+        spans: dict[int, list[tuple[int, int, int]]] = {}
+        for i in range(len(cells)):
+            cell = int(cells[i])
+            a, b = int(offs[i]), int(offs[i + 1])
+            holders = self.replicas.get(cell)
+            if holders is None:
+                s = self.owner.get(cell)
+                holders = [s] if s is not None else []
+            if not holders:
+                continue
+            n_h = len(holders) if b - a >= 2 * len(holders) else 1
+            cuts = np.linspace(a, b, n_h + 1).astype(np.int64)
+            for j in range(n_h):
+                if cuts[j + 1] > cuts[j]:
+                    spans.setdefault(holders[j], []).append(
+                        (cell, int(cuts[j]), int(cuts[j + 1]))
+                    )
+        refs = []
+        for s, sp in spans.items():
+            cs = np.array([c for c, _, _ in sp], dtype=np.int64)
+            cnts = np.array([e - a for _, a, e in sp], dtype=np.int64)
+            q_s = np.concatenate([qids[a:e] for _, a, e in sp])
+            offs_s = np.concatenate([[0], np.cumsum(cnts)]).astype(np.int64)
+            refs.append(self.actors[int(s)].knn_pairs.remote(qref, cs, offs_s, q_s))
+        return refs
 
     def knn_partials(self, Q: np.ndarray, k: int, bounds: np.ndarray):
         """One-hop kNN partials: broadcast (queries, bounds) once; every

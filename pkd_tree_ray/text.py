@@ -32,21 +32,23 @@ def exact_dedup(docs):
     distinct text, with its multiplicity.
 
     Pipeline: content hash per batch (vectorized) -> groupby(hash)
-    aggregate Min/Count — only (hash, doc_id) transits the shuffle,
-    never the text.  Hash = 64-bit splitmix of a stable string digest;
-    collisions are ~n^2/2^64 and the oracle (GROUP BY text) would
-    expose one.
+    aggregate Min/Count — only (hash lanes, doc_id) transit the
+    shuffle, never the text.  Hash = TWO independently-keyed 64-bit
+    lanes grouped as a composite key (128 bits total): a single 64-bit
+    lane reaches its birthday bound near 5x10^9 documents — real
+    collision odds at the 10^11..10^12-doc target scale — while 128
+    bits stay collision-free past 10^17 docs (VERDICT r2 #4).
     """
     from ray.data.aggregate import Count, Min
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        h = _text_hash64(batch["text"])
-        return pa.table({"doc_id": batch["doc_id"], "text_hash": h})
+        lo, hi = _text_hash128(batch["text"])
+        return pa.table({"doc_id": batch["doc_id"], "h_lo": lo, "h_hi": hi})
 
     agg = (
         docs.select_columns(["doc_id", "text"])
         .map_batches(add_hash, batch_format="pyarrow")
-        .groupby("text_hash")
+        .groupby(["h_lo", "h_hi"])
         .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="dup_cnt"))
     )
     return agg.select_columns(["doc_id", "dup_cnt"])
@@ -62,6 +64,17 @@ def _text_hash64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return hash_array(s.to_numpy(dtype=object), hash_key="pkdtreeray000000").view(
         np.int64
     )
+
+
+def _text_hash128(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Two independently-keyed 64-bit content-hash lanes (used together
+    as one 128-bit composite key)."""
+    s = col.to_pandas().to_numpy(dtype=object)
+    from pandas.util import hash_array
+
+    lo = hash_array(s, hash_key="pkdtreeray000000").view(np.int64)
+    hi = hash_array(s, hash_key="pkdtreeray111111").view(np.int64)
+    return lo, hi
 
 
 # ----------------------------------------------------------------------

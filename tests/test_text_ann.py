@@ -34,6 +34,43 @@ class TestDedup:
         assert got["doc_id"].tolist() == [0, 1, 3]
         assert got["dup_cnt"].tolist() == [3, 2, 1]
 
+    def test_dedup_survives_single_lane_collision(self, ray_session, monkeypatch):
+        """128-bit composite key (VERDICT r2 #4): when one 64-bit lane
+        collides for EVERY document (worst case, simulated by pinning
+        lane-lo to a constant), distinct texts must still be kept
+        distinct by the second lane."""
+        import pkd_tree_ray.text as textmod
+        from pkd_tree_ray.text import exact_dedup
+
+        real = textmod._text_hash128
+
+        def collided(col):
+            lo, hi = real(col)
+            return np.zeros_like(lo), hi  # total lane-lo collision
+
+        monkeypatch.setattr(textmod, "_text_hash128", collided)
+        texts = ["aaa", "bbb", "aaa", "ccc", "bbb", "aaa"]
+        got = (
+            exact_dedup(_docs_ds(texts, ray_session))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == [0, 1, 3]
+        assert got["dup_cnt"].tolist() == [3, 2, 1]
+
+        # control proving the patch reaches the workers: with BOTH
+        # lanes pinned, everything must merge into one group — if the
+        # monkeypatch did not propagate, this fails and the lane test
+        # above proves nothing
+        def all_collided(col):
+            lo, hi = real(col)
+            return np.zeros_like(lo), np.zeros_like(hi)
+
+        monkeypatch.setattr(textmod, "_text_hash128", all_collided)
+        got2 = exact_dedup(_docs_ds(texts, ray_session)).to_pandas()
+        assert len(got2) == 1 and int(got2["dup_cnt"].iloc[0]) == 6
+
     def test_minhash_finds_near_dups(self, ray_session):
         from pkd_tree_ray.text import jaccard_verify, minhash_candidates
 
