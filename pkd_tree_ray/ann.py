@@ -87,16 +87,26 @@ def ann_bruteforce(
             pn = pm / np.linalg.norm(pm, axis=1, keepdims=True)
             score = -(qn @ pn.T)
         kk = min(k, score.shape[1])
-        # tie-inclusive cut: keep every candidate at the kth score so a
-        # smaller-id neighbor tied at the boundary can't be dropped
-        # before the (score, neighbor) merge
+        # tie-inclusive candidate set at the kth score (in-process only),
+        # then cut to EXACTLY kk per query by the same (score, neighbor)
+        # order the merge uses — the global top-k under that order is a
+        # subset of the union of per-batch top-k under the same order, so
+        # this is exact while bounding emitted partials to m*k rows per
+        # block (heavy quantized-score ties previously emitted the whole
+        # block per query).
         kth = np.partition(score, kk - 1, axis=1)[:, kk - 1][:, None]
         qi, ni = np.nonzero(score <= kth)
+        sc = score[qi, ni]
+        nb = vid[ni]
+        order = np.lexsort((nb, sc, qi))
+        qi_s = qi[order]
+        first = np.searchsorted(qi_s, qi_s, side="left")
+        keep = order[(np.arange(len(qi_s)) - first) < kk]
         return pa.table(
             {
-                "qid": qi.astype(np.int64),
-                "neighbor": vid[ni],
-                "score": score[qi, ni],
+                "qid": qi[keep].astype(np.int64),
+                "neighbor": nb[keep],
+                "score": sc[keep],
             }
         )
 

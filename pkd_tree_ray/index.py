@@ -588,8 +588,23 @@ class PkdIndex:
                 for f in self.tomb_files.get(int(c), [])
             )
         )
+
+        def _read_schema(read_cols):
+            # Part files carry a per-file content token in their footer
+            # schema metadata (resume verification); left in place, every
+            # file yields a DISTINCT (and unhashable) Arrow schema, which
+            # defeats Ray's block-schema dedup and spams "Failed to hash
+            # the schemas" / "RefBundle with a different schema" warnings.
+            # Pass one metadata-free schema, projected to the selection.
+            full = pq.read_schema(files[0]).remove_metadata()
+            if read_cols is None:
+                return full
+            return pa.schema([full.field(c) for c in read_cols])
+
         if not tombs:
-            return rd.read_parquet(files, columns=columns)
+            return rd.read_parquet(
+                files, columns=columns, schema=_read_schema(columns)
+            )
         # logical deletes: drop tombstoned ids after the read (the ids
         # are worker-cached per tombstone-file set)
         id_col = self.id_col
@@ -598,7 +613,7 @@ class PkdIndex:
         if read_cols is not None and id_col not in read_cols:
             read_cols = list(read_cols) + [id_col]
             drop_id = True
-        ds = rd.read_parquet(files, columns=read_cols)
+        ds = rd.read_parquet(files, columns=read_cols, schema=_read_schema(read_cols))
 
         def drop_tombs(batch: pa.Table) -> pa.Table:
             dead = _tomb_ids_cached(tombs, id_col)

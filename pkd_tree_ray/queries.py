@@ -1179,6 +1179,7 @@ class _KnnStatsScan:
         out_qid: list[np.ndarray] = []
         out_vis: list[np.ndarray] = []
         out_rows: list[np.ndarray] = []
+        out_cell: list[np.ndarray] = []
         for cell, sl in _iter_cell_runs(cell_col):
             i = np.searchsorted(self.cells, cell)
             if i >= len(self.cells) or self.cells[i] != cell:
@@ -1205,13 +1206,14 @@ class _KnnStatsScan:
                 out_qid.append(qs.astype(np.int64))
                 out_vis.append(np.zeros(len(qs), dtype=np.int64))
                 out_rows.append(np.full(len(qs), n_frag, dtype=np.int64))
+            out_cell.append(np.full(len(qs), cell, dtype=np.int64))
         if not out_qid:
             return pa.table(
                 {
                     "qid": pa.array([], pa.int64()),
                     "nodes_visited": pa.array([], pa.int64()),
                     "rows_scanned": pa.array([], pa.int64()),
-                    "cells": pa.array([], pa.int64()),
+                    "cell": pa.array([], pa.int64()),
                 }
             )
         qid = np.concatenate(out_qid)
@@ -1220,7 +1222,7 @@ class _KnnStatsScan:
                 "qid": pa.array(qid),
                 "nodes_visited": pa.array(np.concatenate(out_vis)),
                 "rows_scanned": pa.array(np.concatenate(out_rows)),
-                "cells": pa.array(np.ones(len(qid), dtype=np.int64)),
+                "cell": pa.array(np.concatenate(out_cell)),
             }
         )
 
@@ -1265,7 +1267,7 @@ def knn_stats(index: PkdIndex, Q: np.ndarray, k: int, config=None) -> pa.Table:
         .to_pandas()
     )
     agg = pdf.groupby("qid").agg(
-        cells_scanned=("cells", "sum"),
+        cells_scanned=("cell", "nunique"),
         nodes_visited=("nodes_visited", "sum"),
         rows_scanned=("rows_scanned", "sum"),
     ).reset_index().sort_values("qid")
