@@ -244,9 +244,21 @@ def embedding_neardup(
         cos = float(va @ vb / max(np.linalg.norm(va) * np.linalg.norm(vb), 1e-30))
         return int(cos * 1000) if cos >= thr else None
 
+    def verify_batch_fn(col_a, col_b):
+        from pkd_tree_ray.pairjoin import list_to_matrix
+
+        A = list_to_matrix(col_a)
+        B = list_to_matrix(col_b)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.maximum(
+            np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1), 1e-30
+        )
+        cos = num / den
+        return (cos * 1000).astype(np.int64), cos >= thr
+
     out = pairwise_join_verify(
         payload, cand, "vec_id", "vec_a", "vec_b", "embedding", pa.float32(),
-        verify_fn, "cos_permille",
+        verify_fn, "cos_permille", verify_batch_fn=verify_batch_fn,
     ).to_pandas()
     out = out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     return pa.table(

@@ -387,9 +387,32 @@ def minhash_neardup(docs, threshold: float = 0.5, candidates=None):
         j = inter / max(1, union)
         return int(j * 1000) if j >= thr else None
 
+    def verify_batch_fn(col_a, col_b):
+        # vectorized exact Jaccard over the whole batch of pairs: both
+        # sides are per-doc DISTINCT hash sets, so |A∩B| per pair =
+        # count of duplicated (pair, hash) keys in the concatenation —
+        # one lexsort over the flat values, no per-pair Python work.
+        from pkd_tree_ray.pairjoin import list_flat
+
+        va, ia = list_flat(col_a)
+        vb, ib = list_flat(col_b)
+        n = len(col_a)
+        la = np.bincount(ia, minlength=n)
+        lb = np.bincount(ib, minlength=n)
+        pi = np.concatenate([ia, ib])
+        tok = np.concatenate([va.astype(np.int64), vb.astype(np.int64)])
+        order = np.lexsort((tok, pi))
+        pi_s = pi[order]
+        tok_s = tok[order]
+        dup = (pi_s[1:] == pi_s[:-1]) & (tok_s[1:] == tok_s[:-1])
+        inter = np.bincount(pi_s[1:][dup], minlength=n)
+        union = np.maximum(la + lb - inter, 1)
+        j = inter / union
+        return (j * 1000).astype(np.int64), j >= thr
+
     return pairwise_join_verify(
         payload, cand, "doc_id", "doc_a", "doc_b", "hashes", pa.int64(),
-        verify_fn, "jaccard_permille",
+        verify_fn, "jaccard_permille", verify_batch_fn=verify_batch_fn,
     )
 
 

@@ -273,6 +273,63 @@ class TestNearDupScale:
         # the dup GROUP stays fully connected through star pairs
         assert (out["doc_a"] == 0).sum() >= 1
 
+    def test_bucket_pairs_bounded_degree_and_connected(self):
+        """Segmented star+chain: O(B) edges, per-doc degree <= cap+2,
+        and the bucket stays one connected component (the clustering
+        invariant).  A single global star center (r2) concentrated
+        O(B) payload copies in one attach task."""
+        from pkd_tree_ray.pairjoin import bucket_pairs_capped
+
+        rng = np.random.RandomState(3)
+        ids = rng.choice(10_000_000, size=5_000, replace=False).astype(np.int64)
+        a, b = bucket_pairs_capped(ids, cap=64)
+        assert len(a) <= 2 * len(ids)
+        deg = np.bincount(
+            np.searchsorted(np.sort(ids), np.concatenate([a, b]))
+        )
+        assert deg.max() <= 64 + 2
+        # connectivity via union-find
+        parent = {int(i): int(i) for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(a, b):
+            parent[find(int(x))] = find(int(y))
+        assert len({find(int(i)) for i in ids}) == 1
+
+    def test_batch_verify_matches_scalar_jaccard(self, ray_session):
+        """The vectorized batch Jaccard kernel must agree exactly with
+        the per-pair scalar verify_fn it replaced."""
+        import pyarrow as pa
+
+        from pkd_tree_ray.pairjoin import list_flat
+
+        rng = np.random.RandomState(11)
+        sets = [
+            np.unique(rng.choice(2_000, size=rng.randint(1, 120)).astype(np.int64))
+            for _ in range(200)
+        ]
+        pa_col = pa.array([s.tolist() for s in sets[:100]], pa.list_(pa.int64()))
+        pb_col = pa.array([s.tolist() for s in sets[100:]], pa.list_(pa.int64()))
+        va, ia = list_flat(pa_col)
+        vb, ib = list_flat(pb_col)
+        n = 100
+        la = np.bincount(ia, minlength=n)
+        lb = np.bincount(ib, minlength=n)
+        pi = np.concatenate([ia, ib])
+        tok = np.concatenate([va, vb])
+        order = np.lexsort((tok, pi))
+        pi_s, tok_s = pi[order], tok[order]
+        dup = (pi_s[1:] == pi_s[:-1]) & (tok_s[1:] == tok_s[:-1])
+        inter = np.bincount(pi_s[1:][dup], minlength=n)
+        for j in range(n):
+            want = len(np.intersect1d(sets[j], sets[100 + j], assume_unique=True))
+            assert inter[j] == want
+
     def test_distributed_verify_matches_threshold_semantics(self, ray_session):
         import pandas as pd
         import ray.data as rd
