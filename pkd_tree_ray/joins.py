@@ -268,6 +268,23 @@ def knn_join(index: PkdIndex, left, key_col: str, k: int):
 # raster tiles
 # ----------------------------------------------------------------------
 
+def _finality_candidates(pos: int, bboxes: np.ndarray, dk2_max: int) -> np.ndarray:
+    """Indices of foreign cells whose bbox lies within ``dk2_max``
+    (squared) of cell ``pos``'s bbox — the only cells that can break
+    any home point's kNN finality.  Box-to-box min distance: per-dim
+    gap, clamped at 0.  O(C) per cell, replacing the O(n_cell x C)
+    per-point matrix against all cells."""
+    d = bboxes.shape[1] // 2
+    home = bboxes[pos]
+    lo, hi = bboxes[:, :d], bboxes[:, d:]
+    gap = np.maximum(
+        0, np.maximum(lo - home[d:][None, :], home[:d][None, :] - hi)
+    ).astype(np.int64)
+    b2b = (gap * gap).sum(axis=1)
+    out = np.nonzero(b2b <= dk2_max)[0]
+    return out[out != pos]
+
+
 def knn_graph(index: PkdIndex, out_path: str, k: int, config=None):
     """Self-kNN graph sink (``generate_knn``, ``testFramework.h:742-815``):
     every indexed point is a query; the result is the edge table
@@ -370,14 +387,24 @@ def knn_graph(index: PkdIndex, out_path: str, k: int, config=None):
             dk[uq2[got_k]] = fd[starts2[got_k] + k - 1]
             # boundary-tie guard: kth == (k+1)th candidate distance ->
             # the global pass must arbitrate the tie by id
-            # finality: no OTHER cell's bbox within dk (strict)
-            other = np.ones(len(cells_), dtype=bool)
-            other[pos] = False
-            if other.any():
-                od2 = p2b_min_dist2(fx, fy, bboxes_[other])
-                is_final = (od2.min(axis=1) > dk) & (dk < np.iinfo(np.int64).max)
+            # finality: no OTHER cell's bbox within dk (strict).  Pre-
+            # select candidate foreign cells by box-to-box distance
+            # against the cell-wide max dk (every point lies inside the
+            # home bbox, so a cell farther than max-dk from the home
+            # BOX cannot break any point's finality) — the per-point
+            # matrix then runs against the adjacent ring only, not all
+            # C cells (r2 weak item: O(n x C) total).
+            live = dk < np.iinfo(np.int64).max
+            cand = (
+                _finality_candidates(pos, bboxes_, int(dk[live].max()))
+                if live.any()
+                else np.empty(0, np.int64)
+            )
+            if cand.size:
+                od2 = p2b_min_dist2(fx, fy, bboxes_[cand])
+                is_final = (od2.min(axis=1) > dk) & live
             else:
-                is_final = dk < np.iinfo(np.int64).max
+                is_final = live
             pend = ~is_final
             if pend.any():
                 pending_id.append(ids[pend])

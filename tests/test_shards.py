@@ -96,6 +96,30 @@ class TestPoolEquivalence:
 
 
 class TestKnnGraph:
+    def test_finality_candidates_prune_to_local_ring(self):
+        """The per-cell finality pass must consult only cells whose
+        bbox is within the cell-wide max kth-distance — on a 16x16
+        grid with a tight ball that is the 8-neighbor ring, not all
+        255 foreign cells (r2 weak item: O(n x C))."""
+        from pkd_tree_ray.joins import _finality_candidates
+
+        side = 100
+        boxes = np.array(
+            [
+                [i * side, j * side, (i + 1) * side - 1, (j + 1) * side - 1]
+                for i in range(16)
+                for j in range(16)
+            ],
+            dtype=np.int64,
+        )
+        pos = 5 * 16 + 5  # interior cell
+        cand = _finality_candidates(pos, boxes, dk2_max=(side // 4) ** 2)
+        assert pos not in cand
+        assert len(cand) == 8  # only the touching ring survives
+        # distant dk reaches further but still prunes
+        cand2 = _finality_candidates(pos, boxes, dk2_max=(2 * side) ** 2)
+        assert 8 < len(cand2) < 255
+
     def test_graph_matches_bruteforce(self, ray_session, tmp_path):
         import ray.data as rd
 
