@@ -118,6 +118,36 @@ def _base_index_float(sf_dir: str) -> PkdIndex:
     return _INDEX_CACHE[key]
 
 
+def _base_index_float_native(sf_dir: str) -> PkdIndex:
+    """Float-NATIVE index: raw double coordinates indexed without
+    quantization via order-preserving keys (floatindex.build_float) —
+    the reference's true coord=double semantics (comparator.h:10-79)."""
+    from pkd_tree_ray.floatindex import build_float
+
+    key = (sf_dir, "lineitem_float_native")
+    if key not in _INDEX_CACHE:
+        import shutil
+
+        path = _idx_path(sf_dir, "lineitem_float_native")
+
+        def pts():
+            return sources.lineitem_points_float(sf_dir).map_batches(
+                lambda t: t.select(["point_id", "xf", "yf"]), batch_format="pyarrow"
+            )
+
+        try:
+            _INDEX_CACHE[key] = build_float(
+                pts(), path, _CFG, float_dims=("xf", "yf"), id_col="point_id"
+            )
+        except Exception:
+            shutil.rmtree(path, ignore_errors=True)
+            _INDEX_CACHE[key] = build_float(
+                pts(), path, _CFG, float_dims=("xf", "yf"), id_col="point_id",
+                resume=False,
+            )
+    return _INDEX_CACHE[key]
+
+
 def _inserted_index(sf_dir: str) -> PkdIndex:
     """Base index + batch insert of the orders-derived points."""
     key = (sf_dir, "inserted")
@@ -165,7 +195,7 @@ def _q_selfcheck(sf_dir: str) -> pa.Table:
     CORRECTNESS came back empty with every operator green on re-run."""
     import ray.data as rd
 
-    n = rd.read_parquet(f"{sf_dir}/region.parquet").count()
+    n = sources.read_parquet_clean(f"{sf_dir}/region.parquet").count()
     os.makedirs("/tmp/pkd_idx", exist_ok=True)
     probe = f"/tmp/pkd_idx/.probe-{os.getpid()}"
     with open(probe, "w") as f:
@@ -257,6 +287,25 @@ def _q_knn_float(sf_dir: str, k: int):
     return knn(_base_index_float(sf_dir), qx, qy, k)
 
 
+def _q_knn_float_native(sf_dir: str, k: int) -> pa.Table:
+    """kNN over raw double coordinates (no grid) — exact IEEE-double
+    distances, ties by (dist2, neighbor id)."""
+    from pkd_tree_ray.floatindex import knn_float
+
+    qx, qy = workloads.knn_query_points_float_native()
+    return knn_float(
+        _base_index_float_native(sf_dir), np.stack([qx, qy], axis=1), k
+    )
+
+
+def _q_range_count_float_native(sf_dir: str) -> pa.Table:
+    from pkd_tree_ray.floatindex import range_count_float
+
+    return range_count_float(
+        _base_index_float_native(sf_dir), workloads.range_boxes_float_native()
+    ).rename_columns(["qid", "cnt"])
+
+
 def _q_range_count_float(sf_dir: str) -> pa.Table:
     from pkd_tree_ray.queries import range_count
 
@@ -309,7 +358,7 @@ def _q_knn_join(sf_dir: str):
 def _docs(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return sources.read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
 def _q_exact_dedup(sf_dir: str):
@@ -362,7 +411,7 @@ def _ann_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     import ray.data as rd
 
     q = (
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        sources.read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         .map_batches(
             lambda t: t.filter(pa.array(t["vec_id"].to_numpy() % 50 == 0)),
             batch_format="pyarrow",
@@ -380,7 +429,7 @@ def _q_ann_l2q(sf_dir: str):
     from pkd_tree_ray.ann import ann_bruteforce
 
     qids, qv = _ann_queries(sf_dir)
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = sources.read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = ann_bruteforce(emb, qv, k=5, metric="l2q")
     # positional qid -> the query row's vec_id (oracle joins on vec_id)
     return out.set_column(
@@ -404,7 +453,7 @@ def _q_embedding_neardup(sf_dir: str):
 
     from pkd_tree_ray.ann import embedding_neardup
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = sources.read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def planted(batch: pa.Table) -> pa.Table:
         vid = batch["vec_id"].to_numpy()
@@ -435,7 +484,7 @@ def _q_ann_ivf(sf_dir: str):
     from pkd_tree_ray.ann import ann_ivf
 
     qids, qv = _ann_queries(sf_dir)
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = sources.read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = ann_ivf(emb, qv, k=5, path=_idx_path(sf_dir, "ivf"))
     return out.set_column(
         out.schema.get_field_index("qid"),
@@ -604,6 +653,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "circle_count_d3": _q_circle_count_d3,
         "knn_k10_float": lambda sf: _q_knn_float(sf, 10),
         "range_count_float": _q_range_count_float,
+        "knn_k10_float_native": lambda sf: _q_knn_float_native(sf, 10),
+        "range_count_float_native": _q_range_count_float_native,
         "insert_range_count": _q_insert_range_count,
         "delete_range_count": _q_delete_range_count,
         "tile_counts": _q_tile_counts,
@@ -718,6 +769,38 @@ SELECT qid, "rank", neighbor, dist2 FROM d WHERE "rank" <= {k}
 """
 
 
+def _knn_float_native_sql(k: int) -> str:
+    qx, qy = workloads.knn_query_points_float_native()
+    return f"""
+WITH pts AS ({sources.sql_lineitem_points_float_native()}),
+q AS (SELECT * FROM {workloads.sql_values_points_float(qx, qy)}),
+d AS (
+  SELECT q.qid, p.point_id AS neighbor,
+         (p.xf - q.qx) * (p.xf - q.qx) + (p.yf - q.qy) * (p.yf - q.qy) AS dist2,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY (p.xf - q.qx) * (p.xf - q.qx) + (p.yf - q.qy) * (p.yf - q.qy),
+                    p.point_id
+         ) AS "rank"
+  FROM pts p CROSS JOIN q
+)
+SELECT qid, "rank", neighbor, dist2 FROM d WHERE "rank" <= {k}
+"""
+
+
+def _range_count_float_native_sql() -> str:
+    boxes = workloads.range_boxes_float_native()
+    return f"""
+WITH pts AS ({sources.sql_lineitem_points_float_native()}),
+q AS (SELECT * FROM {workloads.sql_values_boxes_float(boxes)})
+SELECT q.qid,
+       (SELECT count(*) FROM pts p
+        WHERE p.xf BETWEEN q.min_x AND q.max_x
+          AND p.yf BETWEEN q.min_y AND q.max_y) AS cnt
+FROM q
+"""
+
+
 def _range_count_float_sql() -> str:
     boxes = workloads.range_boxes_float()
     return f"""
@@ -792,6 +875,8 @@ FROM q
         "circle_count_d3": _circle_count_d3_sql(),
         "knn_k10_float": _knn_float_sql(10),
         "range_count_float": _range_count_float_sql(),
+        "knn_k10_float_native": _knn_float_native_sql(10),
+        "range_count_float_native": _range_count_float_native_sql(),
         "insert_range_count": _range_count_sql(
             f"{sources.sql_lineitem_points()} UNION ALL {sources.sql_orders_points()}"
         ),

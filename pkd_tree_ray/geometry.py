@@ -66,6 +66,16 @@ def within_circle(x: np.ndarray, y: np.ndarray, circle: Circle) -> np.ndarray:
     return dx * dx + dy * dy <= np.int64(circle.r) * np.int64(circle.r)
 
 
+def _coord_dt(*arrays) -> type:
+    """float64 when any operand is floating (the reference's double
+    harness default), else the exact int64 grid."""
+    return (
+        np.float64
+        if any(np.issubdtype(np.asarray(a).dtype, np.floating) for a in arrays)
+        else np.int64
+    )
+
+
 # --- box/box relations (vectorized over box arrays) ---------------------
 # Box arrays are (n, 2d) int64: columns [min_0..min_{d-1}, max_0..max_{d-1}]
 # (min_x, min_y, max_x, max_y at d=2).  Dimension is inferred from the
@@ -75,8 +85,9 @@ def boxes_intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Pairwise (broadcasting) closed-interval overlap —
     ``box_op.hpp:44-56``.  a: (n,2d) or (2d,), b: (m,2d) or (2d,);
     returns (n, m) mask."""
-    a = np.atleast_2d(np.asarray(a, dtype=np.int64))
-    b = np.atleast_2d(np.asarray(b, dtype=np.int64))
+    dt = _coord_dt(a, b)
+    a = np.atleast_2d(np.asarray(a, dtype=dt))
+    b = np.atleast_2d(np.asarray(b, dtype=dt))
     d = a.shape[1] // 2
     out = np.ones((a.shape[0], b.shape[0]), dtype=bool)
     for j in range(d):
@@ -88,8 +99,9 @@ def boxes_intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def box_contains_box(outer: np.ndarray, inner: np.ndarray) -> np.ndarray:
     """outer (n,2d) fully contains inner (m,2d) -> (n, m) mask —
     ``box_op.hpp:24-31`` (within_box(box, box))."""
-    o = np.atleast_2d(np.asarray(outer, dtype=np.int64))
-    i = np.atleast_2d(np.asarray(inner, dtype=np.int64))
+    dt = _coord_dt(outer, inner)
+    o = np.atleast_2d(np.asarray(outer, dtype=dt))
+    i = np.atleast_2d(np.asarray(inner, dtype=dt))
     d = o.shape[1] // 2
     out = np.ones((o.shape[0], i.shape[0]), dtype=bool)
     for j in range(d):
@@ -132,10 +144,11 @@ def p2b_max_dist2(qx, qy, boxes: np.ndarray) -> np.ndarray:
 def pnd_b_min_dist2(Q: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     """Min squared distance from d-dim points Q (n,d) to boxes (m,2d)
     -> (n,m).  Per-dimension clamp, ``nn_search.hpp:18-31``."""
-    Q = np.atleast_2d(np.asarray(Q, dtype=np.int64))
-    b = np.atleast_2d(np.asarray(boxes, dtype=np.int64))
+    dt = _coord_dt(Q, boxes)
+    Q = np.atleast_2d(np.asarray(Q, dtype=dt))
+    b = np.atleast_2d(np.asarray(boxes, dtype=dt))
     d = b.shape[1] // 2
-    out = np.zeros((Q.shape[0], b.shape[0]), dtype=np.int64)
+    out = np.zeros((Q.shape[0], b.shape[0]), dtype=dt)
     for j in range(d):
         q = Q[:, j, None]
         dj = np.maximum(np.maximum(b[None, :, j] - q, q - b[None, :, d + j]), 0)
@@ -146,10 +159,11 @@ def pnd_b_min_dist2(Q: np.ndarray, boxes: np.ndarray) -> np.ndarray:
 def pnd_b_max_dist2(Q: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     """Max squared distance d-dim point -> box (farthest corner) —
     ``nn_search.hpp:33-45``."""
-    Q = np.atleast_2d(np.asarray(Q, dtype=np.int64))
-    b = np.atleast_2d(np.asarray(boxes, dtype=np.int64))
+    dt = _coord_dt(Q, boxes)
+    Q = np.atleast_2d(np.asarray(Q, dtype=dt))
+    b = np.atleast_2d(np.asarray(boxes, dtype=dt))
     d = b.shape[1] // 2
-    out = np.zeros((Q.shape[0], b.shape[0]), dtype=np.int64)
+    out = np.zeros((Q.shape[0], b.shape[0]), dtype=dt)
     for j in range(d):
         q = Q[:, j, None]
         dj = np.maximum(np.abs(q - b[None, :, j]), np.abs(q - b[None, :, d + j]))

@@ -532,20 +532,28 @@ def brute_knn_nd(
     d = len(P)
     n = len(P[0])
     m = len(Q[0])
+    # dtype-generic: float64 coordinates (the reference harness default,
+    # tests/testFramework.h:18-19) run the identical kernel with float64
+    # squared distances; everything else stays on the int64 grid.
+    coord_dt = (
+        np.float64
+        if any(np.issubdtype(np.asarray(c).dtype, np.floating) for c in (*P, *Q))
+        else np.int64
+    )
     k_eff = min(k, n)
     if n == 0 or m == 0:
-        return (np.empty((m, 0), np.int64), np.empty((m, 0), np.int64))
-    P = [np.asarray(c, dtype=np.int64) for c in P]
-    Q = [np.asarray(c, dtype=np.int64) for c in Q]
+        return (np.empty((m, 0), np.int64), np.empty((m, 0), coord_dt))
+    P = [np.asarray(c, dtype=coord_dt) for c in P]
+    Q = [np.asarray(c, dtype=coord_dt) for c in Q]
     out_idx = np.empty((m, k_eff), dtype=np.int64)
-    out_d2 = np.empty((m, k_eff), dtype=np.int64)
+    out_d2 = np.empty((m, k_eff), dtype=coord_dt)
     n_tiles = -(-n // p_chunk)
     # preallocated tile workspaces: the naive expression allocates
     # (d+3) q_chunk x p_chunk temporaries per tile — multiplying the
     # memory traffic — and measured 2.1x slower than in-place ops on
     # reused buffers
-    ws1 = np.empty((min(q_chunk, m), p_chunk), dtype=np.int64)
-    ws2 = np.empty((min(q_chunk, m), p_chunk), dtype=np.int64)
+    ws1 = np.empty((min(q_chunk, m), p_chunk), dtype=coord_dt)
+    ws2 = np.empty((min(q_chunk, m), p_chunk), dtype=coord_dt)
     for s in range(0, m, q_chunk):
         e = min(s + q_chunk, m)
         qc = [Q[j][s:e, None] for j in range(d)]

@@ -33,6 +33,20 @@ from pkd_tree_ray.hashing import (
 )
 
 
+def read_parquet_clean(path, columns: list[str] | None = None):
+    """``ray.data.read_parquet`` with the file's schema METADATA
+    stripped (projected to ``columns``).  The testdata tables carry
+    pandas metadata in their footers, which makes every block's Arrow
+    schema unhashable — defeating Ray's schema dedup and logging
+    'Failed to hash the schemas' per read task."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    full = pq.read_schema(path).remove_metadata()
+    schema = pa.schema([full.field(c) for c in columns]) if columns else full
+    return rd.read_parquet(path, columns=columns, schema=schema)
+
+
 # --- image path ---------------------------------------------------------
 
 def geotag_images(images_ds):
@@ -75,7 +89,7 @@ def lineitem_points(sf_dir: str):
             }
         )
 
-    return rd.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
     ).map_batches(derive, batch_format="pyarrow")
 
@@ -113,7 +127,7 @@ def lineitem_points_amplified(sf_dir: str, rep: int):
             }
         )
 
-    return rd.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
     ).map_batches(derive, batch_format="pyarrow")
 
@@ -138,7 +152,7 @@ def lineitem_points_3d(sf_dir: str):
             }
         )
 
-    return rd.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
     ).map_batches(derive, batch_format="pyarrow")
 
@@ -178,9 +192,22 @@ def lineitem_points_float(sf_dir: str):
             }
         )
 
-    return rd.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
     ).map_batches(derive, batch_format="pyarrow")
+
+
+def sql_lineitem_points_float_native() -> str:
+    """Raw DOUBLE coordinates (no quantization) — the float-NATIVE
+    index path (:mod:`pkd_tree_ray.floatindex`).  The /7.0 double
+    division is IEEE-deterministic, so DuckDB reproduces numpy's xf/yf
+    bit-exactly."""
+    x, y = sql_coord_exprs(LINEITEM_PID)
+    return (
+        f"SELECT {LINEITEM_PID} AS point_id, "
+        f"(({x}) / 7.0) AS xf, "
+        f"(({y}) / 7.0) AS yf FROM lineitem"
+    )
 
 
 def sql_lineitem_points_float() -> str:
@@ -208,7 +235,7 @@ def orders_points(sf_dir: str):
             }
         )
 
-    return rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"]).map_batches(
+    return read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_orderkey"]).map_batches(
         derive, batch_format="pyarrow"
     )
 
@@ -227,7 +254,7 @@ def customer_points(sf_dir: str):
             }
         )
 
-    return rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).map_batches(
+    return read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).map_batches(
         derive, batch_format="pyarrow"
     )
 
@@ -255,7 +282,7 @@ def events_points(sf_dir: str, period: int):
             }
         )
 
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"]).map_batches(
+    return read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id"]).map_batches(
         derive, batch_format="pyarrow"
     )
 

@@ -127,6 +127,21 @@ def knn_query_points_float(m: int = 20) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
+def knn_query_points_float_native(m: int = 20) -> tuple[np.ndarray, np.ndarray]:
+    """Raw-double query points for the float-NATIVE index: the
+    quantized-grid points mapped back to float space plus an exact
+    binary fraction (3/8), so the coordinates are genuinely
+    non-integral yet print/parse round-trip exactly in SQL."""
+    qx, qy = knn_query_points_float(m)
+    return qx.astype(np.float64) / 4.0 + 0.375, qy.astype(np.float64) / 4.0 + 0.375
+
+
+def range_boxes_float_native() -> np.ndarray:
+    """Float-space boxes: the quantized boxes divided by the (power of
+    two) quantization scale — exact in binary."""
+    return range_boxes_float().astype(np.float64) / 4.0
+
+
 def polygons() -> list[np.ndarray]:
     """3 convex CCW polygons (triangle, quad, hexagon) — literal
     vertices for the point-in-polygon join, expressible as half-plane
@@ -163,6 +178,23 @@ def sql_values_circles(cs: np.ndarray) -> str:
 def sql_values_points(qx: np.ndarray, qy: np.ndarray) -> str:
     rows = ", ".join(f"({i}, {x}, {y})" for i, (x, y) in enumerate(zip(qx, qy)))
     return f"(VALUES {rows}) AS q(qid, qx, qy)"
+
+
+def sql_values_points_float(qx: np.ndarray, qy: np.ndarray) -> str:
+    """Float VALUES rows; ``repr`` of a double round-trips exactly
+    through DuckDB's decimal-literal parser."""
+    rows = ", ".join(
+        f"({i}, {float(x)!r}, {float(y)!r})" for i, (x, y) in enumerate(zip(qx, qy))
+    )
+    return f"(VALUES {rows}) AS q(qid, qx, qy)"
+
+
+def sql_values_boxes_float(boxes: np.ndarray) -> str:
+    rows = ", ".join(
+        f"({i}, {float(b[0])!r}, {float(b[1])!r}, {float(b[2])!r}, {float(b[3])!r})"
+        for i, b in enumerate(boxes)
+    )
+    return f"(VALUES {rows}) AS q(qid, min_x, min_y, max_x, max_y)"
 
 
 def sql_values_boxes_3d(boxes: np.ndarray) -> str:
