@@ -282,6 +282,38 @@ def run_suite() -> dict:
             cur = cur.delete(r, strict=True)
         timings["serial_delete_32"] = round(time.perf_counter() - t0, 4)
 
+    # 10. imbalance-alpha sweep (INBALANCE_RATIO study, test.cpp bit10;
+    # script/run.sh:13-17 sweeps the ratio): four successive 4% inserts
+    # under each alpha policy — low alpha compacts sidecars eagerly
+    # (slower updates, fewer fragments, faster queries), high alpha
+    # defers (the reference's measured trade).  Records per-alpha
+    # insert wall-time, post-insert kNN latency, and the final fragment
+    # count (compaction evidence).
+    alpha_sweep: dict[str, dict] = {}
+    if os.environ.get("GRAFT_BENCH_SWEEP", "1") != "0":
+        qs_small = np.random.RandomState(7).choice(len(qx), 20_000, replace=False)
+        for ai, alpha in enumerate((0.05, 0.125, 0.3, 0.45)):
+            cur = idx.with_config(imbalance_alpha=alpha)
+            m = max(1, int(n * 0.04))
+            t0 = time.perf_counter()
+            for j in range(4):
+                # salts 10..25: disjoint from the ratio sweep's 0..9 and
+                # small enough to keep ids under the SQL-exact hash bound
+                cur = cur.insert(rd.from_pandas(delta_frame(m, 10 + 4 * ai + j)))
+            ins_sec = round(time.perf_counter() - t0, 4)
+            t0 = time.perf_counter()
+            consume(knn(cur, qx[qs_small], qy[qs_small], 10))
+            knn_sec = round(time.perf_counter() - t0, 4)
+            tag = f"{alpha:g}"
+            timings[f"alpha_{tag}_insert4x4pct"] = ins_sec
+            timings[f"alpha_{tag}_knn_k10_20k"] = knn_sec
+            alpha_sweep[tag] = {
+                "insert_sec": ins_sec,
+                "knn_sec": knn_sec,
+                "fragments": int(sum(len(v) for v in cur.cell_files.values())),
+                "cells": len(cur.cell_files),
+            }
+
     total = round(sum(timings.values()), 4)
     knn_qps = round(3 * len(qx) / (timings["knn_k1"] + timings["knn_k10"] + timings["knn_k100"]), 1)
     result = {
@@ -298,6 +330,8 @@ def run_suite() -> dict:
         "concurrent_queries_per_sec": round(n_queries_total / concurrent_sec, 1),
         "n_cells": len(idx.directory),
     }
+    if alpha_sweep:
+        result["alpha_sweep"] = alpha_sweep
     ray.shutdown()
     return result
 

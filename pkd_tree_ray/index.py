@@ -250,6 +250,28 @@ class PkdIndex:
         #: attached by the pool itself, never persisted.
         self.pool = None
 
+    def with_config(self, **overrides) -> "PkdIndex":
+        """Functional handle with policy overrides (e.g.
+        ``imbalance_alpha`` — the INBALANCE_RATIO sweep of
+        ``tests/test.cpp`` bit10 / ``script/run.sh:13-17`` tunes the
+        rebuild policy per run).  Shares the on-disk layout; copies the
+        in-memory directory and file maps so branched updates never
+        alias mutable state."""
+        import copy
+        from dataclasses import replace as _dc_replace
+
+        return PkdIndex(
+            self.path,
+            copy.deepcopy(self.directory),
+            _dc_replace(self.config, **overrides),
+            self.id_col,
+            self.id_type,
+            self.version,
+            {c: list(v) for c, v in self.cell_files.items()},
+            [dict(r) for r in self.lineage],
+            {c: list(v) for c, v in self.tomb_files.items()},
+        )
+
     # ------------------------------------------------------------------
     # construction
     # ------------------------------------------------------------------
