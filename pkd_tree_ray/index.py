@@ -47,7 +47,10 @@ from pkd_tree_ray.hashing import splitmix64
 from pkd_tree_ray.config import DEFAULT_CONFIG, EngineConfig
 
 _OP_KEEP = 0
-_SMALL_DELTA_ROWS = 2_000_000  # delta rows the driver may hold for the fast update path
+#: bytes of assigned delta the driver may hold for the fast update
+#: path — byte-based, not row-based, so a wide schema cannot turn the
+#: cap into a multi-GiB driver spike (r2 verdict)
+_SMALL_DELTA_BYTES = 256 * 1024 * 1024
 _OP_INSERT = 1
 _OP_DELETE = 2
 
@@ -734,7 +737,7 @@ class PkdIndex:
         #    the count / filter / write consumers below never recompute
         #    the assignment — then per-cell delta counts
         #    (InnerTree::reduce_sums, inner_tree.hpp:33-76).  A delta
-        #    small enough for the driver (<= _SMALL_DELTA_ROWS) is
+        #    small enough for the driver (<= _SMALL_DELTA_BYTES) is
         #    pulled down and partitioned with numpy; partition tasks do
         #    the writes — skipping the full groupby machinery whose
         #    fixed cost dwarfs a small delta.
@@ -742,7 +745,7 @@ class PkdIndex:
             delta, self.directory, cfg, op=op, id_col=self.id_col
         ).materialize()
         n_delta_total = delta_assigned.count()
-        small = n_delta_total <= _SMALL_DELTA_ROWS
+        small = (delta_assigned.size_bytes() or 0) <= _SMALL_DELTA_BYTES
         delta_tbl: pa.Table | None = None
         if small:
             import ray.data as _rd
