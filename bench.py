@@ -58,7 +58,7 @@ def run_suite() -> dict:
     from pkd_tree_ray.hashing import XA, YA, mulhash_coord
     from pkd_tree_ray.index import PkdIndex
     from pkd_tree_ray.queries import knn, range_count, range_report
-    from pkd_tree_ray.sources import lineitem_points_amplified
+    from pkd_tree_ray.sources import lineitem_points_amplified, read_parquet_clean
 
     idx_path = f"/tmp/pkd_bench/{NUM_CPUS}"
     shutil.rmtree(idx_path, ignore_errors=True)
@@ -73,7 +73,7 @@ def run_suite() -> dict:
     # amplify the sf table to >= TARGET_N points so compute dominates
     # fixed per-job overheads (the suite is a throughput benchmark)
     target_n = int(os.environ.get("GRAFT_BENCH_N", "20000000"))
-    base_df = rd.read_parquet(
+    base_df = read_parquet_clean(
         f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
     ).to_pandas()  # warms the page cache; 2 int columns only
     n_raw = len(base_df)
@@ -168,7 +168,7 @@ def run_suite() -> dict:
     # are disjoint — see sources.lineitem_points_amplified)
     import pandas as pd
 
-    okeys = rd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_orderkey"]).to_pandas()
+    okeys = read_parquet_clean(f"{SF_DIR}/orders.parquet", columns=["o_orderkey"]).to_pandas()
     odup = np.tile(okeys["o_orderkey"].to_numpy(), max(1, -(-(n // 100) // len(okeys))))
     base_d = odup[: max(1, n // 100)].astype("int64")
     dpid = base_d * 128 + 127

@@ -435,8 +435,10 @@ class IvfIndex:
                 }
             )
 
+        from pkd_tree_ray.sources import read_parquet_clean
+
         pdf = (
-            rd.read_parquet(self.last_files_read, columns=["vec_id", "embedding", "list_id"])
+            read_parquet_clean(self.last_files_read, columns=["vec_id", "embedding", "list_id"])
             .map_batches(partial, batch_format="pyarrow")
             .to_pandas()
         )

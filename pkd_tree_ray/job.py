@@ -80,7 +80,9 @@ def main(argv=None) -> int:
 
     # -- source ----------------------------------------------------------
     if args.images:
-        images = rd.read_parquet(args.images)
+        from pkd_tree_ray.sources import read_parquet_clean
+
+        images = read_parquet_clean(args.images)
     else:
         from pkd_tree_ray.fixtures import image_table_dataset
 

@@ -485,7 +485,9 @@ def knn_graph(index: PkdIndex, out_path: str, k: int, config=None):
             ),
             repair_file,
         )
-    return rd.read_parquet(os.path.join(out_path, "edges"))
+    from pkd_tree_ray.sources import read_parquet_clean
+
+    return read_parquet_clean(os.path.join(out_path, "edges"))
 
 
 _JOIN_WORKER_STATE: dict = {}

@@ -39,10 +39,20 @@ def read_parquet_clean(path, columns: list[str] | None = None):
     pandas metadata in their footers, which makes every block's Arrow
     schema unhashable — defeating Ray's schema dedup and logging
     'Failed to hash the schemas' per read task."""
+    import glob
+    import os
+
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    full = pq.read_schema(path).remove_metadata()
+    # resolve one representative footer: first file of a list, or the
+    # first *.parquet under a directory (all parts share one schema)
+    probe = path[0] if isinstance(path, (list, tuple)) else path
+    if isinstance(probe, str) and os.path.isdir(probe):
+        parts = sorted(glob.glob(os.path.join(probe, "**", "*.parquet"), recursive=True))
+        if parts:
+            probe = parts[0]
+    full = pq.read_schema(probe).remove_metadata()
     schema = pa.schema([full.field(c) for c in columns]) if columns else full
     return rd.read_parquet(path, columns=columns, schema=schema)
 
