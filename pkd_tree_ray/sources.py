@@ -48,10 +48,21 @@ def read_parquet_clean(path, columns: list[str] | None = None):
     # resolve one representative footer: first file of a list, or the
     # first *.parquet under a directory (all parts share one schema)
     probe = path[0] if isinstance(path, (list, tuple)) else path
+    parts: list[str] | None = None
     if isinstance(probe, str) and os.path.isdir(probe):
         parts = sorted(glob.glob(os.path.join(probe, "**", "*.parquet"), recursive=True))
         if parts:
             probe = parts[0]
+    elif isinstance(path, (list, tuple)):
+        parts = list(path)
+    if parts and len(parts) <= 4096:
+        # a ZERO-ROW part yields a block with an EMPTY Arrow schema even
+        # when schema= is passed, tripping Ray's RefBundle schema-change
+        # warning — drop empty parts (keep one so the read stays valid);
+        # capped so huge directories skip the footer sweep
+        live = [f for f in parts if pq.read_metadata(f).num_rows > 0]
+        path = live or parts[:1]
+        probe = path[0]
     full = pq.read_schema(probe).remove_metadata()
     schema = pa.schema([full.field(c) for c in columns]) if columns else full
     return rd.read_parquet(path, columns=columns, schema=schema)
