@@ -597,17 +597,51 @@ def _topk_per_qid(qid: np.ndarray, dist2: np.ndarray, neighbor: np.ndarray, k: i
 
 
 def _seed_chunk(Q: np.ndarray, s: int, k: int, cells, counts, bboxes) -> "_Pairs":
-    """Seed-cell classification for one query chunk (vectorized mask
-    over the per-query distance-sorted cell order)."""
+    """Seed-cell classification for one query chunk: per query, the
+    nearest cells (by bbox min-distance) whose cumulative count
+    reaches k.  A full per-query argsort over all C cells costs
+    ~0.4 ms/query at C~1e3 (it alone regressed bench kNN 20x), so the
+    distance-sorted prefix is found progressively: argpartition the T
+    nearest cells, sort only those T, and escalate T (x4) for just the
+    queries whose T-prefix still holds < k points — with cells sized
+    >> k, T=4 satisfies essentially every query in one pass, making
+    the walk O(m*C) selection + O(m*T log T) sort instead of
+    O(m*C log C)."""
     d2 = pnd_b_min_dist2(Q, bboxes)
-    order = np.argsort(d2, axis=1, kind="stable")
-    csum = np.cumsum(counts[order], axis=1)
-    enough = csum >= k
-    last = np.argmax(enough, axis=1)
-    last = np.where(enough.any(axis=1), last, len(cells) - 1)
-    qi, pos = np.nonzero(np.arange(len(cells))[None, :] <= last[:, None])
-    ci = order[qi, pos]
-    return _Pairs(cells[ci], (qi + s).astype(np.int64))
+    C = len(cells)
+    m = len(Q)
+    out_c: list[np.ndarray] = []
+    out_q: list[np.ndarray] = []
+    active = np.arange(m, dtype=np.int64)
+    T = min(4, C)
+    while len(active):
+        da = d2[active]
+        if T >= C:
+            sub = np.argsort(da, axis=1, kind="stable")
+        else:
+            part = np.argpartition(da, T - 1, axis=1)[:, :T]
+            so = np.argsort(np.take_along_axis(da, part, axis=1), axis=1, kind="stable")
+            sub = np.take_along_axis(part, so, axis=1)
+        csum = np.cumsum(counts[sub], axis=1)
+        enough = csum >= k
+        sat = enough.any(axis=1)
+        done = np.nonzero(sat if T < C else np.ones(len(active), bool))[0]
+        if len(done):
+            last = np.where(
+                sat[done], np.argmax(enough[done], axis=1), sub.shape[1] - 1
+            )
+            qi, pos = np.nonzero(np.arange(sub.shape[1])[None, :] <= last[:, None])
+            out_c.append(sub[done[qi], pos])
+            out_q.append(active[done[qi]] + s)
+        if T >= C:
+            break
+        active = active[~sat]
+        T = min(T * 4, C)
+    if not out_c:
+        return _Pairs(np.zeros(0, np.int64), np.zeros(0, np.int64))
+    ci = np.concatenate(out_c)
+    qi = np.concatenate(out_q).astype(np.int64)
+    return _Pairs(cells[ci], qi)
 
 
 def _candidate_chunk(Q: np.ndarray, s: int, bounds: np.ndarray, cells, bboxes) -> "_Pairs":
