@@ -203,44 +203,16 @@ def point_in_polygon_join(index: PkdIndex, polys: list[np.ndarray]):
 # kNN join
 # ----------------------------------------------------------------------
 
-#: hard cap on the broadcast-small left side of knn_join (rows); a
-#: larger left must be windowed by the caller (slice the left Dataset
-#: into <=cap chunks — each chunk's result is independent), keeping
-#: driver memory bounded instead of silently materializing.
+#: window size for the left side of knn_join (rows): the driver holds
+#: at most one window of (key, x, y) at a time — a larger left Dataset
+#: is processed as independent sequential windows whose results union,
+#: so driver memory stays bounded at any left-side scale.
 KNN_JOIN_LEFT_CAP = 5_000_000
 
 
-def knn_join(index: PkdIndex, left, key_col: str, k: int):
-    """kNN join of a keyed query table (columns key_col, x, y) against
-    the indexed points -> Dataset (<key_col>, rank, neighbor, dist2).
-
-    ``left`` may be a pyarrow Table or a Dataset.  The left side is
-    the broadcast-small side (the reference's query batches are 1% of
-    the build side, ``testFramework.h:24``) and is guarded by
-    ``KNN_JOIN_LEFT_CAP``: above the cap the caller must window the
-    left side into independent chunks (results concatenate) — there
-    is no silent driver materialization.  Large RESULTS already
-    stream (``knn`` returns a ref-backed Dataset past the merge
-    limit).
-    """
-    if not isinstance(left, pa.Table):
-        n_left = left.count()
-        if n_left > KNN_JOIN_LEFT_CAP:
-            raise ValueError(
-                f"knn_join left side has {n_left} rows > cap "
-                f"{KNN_JOIN_LEFT_CAP}; window the left Dataset into "
-                "independent chunks and union the per-chunk results"
-            )
-        left = pa.concat_tables(
-            pa.table(b)
-            for b in left.select_columns([key_col, "x", "y"]).iter_batches(
-                batch_format="pyarrow", batch_size=None
-            )
-        )
-    elif left.num_rows > KNN_JOIN_LEFT_CAP:
-        raise ValueError(
-            f"knn_join left side has {left.num_rows} rows > cap {KNN_JOIN_LEFT_CAP}"
-        )
+def _knn_join_window(index: PkdIndex, left: pa.Table, key_col: str, k: int):
+    """One bounded window of the join: broadcast the window's queries,
+    run the distributed kNN, remap qid -> key."""
     keys = left[key_col].to_numpy()
     qx = left["x"].to_numpy()
     qy = left["y"].to_numpy()
@@ -262,6 +234,71 @@ def knn_join(index: PkdIndex, left, key_col: str, k: int):
     return res.map_batches(
         lambda t: remap(t, ray.get(key_ref)), batch_format="pyarrow"
     )
+
+
+def knn_join(index: PkdIndex, left, key_col: str, k: int):
+    """kNN join of a keyed query table (columns key_col, x, y) against
+    the indexed points -> Table or Dataset (<key_col>, rank, neighbor,
+    dist2).
+
+    ``left`` may be a pyarrow Table or a Dataset.  Each window of
+    ``KNN_JOIN_LEFT_CAP`` left rows is the broadcast-small side (the
+    reference's query batches are 1% of the build side,
+    ``testFramework.h:24``); a larger left streams through as
+    independent sequential windows whose results union — no unbounded
+    driver materialization at any left size.  Large RESULTS stream
+    (``knn`` returns a ref-backed Dataset past the merge limit).
+    """
+    if isinstance(left, pa.Table):
+        if left.num_rows <= KNN_JOIN_LEFT_CAP:
+            return _knn_join_window(index, left, key_col, k)
+        windows = [
+            left.slice(s, KNN_JOIN_LEFT_CAP)
+            for s in range(0, left.num_rows, KNN_JOIN_LEFT_CAP)
+        ]
+    else:
+        windows = _iter_left_windows(left, key_col)
+    import ray.data as _rd
+
+    out = None
+    for w in windows:
+        part = _knn_join_window(index, w, key_col, k)
+        if isinstance(part, pa.Table):
+            part = _rd.from_arrow(part)
+        out = part if out is None else out.union(part)
+    return (
+        out
+        if out is not None
+        else pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "neighbor": pa.array([], pa.int64()),
+                "dist2": pa.array([], pa.int64()),
+            }
+        )
+    )
+
+
+def _iter_left_windows(left, key_col: str):
+    """Yield <= KNN_JOIN_LEFT_CAP-row pyarrow windows of a left
+    Dataset without ever holding more than one window on the driver."""
+    buf: list[pa.Table] = []
+    buffered = 0
+    for b in left.select_columns([key_col, "x", "y"]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        t = pa.table(b) if not isinstance(b, pa.Table) else b
+        buf.append(t)
+        buffered += t.num_rows
+        if buffered >= KNN_JOIN_LEFT_CAP:
+            whole = pa.concat_tables(buf)
+            yield whole.slice(0, KNN_JOIN_LEFT_CAP)
+            rest = whole.slice(KNN_JOIN_LEFT_CAP)
+            buf = [rest] if rest.num_rows else []
+            buffered = rest.num_rows
+    if buffered:
+        yield pa.concat_tables(buf)
 
 
 # ----------------------------------------------------------------------

@@ -463,11 +463,20 @@ def brute_range_filter_nd(
     n, m = len(P[0]), len(Q[0])
     if n == 0 or m == 0:
         return (np.empty(0, np.int64),) * 3
+    # dtype-generic like brute_knn_nd: float-native doubles run the
+    # identical kernel with float64 squared distances
+    coord_dt = (
+        np.float64
+        if any(np.issubdtype(np.asarray(c).dtype, np.floating) for c in (*P, *Q))
+        else np.int64
+    )
+    P = [np.asarray(c, dtype=coord_dt) for c in P]
+    Q = [np.asarray(c, dtype=coord_dt) for c in Q]
     out_q: list[np.ndarray] = []
     out_p: list[np.ndarray] = []
     out_d: list[np.ndarray] = []
-    ws1 = np.empty((min(q_chunk, m), p_chunk), dtype=np.int64)
-    ws2 = np.empty((min(q_chunk, m), p_chunk), dtype=np.int64)
+    ws1 = np.empty((min(q_chunk, m), p_chunk), dtype=coord_dt)
+    ws2 = np.empty((min(q_chunk, m), p_chunk), dtype=coord_dt)
     for s in range(0, m, q_chunk):
         e = min(s + q_chunk, m)
         qc = [Q[j][s:e, None] for j in range(d)]
@@ -607,3 +616,294 @@ def brute_knn_batch(
 ) -> tuple[np.ndarray, np.ndarray]:
     """2-D wrapper over :func:`brute_knn_nd`."""
     return brute_knn_nd([px, py], [qx, qy], k, q_chunk, p_chunk, tie_key)
+
+
+# --- sub-cell block pruning (the kd-tree prune, vectorized coarse) ----
+#
+# A directory cell is large (10^4-10^5 rows) so a routed query that
+# brute-scans its whole cell does ~35k point-distances where the
+# reference's tree descent visits ~50-240 nodes
+# (``script/data/knn.csv``).  The shard slices each resident cell into
+# kd-ordered BLOCKS (~2k rows, tight bboxes — the top levels of
+# ``serial_build_recursive`` without the deep tree) and kNN kernels
+# apply the sibling-prune test (``nn_search.hpp:121-124``) per block:
+# seed on the nearest blocks holding >= k rows for an exact kth bound
+# from real points, then scan only blocks whose bbox min-distance is
+# within it.  Everything stays vectorized; only the ~n/2048-entry
+# block loop is Python.
+
+
+def topk_per_qid(qid: np.ndarray, dist2: np.ndarray, neighbor: np.ndarray, k: int):
+    """Vectorized per-qid top-k with (dist2, neighbor) tie-break.
+    Returns (row_indices, ranks 1-based) — no per-group Python calls."""
+    order = np.lexsort((neighbor, dist2, qid))
+    qs = qid[order]
+    uq, starts, cnts = np.unique(qs, return_index=True, return_counts=True)
+    ranks = np.arange(len(qs), dtype=np.int64) - np.repeat(starts, cnts)
+    keep = ranks < k
+    return order[keep], ranks[keep] + 1
+
+
+def cum_nearest_prefix(d2: np.ndarray, counts: np.ndarray, k: int):
+    """Per query (row of ``d2``), the nearest items (by d2) whose
+    cumulative ``counts`` reach ``k`` -> pair arrays (q_idx, item_idx).
+
+    A full per-query argsort over all C items costs O(m*C log C); the
+    distance-sorted prefix is found progressively instead: argpartition
+    the T nearest, sort only those T, escalate T (x4) for just the
+    queries whose T-prefix still holds < k — with items sized >> k,
+    T=4 satisfies essentially every query in one pass."""
+    m, C = d2.shape
+    out_i: list[np.ndarray] = []
+    out_q: list[np.ndarray] = []
+    active = np.arange(m, dtype=np.int64)
+    T = min(4, C)
+    while len(active):
+        da = d2[active]
+        if T >= C:
+            sub = np.argsort(da, axis=1, kind="stable")
+        else:
+            part = np.argpartition(da, T - 1, axis=1)[:, :T]
+            so = np.argsort(np.take_along_axis(da, part, axis=1), axis=1, kind="stable")
+            sub = np.take_along_axis(part, so, axis=1)
+        csum = np.cumsum(counts[sub], axis=1)
+        enough = csum >= k
+        sat = enough.any(axis=1)
+        done = np.nonzero(sat if T < C else np.ones(len(active), bool))[0]
+        if len(done):
+            last = np.where(sat[done], np.argmax(enough[done], axis=1), sub.shape[1] - 1)
+            qi, pos = np.nonzero(np.arange(sub.shape[1])[None, :] <= last[:, None])
+            out_i.append(sub[done[qi], pos])
+            out_q.append(active[done[qi]])
+        if T >= C:
+            break
+        active = active[~sat]
+        T = min(T * 4, C)
+    if not out_i:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return np.concatenate(out_q), np.concatenate(out_i)
+
+
+def kd_block_partition(
+    fc: Sequence[np.ndarray], block_rows: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Median-split a point set into kd-ordered blocks of <= block_rows.
+
+    Returns (order, blk_lo, blk_hi, blk_boxes): ``order`` permutes the
+    input arrays so each block is a contiguous [lo, hi) slice with a
+    TIGHT bbox (2d flat, mins then maxs).  Max-stretch split rule;
+    identical-coordinate segments stop splitting (dummy-leaf analog).
+    dtype-generic (int64 grid or float-native doubles)."""
+    d = len(fc)
+    n = len(fc[0])
+    perm = np.arange(n, dtype=np.int64)
+    spans: list[tuple[int, int]] = []
+    stack = [(0, n)]
+    while stack:
+        lo, hi = stack.pop()
+        seg = perm[lo:hi]
+        if hi - lo <= block_rows:
+            spans.append((lo, hi))
+            continue
+        best_dim, best_stretch = 0, None
+        mins = np.empty(d, dtype=np.float64)
+        for j in range(d):
+            cj = fc[j][seg]
+            mn, mx = cj.min(), cj.max()
+            s = float(mx) - float(mn)
+            if best_stretch is None or s > best_stretch:
+                best_dim, best_stretch = j, s
+        if not best_stretch:
+            spans.append((lo, hi))  # all points identical
+            continue
+        coords = fc[best_dim][seg]
+        mid = (hi - lo) // 2
+        split_val = np.partition(coords, mid)[mid]
+        left = coords < split_val
+        n_left = int(left.sum())
+        if n_left == 0:
+            # split_val is the minimum; move the boundary just above it
+            if np.issubdtype(coords.dtype, np.floating):
+                split_val = np.nextafter(split_val, np.inf)
+            else:
+                split_val = split_val + 1
+            left = coords < split_val
+            n_left = int(left.sum())
+        order = np.argsort(~left, kind="stable")
+        perm[lo:hi] = seg[order]
+        stack.append((lo, lo + n_left))
+        stack.append((lo + n_left, hi))
+    spans.sort()
+    blo = np.array([s for s, _ in spans], dtype=np.int64)
+    bhi = np.array([e for _, e in spans], dtype=np.int64)
+    dt = fc[0].dtype
+    boxes = np.empty((len(spans), 2 * d), dtype=dt)
+    for b in range(len(spans)):
+        for j in range(d):
+            cj = fc[j][perm[blo[b]: bhi[b]]]
+            boxes[b, j] = cj.min()
+            boxes[b, d + j] = cj.max()
+    return perm, blo, bhi, boxes
+
+
+def _bounds_from_triplets(q: np.ndarray, d2: np.ndarray, nb: np.ndarray, m: int, k: int):
+    """Per-query kth (d2, id)-ordered distance over scanned triplets —
+    a valid upper bound on the true kth distance (subset argument);
+    +inf-equivalent where fewer than k rows were seen."""
+    inf = (
+        np.float64(np.inf)
+        if np.issubdtype(d2.dtype, np.floating)
+        else np.iinfo(np.int64).max
+    )
+    bounds = np.full(m, inf, dtype=d2.dtype)
+    if len(q):
+        rows, _ = topk_per_qid(q, d2, nb, k)
+        qs, ds = q[rows], d2[rows]
+        uq, st, ct = np.unique(qs, return_index=True, return_counts=True)
+        full = ct >= k
+        bounds[uq[full]] = ds[st[full] + k - 1]
+    return bounds
+
+
+def block_knn_triplets(
+    fc: Sequence[np.ndarray],
+    ids: np.ndarray,
+    blo: np.ndarray,
+    bhi: np.ndarray,
+    bboxes: np.ndarray,
+    Qc: Sequence[np.ndarray],
+    k: int,
+    exact: bool = True,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Within-cell top-k via block pruning -> triplets
+    (q_idx, neighbor_id, dist2), already cut to per-query top-k under
+    the global (dist2, id) tie order.
+
+    Phase A: scan each query's nearest blocks holding >= k rows
+    (usually ONE) -> exact kth bound; phase B: sliver-filter only the
+    unscanned blocks whose bbox min-distance is within the bound.
+    Exact: the bound is the kth smallest distance among scanned rows
+    (>= the true kth), and candidate inclusion is <=, so every true
+    top-k row (ties included) is emitted before the final cut.
+
+    ``exact=False`` skips phase B: the result is the top-k among the
+    seed blocks only — points whose true rank is k-th but who live in
+    a neighboring block can be missed.  Use ONLY where any nearby k
+    rows suffice (e.g. picking candidate cells for a provable
+    directory bound)."""
+    from pkd_tree_ray.geometry import pnd_b_min_dist2
+
+    m = len(Qc[0])
+    n = len(fc[0])
+    if m == 0 or n == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, fc[0].dtype if n else np.int64)
+    Qm = np.stack([np.asarray(c) for c in Qc], axis=1)
+    bd2 = pnd_b_min_dist2(Qm, bboxes)
+    sizes = bhi - blo
+    sq, sb = cum_nearest_prefix(bd2, sizes, min(k, n))
+    B = len(blo)
+    out_q: list[np.ndarray] = []
+    out_n: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    seeded = np.zeros((m, B), dtype=bool)
+    seeded[sq, sb] = True
+    order = np.argsort(sb, kind="stable")
+    sb_s, sq_s = sb[order], sq[order]
+    ub, st = np.unique(sb_s, return_index=True)
+    st = np.append(st, len(sb_s))
+    for t in range(len(ub)):
+        b = int(ub[t])
+        qs = sq_s[st[t]: st[t + 1]]
+        lo, hi = int(blo[b]), int(bhi[b])
+        idx, d2 = brute_knn_nd(
+            [c[lo:hi] for c in fc], [c[qs] for c in Qc], k, tie_key=ids[lo:hi]
+        )
+        k_eff = idx.shape[1]
+        out_q.append(np.repeat(qs, k_eff))
+        out_n.append(ids[lo + idx.ravel()])
+        out_d.append(d2.ravel())
+    q1 = np.concatenate(out_q)
+    n1 = np.concatenate(out_n)
+    d1 = np.concatenate(out_d)
+    if not exact:
+        rows0, _ = topk_per_qid(q1, d1, n1, k)
+        return q1[rows0], n1[rows0], d1[rows0]
+    bounds = _bounds_from_triplets(q1, d1, n1, m, min(k, n))
+    cand = (bd2 <= bounds[:, None]) & ~seeded
+    for b in range(B):
+        qs2 = np.nonzero(cand[:, b])[0]
+        if not len(qs2):
+            continue
+        lo, hi = int(blo[b]), int(bhi[b])
+        qi, pi, d2f = brute_range_filter_nd(
+            [c[lo:hi] for c in fc], [c[qs2] for c in Qc], bounds[qs2]
+        )
+        if not len(qi):
+            continue
+        nb = ids[lo + pi]
+        if len(qi) > 4 * k * len(qs2):
+            # duplicate-heavy data can tie a whole block at the bound;
+            # only each block's per-query top-k can survive the cut
+            rows, _ = topk_per_qid(qi, d2f, nb, k)
+            qi, nb, d2f = qi[rows], nb[rows], d2f[rows]
+        out_q.append(qs2[qi])
+        out_n.append(nb)
+        out_d.append(d2f)
+    q = np.concatenate(out_q)
+    nbr = np.concatenate(out_n)
+    dd = np.concatenate(out_d)
+    rows, _ = topk_per_qid(q, dd, nbr, k)
+    return q[rows], nbr[rows], dd[rows]
+
+
+def block_range_triplets(
+    fc: Sequence[np.ndarray],
+    ids: np.ndarray,
+    blo: np.ndarray,
+    bhi: np.ndarray,
+    bboxes: np.ndarray,
+    Qc: Sequence[np.ndarray],
+    bounds: np.ndarray,
+    k_cap: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All (query, point) pairs within per-query squared-distance
+    bounds, scanning only blocks whose bbox min-distance is within the
+    query's bound (the sliver-filter fast path for foreign cells) ->
+    triplets (q_idx, neighbor_id, dist2).  ``k_cap`` caps the emitted
+    rows per (block, query) batch at top-k when a loose bound admits a
+    whole cluster."""
+    from pkd_tree_ray.geometry import pnd_b_min_dist2
+
+    m = len(Qc[0])
+    n = len(fc[0])
+    if m == 0 or n == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, fc[0].dtype if n else np.int64)
+    Qm = np.stack([np.asarray(c) for c in Qc], axis=1)
+    bd2 = pnd_b_min_dist2(Qm, bboxes)
+    cand = bd2 <= bounds[:, None]
+    out_q: list[np.ndarray] = []
+    out_n: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    for b in range(len(blo)):
+        qs = np.nonzero(cand[:, b])[0]
+        if not len(qs):
+            continue
+        lo, hi = int(blo[b]), int(bhi[b])
+        qi, pi, d2f = brute_range_filter_nd(
+            [c[lo:hi] for c in fc], [c[qs] for c in Qc], bounds[qs]
+        )
+        if not len(qi):
+            continue
+        nb = ids[lo + pi]
+        if k_cap is not None and len(qi) > 4 * k_cap * len(qs):
+            rows, _ = topk_per_qid(qi, d2f, nb, k_cap)
+            qi, nb, d2f = qi[rows], nb[rows], d2f[rows]
+        out_q.append(qs[qi])
+        out_n.append(nb)
+        out_d.append(d2f)
+    if not out_q:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, bounds.dtype)
+    return np.concatenate(out_q), np.concatenate(out_n), np.concatenate(out_d)

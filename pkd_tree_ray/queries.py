@@ -12,12 +12,19 @@ shared-memory tree to cells + per-partition scans:
   rows (the ``flatten`` fast path), partial cells emit masked rows —
   a streaming output Dataset, never materialized on the driver;
 * circular range count (``range_count.hpp:98-131``);
-* kNN (``nn_search.hpp:81-126``): two-phase — (A) seed each query on
-  the nearest cells holding >= k points to obtain an upper bound on
-  the kth distance, (B) scan every cell whose bbox min-distance is
-  within the bound and merge per-query top-k with a
-  ``groupby(qid)`` — the distributed form of sibling pruning via
-  ``p2b_min_distance`` (``nn_search.hpp:121-124``).
+* kNN (``nn_search.hpp:81-126``): bound -> one scan -> verify/repair.
+  In-distribution queries bound the kth distance from home-cell
+  density (O(m), no data touched); out-of-distribution queries use
+  the provable nearest-center directory bound
+  (``_center_dir_bounds``).  Every cell whose bbox
+  min-distance is within the bound is scanned — the distributed form
+  of sibling pruning via ``p2b_min_distance``
+  (``nn_search.hpp:121-124``) — with candidate selection fused into
+  the shards (``IndexShard.knn_auto``) and re-applied INSIDE each
+  cell over kd-ordered sub-blocks (``kdtree.block_knn_triplets``).
+  Per-query top-k merges via qid-slice tasks or ``groupby(qid)``;
+  queries whose density estimate proves too small are repaired with
+  the exact seed-scan two-phase (``_exact_bounds``).
 
 Queries are the SMALL side: the query table is broadcast once via
 ``ray.put`` and read in each actor's ``__init__``, never re-shipped
@@ -758,35 +765,12 @@ def _exact_bounds(index: PkdIndex, Q, k, cfg) -> np.ndarray:
     return bounds
 
 
-def _directory_bound_chunk(Q: np.ndarray, k: int, counts, bboxes) -> np.ndarray:
-    """PROVABLE kth-distance upper bound from directory stats alone:
-    any single cell holding >= k points bounds the kth distance by its
-    bbox max-distance, so the min of that bound over all such cells is
-    a valid cap (one vectorized masked-min pass — a cumulative
-    nearest-cells walk would be tighter but cost ~0.4 ms/query).
-    Loose in-distribution (a home cell's max-dist spans the cell) but
-    decisive out-of-distribution, where the density heuristic has no
-    basis and previously fell back to an unbounded radius — an OOD
-    query batch then scanned essentially every cell (r2 bench: the
-    varden-build/uniform-query phase ran minutes instead of seconds)."""
-    ok = counts >= k
-    if ok.any():
-        # any single cell holding >= k points bounds the kth distance
-        # by its bbox max-dist; take the best such cell per query.
-        # One masked min pass — an argsort-based nearest-prefix walk
-        # here cost ~0.4ms/query at 913 cells (38s per 100k batch).
-        return pnd_b_max_dist2(Q, bboxes[ok]).min(axis=1)
-    # k exceeds every single cell (k > target_cell_rows — not a real
-    # workload): all live cells together hold max(k, n) points
-    return pnd_b_max_dist2(Q, bboxes).max(axis=1)
-
-
 def _density_bounds(index: PkdIndex, Q, k, safety: int = 2) -> np.ndarray:
     """Estimated kth-distance bound from directory stats alone (no
     scan): min of (a) the home-cell uniform-density estimate
     r_k^2 ~ (safety * k * volume / count)^(2/d) — tight when queries
     follow the build distribution — and (b) the provable cumulative
-    directory bound (:func:`_directory_bound_chunk`) — what keeps OOD
+    directory bound (:func:`_center_dir_bounds`) — what keeps OOD
     queries from scanning the world.  NOT exact below the provable
     bound — every query is verified after the scan and repaired
     exactly if the estimate was too small (see ``knn``)."""
@@ -825,24 +809,18 @@ def _density_bounds(index: PkdIndex, Q, k, safety: int = 2) -> np.ndarray:
         est[cap0_ok],
         np.minimum(d2h_max[cap0_ok], float(np.iinfo(np.int64).max // 4)).astype(np.int64),
     )
-    # full masked-min pass ONLY for queries the home cell can't bound
+    # directory-bound pass ONLY for queries the home cell can't bound
     # tightly: out-of-distribution (outside the home bbox) or a home
     # cell with < k rows.  In-distribution batches skip it entirely.
     need = (counts < k) | (d2h_min > 0)
-    if need.any():
-        live = d.counts > 0
-        if live.any():
-            Qn = Q[need]
-            capn = np.empty(len(Qn), dtype=np.float64)
-            counts_l, bboxes_l = d.counts[live], d.bboxes[live]
-            for s in range(0, len(Qn), _CLASSIFY_CHUNK):
-                capn[s: s + _CLASSIFY_CHUNK] = _directory_bound_chunk(
-                    Qn[s: s + _CLASSIFY_CHUNK], k, counts_l, bboxes_l
-                )
-            est[need] = np.minimum(
-                est[need],
-                np.minimum(capn, float(np.iinfo(np.int64).max // 4)).astype(np.int64),
-            )
+    if need.any() and (d.counts > 0).any():
+        capn = _center_dir_bounds(index, Q[need], k)
+        est[need] = np.minimum(
+            est[need],
+            np.minimum(
+                capn.astype(np.float64), float(np.iinfo(np.int64).max // 4)
+            ).astype(np.int64),
+        )
     return est
 
 
@@ -886,146 +864,165 @@ def _bounds_from_partials(qid, d2, nb, m: int, k: int, k_eff: int) -> np.ndarray
     return bounds
 
 
-@ray.remote(num_cpus=1)
-def _kth_bounds_slice(lo: int, hi: int, k: int, k_eff: int, *parts: pa.Table) -> np.ndarray:
-    """bounds[lo:hi] from qid-sorted partial tables — runs where the
-    partials live so large seed results never land on the driver."""
-    picked = []
-    for t in parts:
-        if not t.num_rows:
-            continue
-        qid = t["qid"].to_numpy()
-        a = int(np.searchsorted(qid, lo, side="left"))
-        b = int(np.searchsorted(qid, hi, side="left"))
-        if b > a:
-            picked.append(t.slice(a, b - a))
-    if not picked:
-        return np.full(hi - lo, np.iinfo(np.int64).max, dtype=np.int64)
-    pdf = pa.concat_tables(picked)
-    return _bounds_from_partials(
-        pdf["qid"].to_numpy() - lo,
-        pdf["dist2"].to_numpy(),
-        pdf["neighbor"].to_numpy(zero_copy_only=False),
-        hi - lo,
-        k,
-        k_eff,
-    )
+#: how many nearest cell centers feed each query's directory bound —
+#: min over a few candidates approaches the true min-over-max
+_CENTER_BOUND_T = 4
 
 
-def _pool_two_phase(index: PkdIndex, pool, Q: np.ndarray, k: int, k_eff: int):
-    """Two-phase kNN over the resident shard pool with seed-partial
-    reuse — the distributed guided descent (``nn_search.hpp:108-125``):
+def _center_dir_bounds(index: PkdIndex, Q: np.ndarray, k: int) -> np.ndarray:
+    """PROVABLE per-query kth-distance bounds at sub-O(m x C) cost:
 
-    A) scan each query's nearest cells holding >= k points cumulative
-       (usually ONE cell) -> exact kth-distance bound from REAL points;
-    B) scan ONLY candidate cells not already seeded (bbox min-dist
-       <= the seed bound — a few % of queries add one) and merge both
-       phases' partials.
+    1. find each query's T nearest CELL CENTERS among cells holding
+       >= k points — a block-pruned kNN over the (tiny) center set
+       (``kdtree.block_knn_triplets``), NOT an m x C matrix;
+    2. bound = min over those T cells of the query's bbox
+       max-distance (each such cell alone holds >= k points within
+       that distance, so the min over them is a valid cap).
 
-    Replaces the r2 density/bbox-bound + one-scan + repair shape on
-    the serving path: bbox bounds are provable but loose out of
-    distribution (~4.3 candidate cells per OOD query = the 43.6 s
-    varden-OOD bench phase), while the seed bound leaves ~1.05 scans
-    per query and needs no repair in the common case (it comes from
-    >= k_eff actual points, so the merged result provably holds every
-    true neighbor).  Returns ``(merged, unsafe_qids)`` with the same
-    contract as ``ShardedQueryPool.knn_topk``.
-    """
+    The true min-over-max cell is almost always among the nearest few
+    centers; when it is not, the bound is merely looser — still
+    provable, so kNN exactness never depends on the choice."""
+    from pkd_tree_ray.kdtree import block_knn_triplets, kd_block_partition
+
+    cells, counts, bboxes = _live(index)
     m = len(Q)
-    seed = _seed_cells(index, Q, k)
-    p1_refs = pool.knn_pairs_refs(Q, k, seed)
-    driver_merge = m * k <= type(pool)._DRIVER_MERGE_ROWS
-
-    def empty_ranked():
-        return pa.table(
-            {
-                "qid": pa.array([], pa.int64()),
-                "rank": pa.array([], pa.int64()),
-                "neighbor": pa.array([], pa.int64()),
-                "dist2": pa.array([], pa.int64()),
-            }
+    inf = np.iinfo(np.int64).max
+    if not len(cells):
+        return np.full(m, inf, dtype=np.int64)
+    nd = Q.shape[1]
+    ok = counts >= k
+    if not ok.any():
+        # k exceeds every single cell (not a real workload): all live
+        # cells together hold the k nearest
+        bounds = np.full(m, 0, dtype=np.float64)
+        for s in range(0, m, _CLASSIFY_CHUNK):
+            bounds[s: s + _CLASSIFY_CHUNK] = pnd_b_max_dist2(
+                Q[s: s + _CLASSIFY_CHUNK], bboxes
+            ).max(axis=1)
+        return np.minimum(bounds, inf).astype(np.int64)
+    bb = bboxes[ok]
+    C = len(bb)
+    centers = [((bb[:, j] + bb[:, nd + j]) // 2).astype(bb.dtype) for j in range(nd)]
+    T = min(_CENTER_BOUND_T, C)
+    pos = np.arange(C, dtype=np.int64)
+    if C > 256:
+        order, blo, bhi, bxs = kd_block_partition(centers, 64)
+        q3, n3, _ = block_knn_triplets(
+            [c[order] for c in centers], pos[order], blo, bhi, bxs,
+            [np.ascontiguousarray(Q[:, j]) for j in range(nd)], T,
         )
-
-    if driver_merge:
-        parts1 = [t for t in ray.get(p1_refs) if t.num_rows] if p1_refs else []
-        if parts1:
-            P1 = pa.concat_tables(parts1)
-            bounds = _bounds_from_partials(
-                P1["qid"].to_numpy(),
-                P1["dist2"].to_numpy(),
-                P1["neighbor"].to_numpy(zero_copy_only=False),
-                m,
-                k,
-                k_eff,
-            )
-        else:
-            P1 = None
-            bounds = np.full(m, np.iinfo(np.int64).max, dtype=np.int64)
     else:
-        # bounds computed beside the data: qid-slice tasks over the refs
-        n_b = max(1, min(pool.n_shards, 8))
-        edges_b = np.linspace(0, m, n_b + 1).astype(np.int64)
-        brefs = [
-            _kth_bounds_slice.remote(
-                int(edges_b[i]), int(edges_b[i + 1]), k, k_eff, *p1_refs
-            )
-            for i in range(n_b)
-        ]
-        bounds = np.concatenate(ray.get(brefs))
+        one = np.array([0, len(centers[0])], dtype=np.int64)
+        cb = np.array(
+            [c.min() for c in centers] + [c.max() for c in centers], dtype=bb.dtype
+        )[None, :]
+        q3, n3, _ = block_knn_triplets(
+            centers, pos, one[:1], one[1:], cb,
+            [np.ascontiguousarray(Q[:, j]) for j in range(nd)], T,
+        )
+    # pairwise max-dist to each query's candidate cells, min-reduced
+    bq = bb[n3]
+    md = np.zeros(len(q3), dtype=np.float64)
+    for j in range(nd):
+        qj = Q[q3, j].astype(np.float64)
+        dj = np.maximum(np.abs(qj - bq[:, j]), np.abs(qj - bq[:, nd + j]))
+        md += dj * dj
+    bounds = np.full(m, np.float64(inf), dtype=np.float64)
+    np.minimum.at(bounds, q3, md)
+    return np.minimum(bounds, inf).astype(np.int64)
 
-    cand = _candidate_pairs(index, Q, bounds)
-    delta = _pairs_diff(cand, seed, index.directory.starts)
-    p2_refs = pool.knn_pairs_refs(Q, k, delta) if delta else []
 
-    if driver_merge:
-        parts = parts1 + ([t for t in ray.get(p2_refs) if t.num_rows] if p2_refs else [])
-        if not parts:
-            return empty_ranked(), np.arange(m, dtype=np.int64) if index.total_rows else np.zeros(0, np.int64)
-        pdf = pa.concat_tables(parts)
-        qid = pdf["qid"].to_numpy()
-        d2 = pdf["dist2"].to_numpy()
-        nb = pdf["neighbor"].to_numpy(zero_copy_only=False)
-        rows, ranks = _topk_per_qid(qid, d2, nb, k)
-        rq = qid[rows]
-        found = np.zeros(m, dtype=np.int64)
-        uq, _, ct = np.unique(rq, return_index=True, return_counts=True)
-        found[uq] = ct
-        unsafe = np.nonzero(found < k_eff)[0]
-        if len(unsafe):
-            keep = ~np.isin(rq, unsafe)
-            rows, ranks = rows[keep], ranks[keep]
-        out = pdf.take(pa.array(rows))
-        return (
-            pa.table(
-                {
-                    "qid": out["qid"],
-                    "rank": pa.array(ranks, pa.int64()),
-                    "neighbor": out["neighbor"],
-                    "dist2": out["dist2"],
-                }
-            ),
-            unsafe,
+def _ood_mask(index: PkdIndex, Q: np.ndarray, k_eff: int) -> np.ndarray:
+    """True for queries the density heuristic has no basis for: the
+    home cell (Morton ``searchsorted`` — O(m log C), no query-vs-cell
+    distance matrix) holds < k points, or the query lies outside its
+    live bbox.  The complementary set is served by the r1 fast path
+    (density bound + shard-fused classification) at O(m) driver cost;
+    only OOD queries pay the shard-side directory-bound pass."""
+    d = index.directory
+    nd = index.config.ndim
+    idx = d.index_of(d.assign_nd([Q[:, j] for j in range(nd)]))
+    counts = d.counts[idx]
+    bb = d.bboxes[idx]
+    d2h_min = np.zeros(len(Q), dtype=np.float64)
+    for j in range(nd):
+        qj = Q[:, j].astype(np.float64)
+        dj = np.maximum(
+            np.maximum(bb[:, j] - qj, qj - bb[:, nd + j]), 0.0
+        )
+        d2h_min += dj * dj
+    return (counts < k_eff) | (d2h_min > 0)
+
+
+def _remap_qids(merged, sel: np.ndarray):
+    """Rewrite subset-local qids back to batch positions (``sel[qid]``)
+    — driver-side for tables, per-block for ref-backed Datasets."""
+    if isinstance(merged, pa.Table):
+        q = merged["qid"].to_numpy()
+        return merged.set_column(
+            merged.schema.get_field_index("qid"), "qid", pa.array(sel[q], pa.int64())
+        )
+    sel_ref = ray.put(sel)
+
+    def remap(t: pa.Table) -> pa.Table:
+        s = _cached_get(sel_ref)
+        q = t["qid"].to_numpy()
+        return t.set_column(
+            t.schema.get_field_index("qid"), "qid", pa.array(s[q], pa.int64())
         )
 
-    from pkd_tree_ray.shards import _merge_qid_slice
+    return merged.map_batches(remap, batch_format="pyarrow")
 
-    bref = ray.put(bounds)
-    part_refs = p1_refs + p2_refs
-    n_merge = max(1, min(pool.n_shards, m * k // type(pool)._DRIVER_MERGE_ROWS + 1))
-    edges = np.linspace(0, m, n_merge + 1).astype(np.int64)
-    out_refs, unsafe_refs = [], []
-    for i in range(n_merge):
-        o, u = _merge_qid_slice.remote(
-            int(edges[i]), int(edges[i + 1]), k, k_eff, bref, *part_refs
-        )
-        out_refs.append(o)
-        unsafe_refs.append(u)
-    unsafe = (
-        np.concatenate(ray.get(unsafe_refs)) if unsafe_refs else np.zeros(0, np.int64)
-    )
-    import ray.data as rd_mod
 
-    return rd_mod.from_arrow_refs(out_refs), unsafe
+def _pool_serve(index: PkdIndex, pool, Q: np.ndarray, k: int, k_eff: int):
+    """Serving-path kNN dispatch: split the batch by distribution.
+
+    In-distribution queries (home cell holds >= k points AND the query
+    sits inside its bbox) take the one-scan path — O(m) density bounds,
+    classification fused into the shards (``IndexShard.knn_auto``
+    prunes only its own resident cells), verify, and the caller repairs
+    the (normally empty) unsafe remainder.  This is the r2-verdict
+    "skip the extra bound passes wholesale" fast path: no driver-side
+    query-vs-cell matrix at all.
+
+    Out-of-distribution queries take the SAME one-scan path but with
+    the provable nearest-center directory bound
+    (``_center_dir_bounds``: block-kNN over the tiny cell-center set,
+    then maxdist to the nearest few >= k cells) — no O(m x C) matrix
+    anywhere, and the bound's looseness is re-tightened inside each
+    candidate cell by the sub-cell block pruning
+    (``kdtree.block_knn_triplets``), so a candidate cell costs ~1-2
+    block scans, not a full-cell brute.  The bound is provable, so
+    OOD verification never repairs.
+
+    Returns ``(merged, unsafe_qids)`` in batch-global qid space;
+    ``merged`` is a pyarrow Table (small) or ref-backed Dataset."""
+    def ood_bounds(Qo: np.ndarray) -> np.ndarray:
+        return _center_dir_bounds(index, Qo, k)
+
+    ood = _ood_mask(index, Q, k_eff)
+    n_ood = int(ood.sum())
+    if n_ood == 0:
+        bounds = _density_bounds(index, Q, k)
+        return pool.knn_topk(Q, k, bounds, k_eff)
+    if n_ood == len(Q):
+        return pool.knn_topk(Q, k, ood_bounds(Q), k_eff)
+    ii = np.nonzero(~ood)[0]
+    oi = np.nonzero(ood)[0]
+    mi, ui = pool.knn_topk(Q[ii], k, _density_bounds(index, Q[ii], k), k_eff)
+    mo, uo = pool.knn_topk(Q[oi], k, ood_bounds(Q[oi]), k_eff)
+    mi = _remap_qids(mi, ii)
+    mo = _remap_qids(mo, oi)
+    unsafe = np.sort(np.concatenate([ii[ui], oi[uo]]))
+    if isinstance(mi, pa.Table) and isinstance(mo, pa.Table):
+        merged = pa.concat_tables([mi, mo])
+        srt = np.lexsort((merged["rank"].to_numpy(), merged["qid"].to_numpy()))
+        return merged.take(pa.array(srt)), unsafe
+    import ray.data as _rd
+
+    di = mi if not isinstance(mi, pa.Table) else _rd.from_arrow(mi)
+    do = mo if not isinstance(mo, pa.Table) else _rd.from_arrow(mo)
+    return di.union(do), unsafe
 
 
 def _merge_topk_driver(pdf, k):
@@ -1117,10 +1114,10 @@ def knn_nd(index: PkdIndex, Q: np.ndarray, k: int, config=None):
     k_eff_pool = min(k, index.total_rows)
     pool = getattr(index, "pool", None)
     if pool is not None:
-        # serving path: two-phase with seed-partial reuse (exact kth
-        # bound from real points, ~1.05 cell scans per query in AND
-        # out of distribution) — see _pool_two_phase
-        merged, uidx = _pool_two_phase(index, pool, Q, k, k_eff_pool)
+        # serving path: distribution-split dispatch — in-distribution
+        # queries one-scan with O(m) bounds, OOD queries the exact
+        # two-phase seed walk — see _pool_serve
+        merged, uidx = _pool_serve(index, pool, Q, k, k_eff_pool)
         repair_tbl = None
         if len(uidx):
             b2 = _exact_bounds(index, Q[uidx], k, cfg)

@@ -42,6 +42,12 @@ from pkd_tree_ray.index import PkdIndex
 #: filter (see knn_auto); env-overridable for experiments.
 _DEEP_OVERLAP_FRAC = float(os.environ.get("PKD_DEEP_FRAC", "0.125"))
 
+#: kd-ordered sub-cell block size (rows) and the minimum cell size that
+#: gets a block index at sync — below it, plain brute is cheaper than
+#: the block bookkeeping.
+_BLOCK_ROWS = int(os.environ.get("PKD_BLOCK_ROWS", "2048"))
+_BLOCK_MIN_ROWS = 4 * _BLOCK_ROWS
+
 
 @ray.remote(num_cpus=0)
 class IndexShard:
@@ -65,19 +71,25 @@ class IndexShard:
         #: cells[cell] = (file_key, ids, [per-dim coord arrays], bbox(2d,))
         self.cells: dict[int, tuple] = {}
         self.trees: dict[int, object] = {}
-        #: cells this shard PRIMARILY owns (replicated hot cells are
-        #: resident but non-primary — excluded from enumeration kernels)
+        #: cells this shard PRIMARILY owns (rank 0); replicated hot
+        #: cells are resident at other ranks too and answer a
+        #: qid-modulo slice of that cell's queries
         self.primary: set[int] = set()
+        #: role[cell] = (rank, n_holders) for every resident cell
+        self.role: dict[int, tuple[int, int]] = {}
 
     def sync(self, cell_files: dict[int, tuple]) -> int:
         """Load added/changed cells, drop removed ones.  Values are
-        (data_files, tombstone_files, is_primary); all are versioned so
-        "changed" is a filename comparison.  Tombstoned ids are dropped
-        at load — shards hold LIVE rows only.  ``is_primary`` is False
-        for replicated hot cells (see ``ShardedQueryPool.refresh``):
-        kernels that ENUMERATE resident cells (knn_auto, count_matches)
-        skip replicas so a cell is never answered twice; the CSR-routed
-        ``knn_pairs`` answers exactly what it is routed.  Returns
+        (data_files, tombstone_files, rank, n_holders); files are
+        versioned so "changed" is a filename comparison.  Tombstoned
+        ids are dropped at load — shards hold LIVE rows only.
+        ``rank``/``n_holders`` describe hot-cell replication (see
+        ``ShardedQueryPool.refresh``): rank 0 is the primary; kernels
+        that ENUMERATE resident cells answer a deterministic
+        ``qid % n_holders == rank`` slice of a replicated cell's
+        queries, so every query is answered exactly once while the hot
+        cell's serving load spreads across its holders.  Single-count
+        kernels (count_matches) run on the primary only.  Returns
         resident row count."""
         import pyarrow.parquet as pq
 
@@ -85,8 +97,10 @@ class IndexShard:
             del self.cells[cell]
             self.trees.pop(cell, None)
             self.primary.discard(cell)
-        for cell, (files, tombs, is_primary) in cell_files.items():
-            if is_primary:
+            self.role.pop(cell, None)
+        for cell, (files, tombs, rank, n_holders) in cell_files.items():
+            self.role[cell] = (int(rank), int(n_holders))
+            if rank == 0:
                 self.primary.add(cell)
             else:
                 self.primary.discard(cell)
@@ -112,6 +126,7 @@ class IndexShard:
                 )
                 t = t.filter(pa.array(keep))
             fc = [np.ascontiguousarray(t[dc].to_numpy()) for dc in self.dims]
+            ids = t[self.id_col].to_numpy(zero_copy_only=False)
             if len(fc[0]):
                 bbox = np.array(
                     [c.min() for c in fc] + [c.max() for c in fc], dtype=np.int64
@@ -120,12 +135,18 @@ class IndexShard:
                 bbox = np.array(
                     [0] * self.nd + [-1] * self.nd, dtype=np.int64
                 )
-            self.cells[cell] = (
-                key,
-                t[self.id_col].to_numpy(zero_copy_only=False),
-                fc,
-                bbox,
-            )
+            # kd-ordered sub-cell blocks (tight bboxes): kNN kernels
+            # prune to blocks within the kth bound instead of brute-
+            # scanning the whole cell (see kdtree.block_knn_triplets)
+            blocks = None
+            if len(fc[0]) >= _BLOCK_MIN_ROWS:
+                from pkd_tree_ray.kdtree import kd_block_partition
+
+                order, blo, bhi, bboxes_blk = kd_block_partition(fc, _BLOCK_ROWS)
+                fc = [np.ascontiguousarray(c[order]) for c in fc]
+                ids = ids[order]
+                blocks = (blo, bhi, bboxes_blk)
+            self.cells[cell] = (key, ids, fc, bbox, blocks)
             self.trees.pop(cell, None)
         return int(sum(len(v[1]) for v in self.cells.values()))
 
@@ -147,7 +168,12 @@ class IndexShard:
         against only this shard's cells) are answered with the
         cache-blocked brute kernel.  Returns shrunk per-query top-k
         partials (qid, neighbor, dist2)."""
-        from pkd_tree_ray.kdtree import brute_knn_nd, brute_range_filter_nd
+        from pkd_tree_ray.kdtree import (
+            block_knn_triplets,
+            block_range_triplets,
+            brute_knn_nd,
+            brute_range_filter_nd,
+        )
         from pkd_tree_ray.queries import _topk_per_qid
 
         Q, k, bounds = payload  # Q: (m, d) query matrix
@@ -156,8 +182,9 @@ class IndexShard:
         out_q: list[np.ndarray] = []
         out_n: list[np.ndarray] = []
         out_d: list[np.ndarray] = []
-        for cell, (key, ids, fc, bbox) in self.cells.items():
-            if cell not in self.primary or len(fc[0]) == 0:
+        for cell, (key, ids, fc, bbox, blocks) in self.cells.items():
+            rank, n_holders = self.role.get(cell, (0, 1))
+            if len(fc[0]) == 0:
                 continue
             dj = np.maximum(np.maximum(bbox[0] - Qc[0], Qc[0] - bbox[nd]), 0)
             bd2 = dj * dj
@@ -165,6 +192,11 @@ class IndexShard:
                 dj = np.maximum(np.maximum(bbox[j] - Qc[j], Qc[j] - bbox[nd + j]), 0)
                 bd2 += dj * dj
             qs = np.nonzero(bd2 <= bounds)[0]
+            if n_holders > 1:
+                # replicated hot cell: every holder answers its own
+                # deterministic qid slice — each query exactly once,
+                # the cell's serving load spread across the holders
+                qs = qs[qs % n_holders == rank]
             if not len(qs):
                 continue
             # cell bboxes are disjoint, so bd2 == 0 identifies a query's
@@ -196,12 +228,29 @@ class IndexShard:
             hq = qs[home | deep]
             fq = qs[~home & ~deep]
             if len(hq):
-                idx, d2 = brute_knn_nd(fc, [c[hq] for c in Qc], k, tie_key=ids)
-                k_eff = idx.shape[1]
-                out_q.append(np.repeat(hq, k_eff))
-                out_n.append(ids[idx.ravel()])
-                out_d.append(d2.ravel())
+                if blocks is not None and k < len(fc[0]):
+                    q3, n3, d3 = block_knn_triplets(
+                        fc, ids, *blocks, [c[hq] for c in Qc], k
+                    )
+                    out_q.append(hq[q3])
+                    out_n.append(n3)
+                    out_d.append(d3)
+                else:
+                    idx, d2 = brute_knn_nd(fc, [c[hq] for c in Qc], k, tie_key=ids)
+                    k_eff = idx.shape[1]
+                    out_q.append(np.repeat(hq, k_eff))
+                    out_n.append(ids[idx.ravel()])
+                    out_d.append(d2.ravel())
             if len(fq):
+                if blocks is not None:
+                    q3, n3, d3 = block_range_triplets(
+                        fc, ids, *blocks, [c[fq] for c in Qc], bounds[fq], k_cap=k
+                    )
+                    if len(q3):
+                        out_q.append(fq[q3])
+                        out_n.append(n3)
+                        out_d.append(d3)
+                    continue
                 qi, pi, d2f = brute_range_filter_nd(
                     fc, [c[fq] for c in Qc], bounds[fq]
                 )
@@ -238,63 +287,13 @@ class IndexShard:
             }
         )
 
-    def knn_pairs(self, qk, cells: np.ndarray, offs: np.ndarray, qids: np.ndarray) -> pa.Table:
-        """CSR-routed kNN partials over resident arrays: for each
-        (cell, its routed queries) run the cache-blocked brute top-k
-        directly on the shard's numpy columns.  Unlike ``scan("knn")``
-        this never materializes a per-cell Arrow table — it is the
-        zero-copy kernel both phases of the two-phase kNN use (seed
-        scan and delta scan).  Returns qid-sorted shrunk partials."""
-        from pkd_tree_ray.kdtree import brute_knn_nd
-        from pkd_tree_ray.queries import _topk_per_qid
-
-        Q, k = qk
-        nd = self.nd
-        out_q: list[np.ndarray] = []
-        out_n: list[np.ndarray] = []
-        out_d: list[np.ndarray] = []
-        for i in range(len(cells)):
-            ent = self.cells.get(int(cells[i]))
-            if ent is None:
-                continue
-            qs = qids[offs[i]: offs[i + 1]]
-            key, ids, fc, bbox = ent
-            if not len(qs) or not len(fc[0]):
-                continue
-            idx, d2 = brute_knn_nd(
-                fc, [np.ascontiguousarray(Q[qs, j]) for j in range(nd)], k, tie_key=ids
-            )
-            k_eff = idx.shape[1]
-            out_q.append(np.repeat(qs, k_eff))
-            out_n.append(ids[idx.ravel()])
-            out_d.append(d2.ravel())
-        if not out_q:
-            return pa.table(
-                {
-                    "qid": pa.array([], pa.int64()),
-                    "neighbor": pa.array([], pa.int64()),
-                    "dist2": pa.array([], pa.int64()),
-                }
-            )
-        q = np.concatenate(out_q)
-        n = np.concatenate(out_n)
-        d = np.concatenate(out_d)
-        rows, _ = _topk_per_qid(q, d, n, k)
-        return pa.table(
-            {
-                "qid": pa.array(q[rows], pa.int64()),
-                "neighbor": pa.array(n[rows]),
-                "dist2": pa.array(d[rows], pa.int64()),
-            }
-        )
-
     def count_matches(self, dead_ref) -> dict:
         """Per-cell count of resident LIVE rows whose id is in the
         delete set — the in-memory form of the delete verification
         scan."""
         dead = ray.get(dead_ref) if isinstance(dead_ref, ray.ObjectRef) else dead_ref
         out = {}
-        for cell, (key, ids, fc, bbox) in self.cells.items():
+        for cell, (key, ids, fc, bbox, blocks) in self.cells.items():
             if cell not in self.primary:
                 continue  # replicated hot cell: its primary answers
             n = int(np.isin(ids, dead).sum())
@@ -303,7 +302,7 @@ class IndexShard:
         return out
 
     def _batch(self, cell: int, with_id: bool) -> pa.Table:
-        key, ids, fc, bbox = self.cells[cell]
+        key, ids, fc, bbox, blocks = self.cells[cell]
         cols = {"cell": pa.array(np.full(len(fc[0]), cell, dtype=np.int64))}
         if with_id:
             cols[self.id_col] = pa.array(ids)
@@ -459,9 +458,10 @@ class ShardedQueryPool:
         brute-kernel point-distances on the varden OOD phase).  A cell
         whose expected traffic share ``area_frac × rows`` exceeds one
         shard's fair slice is synced to extra shards as a NON-primary
-        replica; ``knn_pairs_refs`` splits that cell's routed queries
-        across the replicas, flattening the serving-load skew the same
-        way hot-key salting flattens a shuffle."""
+        replica; every holder answers a deterministic
+        ``qid % n_holders`` slice of the cell's in-bound queries inside
+        ``knn_auto``, flattening the serving-load skew the same way
+        hot-key salting flattens a shuffle."""
         d = index.directory
         cells = [int(c) for c in index.cell_files]
         idx_of = {int(c): i for i, c in enumerate(d.starts)}
@@ -505,8 +505,9 @@ class ShardedQueryPool:
         for cell in cells:
             entry_files = list(index.cell_files[cell])
             entry_tombs = list(index.tomb_files.get(cell, []))
-            for j, s in enumerate(replicas[cell]):
-                per_shard[s][cell] = (entry_files, entry_tombs, j == 0)
+            holders = replicas[cell]
+            for j, s in enumerate(holders):
+                per_shard[s][cell] = (entry_files, entry_tombs, j, len(holders))
         ray.get([a.sync.remote(files) for a, files in zip(self.actors, per_shard)])
         if self.index is not None and self.index is not index:
             self.index.pool = None  # old handle no longer served
@@ -536,48 +537,6 @@ class ShardedQueryPool:
         """Driver-side concat of :meth:`scan_refs` — for SMALL partial
         tables (counts, shrunk kNN partials)."""
         return pa.concat_tables(ray.get(self.scan_refs(kind, payload_ref, cell_list)))
-
-    def knn_pairs_refs(self, Q: np.ndarray, k: int, pairs) -> list:
-        """Fan explicit (cell, qid) CSR routing out to the owning
-        shards; each shard answers only its routed pairs on resident
-        arrays.  Returns per-shard partial-table refs (qid-sorted,
-        shrunk per-query top-k) WITHOUT fetching them — callers either
-        concat (small) or feed them to qid-slice merge tasks (large)."""
-        from pkd_tree_ray.queries import _csr
-
-        cells, offs, qids = _csr(pairs)
-        if not len(cells):
-            return []
-        qref = ray.put((Q, int(k)))
-        # per-shard routing: (cell, qid-slice) spans.  A replicated hot
-        # cell splits its routed queries into equal contiguous chunks,
-        # one per replica — each query still scans the cell exactly
-        # once, on exactly one holder.
-        spans: dict[int, list[tuple[int, int, int]]] = {}
-        for i in range(len(cells)):
-            cell = int(cells[i])
-            a, b = int(offs[i]), int(offs[i + 1])
-            holders = self.replicas.get(cell)
-            if holders is None:
-                s = self.owner.get(cell)
-                holders = [s] if s is not None else []
-            if not holders:
-                continue
-            n_h = len(holders) if b - a >= 2 * len(holders) else 1
-            cuts = np.linspace(a, b, n_h + 1).astype(np.int64)
-            for j in range(n_h):
-                if cuts[j + 1] > cuts[j]:
-                    spans.setdefault(holders[j], []).append(
-                        (cell, int(cuts[j]), int(cuts[j + 1]))
-                    )
-        refs = []
-        for s, sp in spans.items():
-            cs = np.array([c for c, _, _ in sp], dtype=np.int64)
-            cnts = np.array([e - a for _, a, e in sp], dtype=np.int64)
-            q_s = np.concatenate([qids[a:e] for _, a, e in sp])
-            offs_s = np.concatenate([[0], np.cumsum(cnts)]).astype(np.int64)
-            refs.append(self.actors[int(s)].knn_pairs.remote(qref, cs, offs_s, q_s))
-        return refs
 
     def knn_partials(self, Q: np.ndarray, k: int, bounds: np.ndarray):
         """One-hop kNN partials: broadcast (queries, bounds) once; every

@@ -95,6 +95,112 @@ class TestPoolEquivalence:
             pool.shutdown()
 
 
+class TestBlockPrunedCells:
+    def test_pool_knn_with_block_index_matches_brute(self, ray_session, tmp_path):
+        """Cells above _BLOCK_MIN_ROWS get a kd-ordered block index at
+        shard sync; the block-pruned kNN kernels must stay bit-exact
+        against the full brute oracle for in- and out-of-distribution
+        queries (ties broken by (dist2, id))."""
+        import ray
+        import ray.data as rd
+
+        from pkd_tree_ray.queries import knn
+        from pkd_tree_ray.shards import ShardedQueryPool
+
+        n = 40_000
+        pid = np.arange(n, dtype=np.int64)
+        x, y = varden_xy(pid, seed=23)
+        cfg = EngineConfig(target_cell_rows=16_384, batch_size=16_384)
+        idx = PkdIndex.build(
+            rd.from_pandas(pd.DataFrame({"point_id": pid, "x": x, "y": y})),
+            str(tmp_path / "blkidx"),
+            cfg,
+            id_col="point_id",
+        )
+        pool = ShardedQueryPool(idx, n_shards=2)
+        try:
+            # at least one resident cell must carry a block index or
+            # this test exercises nothing
+            has_blocks = any(
+                ray.get(a.__ray_call__.remote(
+                    lambda self: any(v[4] is not None for v in self.cells.values())
+                ))
+                for a in pool.actors
+            )
+            assert has_blocks, "no cell reached _BLOCK_MIN_ROWS"
+            k = 10
+            qx = np.concatenate([x[:200], x[:100] + 40_000_000])
+            qy = np.concatenate([y[:200], y[:100] - 40_000_000])
+            got = knn(idx, qx, qy, k).to_pandas().sort_values(["qid", "rank"])
+            P = np.stack([x, y], 1).astype(np.float64)
+            Qm = np.stack([qx, qy], 1).astype(np.float64)
+            for q in range(len(Qm)):
+                d2 = ((Qm[q, None, :] - P) ** 2).sum(-1).astype(np.int64)
+                order = np.lexsort((pid, d2))[:k]
+                g = got[got.qid == q]
+                assert np.array_equal(g.dist2.to_numpy(), d2[order]), q
+                assert np.array_equal(g.neighbor.to_numpy(), pid[order]), q
+        finally:
+            pool.shutdown()
+
+    def test_block_partition_handles_duplicate_heavy_cells(self):
+        """An all-identical segment must stop splitting (dummy-leaf
+        analog) and still answer exactly."""
+        from pkd_tree_ray.kdtree import (
+            block_knn_triplets,
+            kd_block_partition,
+        )
+
+        n, k = 30_000, 5
+        fc = [
+            np.concatenate([np.full(n // 2, 10, np.int64), np.arange(n // 2, dtype=np.int64)]),
+            np.full(n, 7, np.int64),
+        ]
+        ids = np.arange(n, dtype=np.int64)
+        order, blo, bhi, bb = kd_block_partition(fc, 2048)
+        q3, n3, d3 = block_knn_triplets(
+            [c[order] for c in fc],
+            ids[order],
+            blo,
+            bhi,
+            bb,
+            [np.array([10], np.int64), np.array([7], np.int64)],
+            k,
+        )
+        assert np.array_equal(n3, np.arange(k, dtype=np.int64))
+        assert (d3 == 0).all()
+
+
+class TestKnnJoinWindowing:
+    def test_windowed_left_matches_single_window(self, built, monkeypatch):
+        """A left Dataset above KNN_JOIN_LEFT_CAP streams through as
+        independent windows; the unioned result must equal the
+        one-window join (driver memory bounded at any left size)."""
+        import ray.data as rd
+
+        import pkd_tree_ray.joins as joins
+
+        idx, x, y = built
+        m = 900
+        left = pd.DataFrame(
+            {
+                "c_key": np.arange(m, dtype=np.int64),
+                "x": x[:m].copy(),
+                "y": y[:m].copy(),
+            }
+        )
+
+        def run():
+            res = joins.knn_join(idx, rd.from_pandas(left), "c_key", k=5)
+            pdf = res.to_pandas() if not hasattr(res, "num_rows") else res.to_pandas()
+            return pdf.sort_values(["c_key", "rank"]).reset_index(drop=True)
+
+        base = run()
+        monkeypatch.setattr(joins, "KNN_JOIN_LEFT_CAP", 250)
+        windowed = run()
+        pd.testing.assert_frame_equal(base, windowed)
+
+
 class TestKnnGraph:
     def test_finality_candidates_prune_to_local_ring(self):
         """The per-cell finality pass must consult only cells whose
