@@ -171,6 +171,65 @@ class TestBlockPrunedCells:
         assert (d3 == 0).all()
 
 
+class TestCenterDirBounds:
+    def test_bound_is_provable_upper_bound_on_kth_distance(self, built):
+        """_center_dir_bounds must dominate the true kth distance for
+        every query — in-distribution, boundary, and far outside the
+        data — or kNN exactness would silently depend on repair."""
+        from pkd_tree_ray.queries import _center_dir_bounds
+
+        idx, x, y = built
+        rng = np.random.RandomState(9)
+        qs = [
+            np.stack([x[:300], y[:300]], 1),                     # on-data
+            rng.randint(0, 1_000_001, size=(300, 2)),            # uniform box
+            rng.randint(-5_000_000, 5_000_000, size=(300, 2)),   # far outside
+        ]
+        P = np.stack([x, y], 1).astype(np.float64)
+        for k in (1, 10, 100):
+            for Q in qs:
+                Q = Q.astype(np.int64)
+                b = _center_dir_bounds(idx, Q, k)
+                d2 = ((Q[:, None, :].astype(np.float64) - P[None, :, :]) ** 2).sum(-1)
+                kth = np.partition(d2, k - 1, axis=1)[:, k - 1].astype(np.int64)
+                assert (b >= kth).all(), (k, int((b < kth).sum()))
+
+    def test_replicated_hot_cells_answer_identically(self, built, monkeypatch):
+        """Force every cell to replicate to all shards: the qid-modulo
+        split must return results identical to the unreplicated pool
+        (each query answered exactly once per candidate cell)."""
+        from pkd_tree_ray.queries import knn
+        from pkd_tree_ray.shards import ShardedQueryPool
+
+        idx, x, y = built
+        qx = np.concatenate([x[:150], x[:50] + 2_000_000])
+        qy = np.concatenate([y[:150], y[:50] - 2_000_000])
+        pool = ShardedQueryPool(idx, n_shards=3)
+        try:
+            base = knn(idx, qx, qy, 10).to_pandas()
+        finally:
+            pool.shutdown()
+
+        orig = np.ceil
+
+        def aggressive_ceil(a):  # n_rep = ceil(traffic/fair) -> all shards
+            return np.full_like(np.asarray(orig(a)), 64.0)
+
+        monkeypatch.setattr(np, "ceil", aggressive_ceil)
+        pool2 = ShardedQueryPool(idx, n_shards=3)
+        monkeypatch.setattr(np, "ceil", orig)
+        try:
+            n_rep = sum(1 for v in pool2.replicas.values() if len(v) > 1)
+            assert n_rep > 0, "replication never triggered; test is vacuous"
+            got = knn(idx, qx, qy, 10).to_pandas()
+            pd.testing.assert_frame_equal(
+                base.sort_values(["qid", "rank"]).reset_index(drop=True),
+                got.sort_values(["qid", "rank"]).reset_index(drop=True),
+            )
+        finally:
+            pool2.shutdown()
+
+
 class TestKnnJoinWindowing:
     def test_windowed_left_matches_single_window(self, built, monkeypatch):
         """A left Dataset above KNN_JOIN_LEFT_CAP streams through as
