@@ -320,39 +320,68 @@ class IvfIndex:
         if resume and os.path.exists(manifest):
             return cls.open(path)
         os.makedirs(os.path.join(path, "lists"), exist_ok=True)
-        # ONE strided sampling pass over the whole table — every batch
-        # contributes rows proportional to its size (weight w = rows
-        # represented per sampled row), so the centroid sample is
-        # unbiased across the corpus instead of the first blocks only
-        # (r2 verdict: limit(sample_rows) saw only the head).  The
-        # weight sum doubles as the row-count estimate for auto
-        # n_lists, so no second pass is needed.
-
-        def _sample_batch(batch: pa.Table) -> pa.Table:
-            m = batch.num_rows
-            per = min(m, max(8, m // 256))
-            sel = np.linspace(0, m - 1, per).astype(np.int64)
-            t = batch.select(["embedding"]).take(pa.array(sel))
-            return t.append_column("w", pa.array(np.full(per, m / per, np.float64)))
-
-        sample = (
-            embeddings.select_columns(["embedding"])
-            .map_batches(_sample_batch, batch_format="pyarrow")
-            .to_pandas()
-        )
-        n_est = float(sample["w"].sum())
-        rng = np.random.RandomState(seed)
-        if len(sample) > sample_rows:
-            w = sample["w"].to_numpy()
-            pick = rng.choice(
-                len(sample), size=sample_rows, replace=False, p=w / w.sum()
-            )
-            sample = sample.iloc[pick]
-        sm = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+        n_est = float(embeddings.count())
         if n_lists is None:
             # scale path: ~sqrt(n) lists keeps per-list size ~sqrt(n)
             # and probe cost ~nprobe*sqrt(n) (IVF's standard sizing)
             n_lists = int(np.clip(np.sqrt(max(n_est, 1.0)), 16, 4096))
+        # the k-means sample must exceed the centroid count or the
+        # requested list granularity silently collapses to the sample
+        sample_rows = max(sample_rows, 4 * n_lists)
+        # ONE distributed sampling pass, unbiased across the corpus
+        # (r2 verdict: limit(sample_rows) saw only the head) with
+        # BOUNDED driver intake: each row gets a deterministic
+        # weighted-reservoir key (Efraimidis-Spirakis, u^(1/w) with u
+        # hashed from vec_id), every stage keeps only its local top
+        # ``sample_rows`` keys, and keeping the global top is exactly
+        # an unbiased weighted sample — associative, so the driver
+        # never holds more than sample_rows rows per block.
+
+        def _sample_batch(batch: pa.Table) -> pa.Table:
+            from pkd_tree_ray.hashing import splitmix64
+
+            m = batch.num_rows
+            if m == 0:
+                return pa.table(
+                    {
+                        "embedding": pa.array([], batch.schema.field("embedding").type),
+                        "rk": pa.array([], pa.float64()),
+                    }
+                )
+            per = min(m, max(8, m // 64))
+            sel = np.linspace(0, m - 1, per).astype(np.int64)
+            t = batch.select(["vec_id", "embedding"]).take(pa.array(sel))
+            w = m / per  # rows represented per sampled row
+            u = (
+                splitmix64(t["vec_id"].to_numpy().view(np.uint64), seed).astype(np.float64)
+                + 1.0
+            ) / 2.0 ** 64
+            rk = np.power(u, 1.0 / w)
+            keep = np.argsort(-rk, kind="stable")[:sample_rows]
+            return pa.table(
+                {
+                    "embedding": t["embedding"].take(pa.array(np.sort(keep))),
+                    "rk": pa.array(rk[np.sort(keep)]),
+                }
+            )
+
+        def _shrink(batch: pa.Table) -> pa.Table:
+            if batch.num_rows <= sample_rows:
+                return batch
+            keep = np.argsort(-batch["rk"].to_numpy(), kind="stable")[:sample_rows]
+            return batch.take(pa.array(np.sort(keep)))
+
+        sample = (
+            embeddings.select_columns(["vec_id", "embedding"])
+            .map_batches(_sample_batch, batch_format="pyarrow")
+            .map_batches(_shrink, batch_format="pyarrow", batch_size=8 * sample_rows)
+            .to_pandas()
+        )
+        rng = np.random.RandomState(seed)
+        if len(sample) > sample_rows:
+            keep = np.argsort(-sample["rk"].to_numpy(), kind="stable")[:sample_rows]
+            sample = sample.iloc[np.sort(keep)]
+        sm = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
         cent = sm[rng.choice(len(sm), size=min(n_lists, len(sm)), replace=False)]
         for _ in range(5):  # Lloyd-lite
             a = _nearest_centroid(sm, cent)

@@ -156,40 +156,6 @@ def pnd_b_min_dist2(Q: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     return out
 
 
-def b2b_min_dist2(A: np.ndarray, boxes: np.ndarray) -> np.ndarray:
-    """Min squared distance between boxes A (u, 2d) and boxes (C, 2d)
-    -> (u, C): min over q in A, p in box of |q - p|^2 (per-dim gap)."""
-    dt = _coord_dt(A, boxes)
-    A = np.atleast_2d(np.asarray(A, dtype=dt))
-    b = np.atleast_2d(np.asarray(boxes, dtype=dt))
-    d = b.shape[1] // 2
-    out = np.zeros((A.shape[0], b.shape[0]), dtype=dt)
-    for j in range(d):
-        dj = np.maximum(
-            np.maximum(b[None, :, j] - A[:, None, d + j], A[:, None, j] - b[None, :, d + j]),
-            0,
-        )
-        out += dj * dj
-    return out
-
-
-def b2b_max_dist2(A: np.ndarray, boxes: np.ndarray) -> np.ndarray:
-    """Max squared distance between boxes A (u, 2d) and boxes (C, 2d)
-    -> (u, C): max over q in A, p in box of |q - p|^2 (farthest
-    per-dim separation = max(b.hi - A.lo, A.hi - b.lo))."""
-    dt = _coord_dt(A, boxes)
-    A = np.atleast_2d(np.asarray(A, dtype=dt))
-    b = np.atleast_2d(np.asarray(boxes, dtype=dt))
-    d = b.shape[1] // 2
-    out = np.zeros((A.shape[0], b.shape[0]), dtype=dt)
-    for j in range(d):
-        dj = np.maximum(
-            b[None, :, d + j] - A[:, None, j], A[:, None, d + j] - b[None, :, j]
-        )
-        out += dj * dj
-    return out
-
-
 def pnd_b_max_dist2(Q: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     """Max squared distance d-dim point -> box (farthest corner) —
     ``nn_search.hpp:33-45``."""

@@ -266,23 +266,29 @@ def knn_join(index: PkdIndex, left, key_col: str, k: int):
         if isinstance(part, pa.Table):
             part = _rd.from_arrow(part)
         out = part if out is None else out.union(part)
-    return (
-        out
-        if out is not None
-        else pa.table(
-            {
-                key_col: pa.array([], pa.int64()),
-                "rank": pa.array([], pa.int64()),
-                "neighbor": pa.array([], pa.int64()),
-                "dist2": pa.array([], pa.int64()),
-            }
-        )
+    if out is not None:
+        return out
+    # empty left: key column typed from the input, not assumed int64
+    if isinstance(left, pa.Table):
+        key_type = left.schema.field(key_col).type
+    else:
+        sch = left.schema()
+        key_type = sch.base_schema.field(key_col).type if hasattr(sch, "base_schema") else pa.int64()
+    return pa.table(
+        {
+            key_col: pa.array([], key_type),
+            "rank": pa.array([], pa.int64()),
+            "neighbor": pa.array([], pa.int64()),
+            "dist2": pa.array([], pa.int64()),
+        }
     )
 
 
 def _iter_left_windows(left, key_col: str):
     """Yield <= KNN_JOIN_LEFT_CAP-row pyarrow windows of a left
-    Dataset without ever holding more than one window on the driver."""
+    Dataset without ever holding more than one window (plus one input
+    block) on the driver.  The drain loop is a ``while`` so a single
+    oversized input block still splits into cap-sized windows."""
     buf: list[pa.Table] = []
     buffered = 0
     for b in left.select_columns([key_col, "x", "y"]).iter_batches(
@@ -291,7 +297,7 @@ def _iter_left_windows(left, key_col: str):
         t = pa.table(b) if not isinstance(b, pa.Table) else b
         buf.append(t)
         buffered += t.num_rows
-        if buffered >= KNN_JOIN_LEFT_CAP:
+        while buffered >= KNN_JOIN_LEFT_CAP:
             whole = pa.concat_tables(buf)
             yield whole.slice(0, KNN_JOIN_LEFT_CAP)
             rest = whole.slice(KNN_JOIN_LEFT_CAP)

@@ -46,7 +46,12 @@ from pkd_tree_ray.geometry import (
     pnd_b_min_dist2,
 )
 from pkd_tree_ray.index import PkdIndex
-from pkd_tree_ray.kdtree import KDTreeND, brute_knn_nd
+from pkd_tree_ray.kdtree import (
+    KDTreeND,
+    brute_knn_nd,
+    cum_nearest_prefix,
+    topk_per_qid,
+)
 
 _CLASSIFY_CHUNK = 4_096  # queries classified per driver-side chunk
 
@@ -592,63 +597,18 @@ class _KnnScan:
         )
 
 
-def _topk_per_qid(qid: np.ndarray, dist2: np.ndarray, neighbor: np.ndarray, k: int):
-    """Vectorized per-qid top-k with (dist2, neighbor) tie-break.
-    Returns (row_indices, ranks 1-based) — no per-group Python calls."""
-    order = np.lexsort((neighbor, dist2, qid))
-    qs = qid[order]
-    uq, starts, cnts = np.unique(qs, return_index=True, return_counts=True)
-    ranks = np.arange(len(qs), dtype=np.int64) - np.repeat(starts, cnts)
-    keep = ranks < k
-    return order[keep], ranks[keep] + 1
+#: shared per-qid top-k kernel — one implementation (kdtree.topk_per_qid)
+_topk_per_qid = topk_per_qid
 
 
 def _seed_chunk(Q: np.ndarray, s: int, k: int, cells, counts, bboxes) -> "_Pairs":
     """Seed-cell classification for one query chunk: per query, the
     nearest cells (by bbox min-distance) whose cumulative count
-    reaches k.  A full per-query argsort over all C cells costs
-    ~0.4 ms/query at C~1e3 (it alone regressed bench kNN 20x), so the
-    distance-sorted prefix is found progressively: argpartition the T
-    nearest cells, sort only those T, and escalate T (x4) for just the
-    queries whose T-prefix still holds < k points — with cells sized
-    >> k, T=4 satisfies essentially every query in one pass, making
-    the walk O(m*C) selection + O(m*T log T) sort instead of
-    O(m*C log C)."""
+    reaches k (progressive argpartition walk — see
+    ``kdtree.cum_nearest_prefix``)."""
     d2 = pnd_b_min_dist2(Q, bboxes)
-    C = len(cells)
-    m = len(Q)
-    out_c: list[np.ndarray] = []
-    out_q: list[np.ndarray] = []
-    active = np.arange(m, dtype=np.int64)
-    T = min(4, C)
-    while len(active):
-        da = d2[active]
-        if T >= C:
-            sub = np.argsort(da, axis=1, kind="stable")
-        else:
-            part = np.argpartition(da, T - 1, axis=1)[:, :T]
-            so = np.argsort(np.take_along_axis(da, part, axis=1), axis=1, kind="stable")
-            sub = np.take_along_axis(part, so, axis=1)
-        csum = np.cumsum(counts[sub], axis=1)
-        enough = csum >= k
-        sat = enough.any(axis=1)
-        done = np.nonzero(sat if T < C else np.ones(len(active), bool))[0]
-        if len(done):
-            last = np.where(
-                sat[done], np.argmax(enough[done], axis=1), sub.shape[1] - 1
-            )
-            qi, pos = np.nonzero(np.arange(sub.shape[1])[None, :] <= last[:, None])
-            out_c.append(sub[done[qi], pos])
-            out_q.append(active[done[qi]] + s)
-        if T >= C:
-            break
-        active = active[~sat]
-        T = min(T * 4, C)
-    if not out_c:
-        return _Pairs(np.zeros(0, np.int64), np.zeros(0, np.int64))
-    ci = np.concatenate(out_c)
-    qi = np.concatenate(out_q).astype(np.int64)
-    return _Pairs(cells[ci], qi)
+    qi, ci = cum_nearest_prefix(d2, counts, k)
+    return _Pairs(cells[ci], (qi + s).astype(np.int64))
 
 
 def _candidate_chunk(Q: np.ndarray, s: int, bounds: np.ndarray, cells, bboxes) -> "_Pairs":
@@ -899,7 +859,7 @@ def _center_dir_bounds(index: PkdIndex, Q: np.ndarray, k: int) -> np.ndarray:
             bounds[s: s + _CLASSIFY_CHUNK] = pnd_b_max_dist2(
                 Q[s: s + _CLASSIFY_CHUNK], bboxes
             ).max(axis=1)
-        return np.minimum(bounds, inf).astype(np.int64)
+        return np.minimum(bounds, float(inf // 4)).astype(np.int64)
     bb = bboxes[ok]
     C = len(bb)
     centers = [((bb[:, j] + bb[:, nd + j]) // 2).astype(bb.dtype) for j in range(nd)]
@@ -929,7 +889,9 @@ def _center_dir_bounds(index: PkdIndex, Q: np.ndarray, k: int) -> np.ndarray:
         md += dj * dj
     bounds = np.full(m, np.float64(inf), dtype=np.float64)
     np.minimum.at(bounds, q3, md)
-    return np.minimum(bounds, inf).astype(np.int64)
+    # float64(int64.max) rounds UP to 2^63 and overflows the int64
+    # cast to a NEGATIVE bound — clamp at max//4 (as _density_bounds)
+    return np.minimum(bounds, float(inf // 4)).astype(np.int64)
 
 
 def _ood_mask(index: PkdIndex, Q: np.ndarray, k_eff: int) -> np.ndarray:
