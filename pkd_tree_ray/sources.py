@@ -70,6 +70,30 @@ def read_parquet_clean(path, columns: list[str] | None = None):
 
 # --- image path ---------------------------------------------------------
 
+def read_image_table(path, columns: list[str] | None = None):
+    """Read the image+caption table (``input_hint`` schema:
+    image_id, bytes, w, h, fmt, caption, phash) from its storage
+    format: a ``.lance`` dataset via ``ray.data.read_lance`` when the
+    lance reader is available (the production format per the north
+    rule), else Parquet.  Column pruning is pushed to the read either
+    way — a geotag pass touching only (image_id, phash) never lifts
+    the image bytes off storage."""
+    import os
+
+    p = path[0] if isinstance(path, (list, tuple)) else path
+    if isinstance(p, str) and p.rstrip("/").endswith(".lance"):
+        try:
+            import ray.data as rd
+
+            return rd.read_lance(path, columns=columns)
+        except (ImportError, AttributeError) as e:  # lance not bundled here
+            raise ImportError(
+                "reading .lance requires the `lance` package (not in this "
+                "environment); convert to parquet or install pylance"
+            ) from e
+    return read_parquet_clean(path, columns=columns)
+
+
 def geotag_images(images_ds):
     """images (image_id, ..., phash) -> (image_id, x, y): the geotag
     stage — stateless, zero-copy arrow in/out, payload pruned at the

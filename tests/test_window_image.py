@@ -101,6 +101,27 @@ class TestImagePipeline:
         with pytest.raises(NotImplementedError):
             SampleFrames()(pa.table({"bytes": pa.array([b""], pa.binary())}))
 
+    def test_read_image_table_formats(self, ray_session, tmp_path):
+        """Parquet path reads with pruned columns; a .lance path either
+        uses the lance reader or raises the documented ImportError (the
+        package is not bundled in this environment)."""
+        from pkd_tree_ray.fixtures import image_table_dataset
+        from pkd_tree_ray.sources import read_image_table
+
+        p = str(tmp_path / "imgs")
+        image_table_dataset(64).write_parquet(p)
+        ds = read_image_table(p, columns=["image_id", "phash"])
+        assert ds.count() == 64
+        assert set(ds.schema().names) == {"image_id", "phash"}
+        try:
+            read_image_table(str(tmp_path / "imgs.lance"))
+            lance_available = True
+        except ImportError as e:
+            lance_available = False
+            assert "lance" in str(e)
+        if lance_available:  # pragma: no cover - env without lance
+            pass
+
     def test_geotag_flagship_knn(self, ray_session, tmp_path):
         """image table -> phash geotag -> index -> self-kNN k=1 finds
         each image at distance 0 (every point is its own NN)."""
