@@ -725,6 +725,28 @@ def _exact_bounds(index: PkdIndex, Q, k, cfg) -> np.ndarray:
     return bounds
 
 
+def _home_stats(index: PkdIndex, Q: np.ndarray):
+    """Per-query home-cell stats via Morton ``searchsorted`` — O(m log C),
+    no query-vs-cell distance matrix: (counts, bboxes, d2h_min, d2h_max)
+    where d2h_* are squared distances to the home cell's live bbox."""
+    d = index.directory
+    nd = index.config.ndim
+    idx = d.index_of(d.assign_nd([Q[:, j] for j in range(nd)]))
+    counts = d.counts[idx]
+    bb = d.bboxes[idx]
+    d2h_min = np.zeros(len(Q), dtype=np.float64)
+    d2h_max = np.zeros(len(Q), dtype=np.float64)
+    for j in range(nd):
+        qj = Q[:, j].astype(np.float64)
+        lo = bb[:, j].astype(np.float64)
+        hi = bb[:, nd + j].astype(np.float64)
+        dj = np.maximum(np.maximum(lo - qj, qj - hi), 0.0)
+        d2h_min += dj * dj
+        djx = np.maximum(np.abs(qj - lo), np.abs(hi - qj))
+        d2h_max += djx * djx
+    return counts, bb, d2h_min, d2h_max
+
+
 def _density_bounds(index: PkdIndex, Q, k, safety: int = 2) -> np.ndarray:
     """Estimated kth-distance bound from directory stats alone (no
     scan): min of (a) the home-cell uniform-density estimate
@@ -736,9 +758,7 @@ def _density_bounds(index: PkdIndex, Q, k, safety: int = 2) -> np.ndarray:
     exactly if the estimate was too small (see ``knn``)."""
     d = index.directory
     nd = index.config.ndim
-    idx = d.index_of(d.assign_nd([Q[:, j] for j in range(nd)]))
-    counts = d.counts[idx]
-    bb = d.bboxes[idx]
+    counts, bb, d2h_min, d2h_max = _home_stats(index, Q)
     # float to avoid overflow at d >= 3 (volume alone can reach 2^60)
     vol = np.ones(len(bb), dtype=np.float64)
     for j in range(nd):
@@ -753,17 +773,6 @@ def _density_bounds(index: PkdIndex, Q, k, safety: int = 2) -> np.ndarray:
     # home-cell provable cap: the home cell's rows all lie within its
     # bbox max-dist, so when it holds >= k rows that distance bounds
     # the kth.  O(m), no all-cells pass.
-    dj_min = np.zeros(len(Q), dtype=np.float64)
-    d2h_min = np.zeros(len(Q), dtype=np.float64)
-    d2h_max = np.zeros(len(Q), dtype=np.float64)
-    for j in range(nd):
-        qj = Q[:, j].astype(np.float64)
-        lo = bb[:, j].astype(np.float64)
-        hi = bb[:, nd + j].astype(np.float64)
-        dj_min = np.maximum(np.maximum(lo - qj, qj - hi), 0.0)
-        d2h_min += dj_min * dj_min
-        dj_max = np.maximum(np.abs(qj - lo), np.abs(hi - qj))
-        d2h_max += dj_max * dj_max
     cap0_ok = counts >= k
     est[cap0_ok] = np.minimum(
         est[cap0_ok],
@@ -896,23 +905,12 @@ def _center_dir_bounds(index: PkdIndex, Q: np.ndarray, k: int) -> np.ndarray:
 
 def _ood_mask(index: PkdIndex, Q: np.ndarray, k_eff: int) -> np.ndarray:
     """True for queries the density heuristic has no basis for: the
-    home cell (Morton ``searchsorted`` — O(m log C), no query-vs-cell
-    distance matrix) holds < k points, or the query lies outside its
-    live bbox.  The complementary set is served by the r1 fast path
-    (density bound + shard-fused classification) at O(m) driver cost;
-    only OOD queries pay the shard-side directory-bound pass."""
-    d = index.directory
-    nd = index.config.ndim
-    idx = d.index_of(d.assign_nd([Q[:, j] for j in range(nd)]))
-    counts = d.counts[idx]
-    bb = d.bboxes[idx]
-    d2h_min = np.zeros(len(Q), dtype=np.float64)
-    for j in range(nd):
-        qj = Q[:, j].astype(np.float64)
-        dj = np.maximum(
-            np.maximum(bb[:, j] - qj, qj - bb[:, nd + j]), 0.0
-        )
-        d2h_min += dj * dj
+    home cell holds < k points, or the query lies outside its live
+    bbox (stats from :func:`_home_stats`).  The complementary set is
+    served by the r1 fast path (density bound + shard-fused
+    classification) at O(m) driver cost; only OOD queries pay the
+    nearest-center directory-bound pass."""
+    counts, _, d2h_min, _ = _home_stats(index, Q)
     return (counts < k_eff) | (d2h_min > 0)
 
 
