@@ -1299,7 +1299,11 @@ def _assign_cells(
         front = ["cell"] + ([id_col] if id_col and id_col in out.column_names else [])
         front += list(dims)
         rest = [c for c in out.column_names if c not in front + ["__part", "__op"]]
-        return out.select(front + rest + ["__part", "__op"])
+        out = out.select(front + rest + ["__part", "__op"])
+        # strip schema metadata: rd.from_pandas deltas carry a pandas
+        # footer blob that makes every block schema unhashable, defeating
+        # Ray's schema dedup downstream ("Failed to hash the schemas")
+        return out.replace_schema_metadata(None) if out.schema.metadata else out
 
     return points.map_batches(assign, batch_format="pyarrow")
 
