@@ -342,6 +342,15 @@ def _q_pip_join(sf_dir: str):
     return point_in_polygon_join(_base_index(sf_dir), workloads.polygons())
 
 
+def _q_pip_concave_count(sf_dir: str) -> pa.Table:
+    """Point-in-polygon over NON-convex simple polygons — the even-odd
+    crossing path (``geometry.points_in_polygon``) with the
+    edge-vs-bbox contained-cell shortcut."""
+    from pkd_tree_ray.joins import point_in_polygon_count
+
+    return point_in_polygon_count(_base_index(sf_dir), workloads.concave_polygons())
+
+
 def _q_knn_join(sf_dir: str):
     from pkd_tree_ray.joins import knn_join
 
@@ -660,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_counts": _q_tile_counts,
         "pip_count": _q_pip_count,
         "pip_join": _q_pip_join,
+        "pip_concave_count": _q_pip_concave_count,
         "knn_join": _q_knn_join,
         "window_range_count": _q_window_range_count,
         "exact_dedup": _q_exact_dedup,
@@ -841,6 +851,13 @@ def oracle_sql() -> dict[str, str]:
         + workloads.sql_polygon_predicate(v, "x", "y")
         for i, v in enumerate(polys)
     )
+    from pkd_tree_ray.geometry import sql_point_in_polygon
+
+    pip_concave_sql = "\nUNION ALL\n".join(
+        f"SELECT {i} AS poly_id, count(*) AS cnt FROM pts WHERE "
+        + sql_point_in_polygon("x", "y", v)
+        for i, v in enumerate(workloads.concave_polygons())
+    )
     return {
         "selfcheck": """
 SELECT count(*) AS n_region, CAST(1 AS BIGINT) AS tmp_writable FROM region
@@ -890,6 +907,7 @@ SELECT x // {workloads.TILE_SHIFT} AS tile_x, y // {workloads.TILE_SHIFT} AS til
 FROM pts GROUP BY 1, 2
 """,
         "pip_count": f"WITH pts AS ({sources.sql_lineitem_points()})\n" + pip_count_sql,
+        "pip_concave_count": f"WITH pts AS ({sources.sql_lineitem_points()})\n" + pip_concave_sql,
         "pip_join": f"WITH pts AS ({sources.sql_lineitem_points()})\n" + pip_join_sql,
         "knn_join": f"""
 WITH pts AS ({sources.sql_lineitem_points()}),

@@ -249,6 +249,102 @@ def points_in_convex_polygon(x: np.ndarray, y: np.ndarray, verts: np.ndarray) ->
     return mask
 
 
+def points_in_polygon(x: np.ndarray, y: np.ndarray, verts: np.ndarray) -> np.ndarray:
+    """Membership of points in an arbitrary SIMPLE polygon (convex or
+    not) given as vertices (k, 2) int64 — the even-odd crossing rule,
+    integer-exact (the slope comparison is cross-multiplied, never
+    divided) so the IDENTICAL arithmetic is expressible in ANSI SQL
+    for the DuckDB oracle (see ``sql_point_in_polygon``).
+
+    A rightward ray from the query crosses edge (v1, v2) iff the edge
+    spans the query's y (half-open: y1 > qy XOR y2 > qy — shared
+    vertices count once) and the edge's x at qy lies strictly right of
+    qx.  Boundary points get the deterministic parity of the formula —
+    the same on both sides of the oracle."""
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    verts = np.asarray(verts, dtype=np.int64)
+    inside = np.zeros(x.shape, dtype=bool)
+    k = len(verts)
+    for i in range(k):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % k]
+        spans = (y1 > y) != (y2 > y)
+        # qx < x1 + (x2-x1)(qy-y1)/(y2-y1), cross-multiplied by
+        # (y2-y1) with the sign flip folded in
+        lhs = (x - x1) * (y2 - y1)
+        rhs = (x2 - x1) * (y - y1)
+        crosses = np.where(y2 > y1, lhs < rhs, lhs > rhs)
+        inside ^= spans & crosses
+    return inside
+
+
+def sql_point_in_polygon(x_expr: str, y_expr: str, verts) -> str:
+    """ANSI-SQL predicate computing the same even-odd membership as
+    :func:`points_in_polygon` — one integer-exact CASE term per edge,
+    odd parity of the sum."""
+    import numpy as _np
+
+    v = _np.asarray(verts, dtype=_np.int64)
+    terms = []
+    k = len(v)
+    for i in range(k):
+        x1, y1 = int(v[i][0]), int(v[i][1])
+        x2, y2 = int(v[(i + 1) % k][0]), int(v[(i + 1) % k][1])
+        spans = f"(({y1} > {y_expr}) <> ({y2} > {y_expr}))"
+        lhs = f"(({x_expr}) - {x1}) * {y2 - y1}"
+        rhs = f"{x2 - x1} * (({y_expr}) - {y1})"
+        crosses = f"({lhs} {'<' if y2 > y1 else '>'} {rhs})"
+        terms.append(f"CASE WHEN {spans} AND {crosses} THEN 1 ELSE 0 END")
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def is_convex(verts: np.ndarray) -> bool:
+    """True when the polygon is convex (all nonzero consecutive-edge
+    cross products share a sign) — picks the boundary-inclusive
+    half-plane membership over the even-odd crossing rule."""
+    v = np.asarray(verts, dtype=np.int64)
+    k = len(v)
+    a = v[np.arange(1, k + 1) % k] - v
+    b = v[np.arange(2, k + 2) % k] - v[np.arange(1, k + 1) % k]
+    cross = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
+    nz = cross[cross != 0]
+    return len(nz) == 0 or bool((nz > 0).all() or (nz < 0).all())
+
+
+def segments_intersect_box(verts: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """For each box (m, 4): does ANY polygon edge intersect it?  Used
+    by the contained-cell shortcut for non-convex polygons (a bbox is
+    fully inside a simple polygon iff one corner is inside and no edge
+    crosses the bbox).  Conservative (separating-axis on the segment
+    bbox + line side test): may report an intersection where none
+    exists — the cell then merely takes the scan path."""
+    v = np.asarray(verts, dtype=np.int64)
+    b = np.atleast_2d(np.asarray(boxes, dtype=np.int64))
+    m = len(b)
+    hit = np.zeros(m, dtype=bool)
+    k = len(v)
+    cx = np.stack([b[:, 0], b[:, 2], b[:, 0], b[:, 2]], axis=1)  # corners x
+    cy = np.stack([b[:, 1], b[:, 1], b[:, 3], b[:, 3]], axis=1)
+    for i in range(k):
+        x1, y1 = v[i]
+        x2, y2 = v[(i + 1) % k]
+        # segment bbox overlaps box bbox (closed intervals)
+        sb = (
+            (np.minimum(x1, x2) <= b[:, 2])
+            & (np.maximum(x1, x2) >= b[:, 0])
+            & (np.minimum(y1, y2) <= b[:, 3])
+            & (np.maximum(y1, y2) >= b[:, 1])
+        )
+        if not sb.any():
+            continue
+        # line through the segment separates the box corners?
+        side = (x2 - x1) * (cy - y1) - (y2 - y1) * (cx - x1)
+        straddles = (side.max(axis=1) >= 0) & (side.min(axis=1) <= 0)
+        hit |= sb & straddles
+    return hit
+
+
 def polygon_bbox(verts: np.ndarray) -> np.ndarray:
     v = np.asarray(verts, dtype=np.int64)
     return np.array([v[:, 0].min(), v[:, 1].min(), v[:, 0].max(), v[:, 1].max()], dtype=np.int64)

@@ -24,7 +24,23 @@ import pyarrow as pa
 
 import ray
 
-from pkd_tree_ray.geometry import p2b_min_dist2, points_in_convex_polygon, polygon_bbox
+from pkd_tree_ray.geometry import (
+    is_convex,
+    p2b_min_dist2,
+    points_in_convex_polygon,
+    points_in_polygon,
+    polygon_bbox,
+    segments_intersect_box,
+)
+
+
+def _poly_mask(x: np.ndarray, y: np.ndarray, verts: np.ndarray, convex: bool) -> np.ndarray:
+    """Membership dispatch: convex polygons keep the boundary-inclusive
+    half-plane conjunction (the original oracle semantics); arbitrary
+    simple polygons use the integer-exact even-odd crossing rule."""
+    if convex:
+        return points_in_convex_polygon(x, y, verts)
+    return points_in_polygon(x, y, verts)
 from pkd_tree_ray.index import PkdIndex
 from pkd_tree_ray.queries import _Pairs, _csr, _iter_cell_runs, _live, _pool_size, _scan_stage, knn
 
@@ -35,7 +51,10 @@ from pkd_tree_ray.queries import _Pairs, _csr, _iter_cell_runs, _live, _pool_siz
 
 def _classify_polygons(index: PkdIndex, polys: list[np.ndarray]):
     """Per polygon: contained-cell base counts + partial cells.
-    A cell bbox is inside a convex polygon iff all 4 corners are."""
+    A cell bbox is inside a convex polygon iff all 4 corners are; for a
+    NON-convex simple polygon the corners must be inside AND no polygon
+    edge may cross the bbox (corners-inside alone admits bboxes that a
+    concavity bites into)."""
     cells, counts, bboxes = _live(index)
     base = np.zeros(len(polys), dtype=np.int64)
     if len(cells) == 0:
@@ -49,9 +68,15 @@ def _classify_polygons(index: PkdIndex, polys: list[np.ndarray]):
     ]
     full_parts, part_parts = [], []
     for pi, verts in enumerate(polys):
+        convex = is_convex(verts)
         inside = np.ones(len(cells), dtype=bool)
         for cx, cy in corners:
-            inside &= points_in_convex_polygon(cx, cy, verts)
+            inside &= _poly_mask(cx, cy, verts, convex)
+        if not convex:
+            boxes4 = np.stack(
+                [bboxes[:, 0], bboxes[:, 1], bboxes[:, 2], bboxes[:, 3]], axis=1
+            )
+            inside &= ~segments_intersect_box(verts, boxes4)
         pb = polygon_bbox(verts)
         overlap = (
             (bboxes[:, 0] <= pb[2])
@@ -74,6 +99,7 @@ class _PipScan:
     def __init__(self, ref, id_col: str | None):
         polys, (cells, offs, qids) = ray.get(ref)
         self.polys = polys
+        self.convex = [is_convex(v) for v in polys]
         self.cells, self.offs, self.qids = cells, offs, qids
         self.id_col = id_col  # None -> count mode
 
@@ -88,7 +114,7 @@ class _PipScan:
             if i >= len(self.cells) or self.cells[i] != cell:
                 continue
             for pi in self.qids[self.offs[i]: self.offs[i + 1]]:
-                m = points_in_convex_polygon(x[sl], y[sl], self.polys[pi])
+                m = _poly_mask(x[sl], y[sl], self.polys[pi], self.convex[pi])
                 if self.id_col is None:
                     out_p.append(np.array([pi], dtype=np.int64))
                     out_v.append(np.array([int(m.sum())], dtype=np.int64))
@@ -165,6 +191,7 @@ def point_in_polygon_join(index: PkdIndex, polys: list[np.ndarray]):
             _, part = ray.get(part_ref)
             self.inner = _PipScan.__new__(_PipScan)
             self.inner.polys = polys_
+            self.inner.convex = [is_convex(v) for v in polys_]
             self.inner.cells, self.inner.offs, self.inner.qids = part
             self.inner.id_col = id_col
             self.f_cells, self.f_offs, self.f_qids = full

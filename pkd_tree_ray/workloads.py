@@ -158,6 +158,39 @@ def polygons() -> list[np.ndarray]:
     return polys
 
 
+def concave_polygons() -> list[np.ndarray]:
+    """2 deterministic NON-convex simple polygons (an 8-point star and
+    an L-shape) for the even-odd crossing path — exactly expressible in
+    SQL via ``geometry.sql_point_in_polygon``."""
+    rng = _rng(15)
+    polys = []
+    # star: alternating outer/inner radius around a random center
+    cx, cy = rng.randint(C // 3, (2 * C) // 3, 2)
+    r_out, r_in = C // 4, C // 10
+    ang = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+    rad = np.where(np.arange(16) % 2 == 0, r_out, r_in)
+    vx = np.clip((cx + rad * np.cos(ang)).astype(np.int64), 0, C)
+    vy = np.clip((cy + rad * np.sin(ang)).astype(np.int64), 0, C)
+    polys.append(np.stack([vx, vy], axis=1))
+    # L-shape (rectilinear hexagon)
+    x0, y0 = rng.randint(C // 8, C // 4, 2)
+    w, h, t = C // 2, C // 2, C // 6
+    polys.append(
+        np.array(
+            [
+                [x0, y0],
+                [x0 + w, y0],
+                [x0 + w, y0 + t],
+                [x0 + t, y0 + t],
+                [x0 + t, y0 + h],
+                [x0, y0 + h],
+            ],
+            dtype=np.int64,
+        )
+    )
+    return polys
+
+
 TILE_SHIFT = 65_536  # fixed raster tile side => 16x16 grid over [0, 1e6]
 
 

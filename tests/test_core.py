@@ -87,6 +87,51 @@ class TestGeometry:
         y = np.array([1, 9, 4, 0])
         assert points_in_convex_polygon(x, y, tri).tolist() == [True, False, True, True]
 
+    def test_concave_polygon_even_odd(self):
+        """Even-odd membership on non-convex polygons agrees with
+        matplotlib-free brute ray casting on random points, and
+        is_convex separates the two polygon kinds."""
+        from pkd_tree_ray.geometry import is_convex, points_in_polygon
+        from pkd_tree_ray.workloads import concave_polygons, polygons
+
+        assert all(is_convex(v) for v in polygons())
+        assert not any(is_convex(v) for v in concave_polygons())
+        # L-shape: interior of the notch must be OUTSIDE
+        L = np.array([[0, 0], [60, 0], [60, 20], [20, 20], [20, 60], [0, 60]])
+        x = np.array([10, 50, 50, 10, 21, 0])
+        y = np.array([10, 10, 50, 50, 21, 0])
+        got = points_in_polygon(x, y, L).tolist()
+        assert got[:5] == [True, True, False, True, False]
+
+    def test_concave_containment_shortcut_matches_full_scan(self, ray_session, tmp_path):
+        """point_in_polygon_count over a non-convex polygon must equal
+        the brute per-point count — the edge-vs-bbox contained-cell
+        shortcut may not over- or under-count cells a concavity bites
+        into."""
+        import pandas as pd
+        import ray.data as rd
+
+        from pkd_tree_ray.config import EngineConfig
+        from pkd_tree_ray.fixtures import uniform_xy
+        from pkd_tree_ray.geometry import points_in_polygon
+        from pkd_tree_ray.index import PkdIndex
+        from pkd_tree_ray.joins import point_in_polygon_count
+        from pkd_tree_ray.workloads import concave_polygons
+
+        pid = np.arange(30_000, dtype=np.int64)
+        x, y = uniform_xy(pid, seed=6)
+        idx = PkdIndex.build(
+            rd.from_pandas(pd.DataFrame({"point_id": pid, "x": x, "y": y})),
+            str(tmp_path / "pipidx"),
+            EngineConfig(target_cell_rows=1024, batch_size=8192),
+            id_col="point_id",
+        )
+        polys = concave_polygons()
+        got = point_in_polygon_count(idx, polys).to_pandas()
+        for pi, v in enumerate(polys):
+            exp = int(points_in_polygon(x, y, v).sum())
+            assert int(got[got.poly_id == pi].cnt.iloc[0]) == exp, pi
+
 
 class TestCells:
     def test_morton_roundtrip_box(self):
