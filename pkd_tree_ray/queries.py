@@ -176,21 +176,52 @@ def _csr(pairs: "_Pairs"):
     return pairs.to_csr()
 
 
+#: cells per run in the two-level classification index: driver-side
+#: classification tests query-vs-RUN union bboxes first (C/_RUN of
+#: them), then members of overlapping runs only — O(m*C) dense masks
+#: become O(m*C/_RUN + overlap) and stay tractable at 10^6 cells
+_RUN = 64
+
+
+def _cell_run_boxes(bboxes: np.ndarray, run: int = _RUN) -> np.ndarray:
+    """Union bbox per consecutive run of cells; the directory is
+    Morton-sorted, so consecutive cells are spatially coherent and the
+    union boxes stay tight."""
+    C, w = bboxes.shape
+    nd = w // 2
+    B = -(-C // run)
+    out = np.empty((B, w), dtype=bboxes.dtype)
+    for b in range(B):
+        seg = bboxes[b * run: (b + 1) * run]
+        out[b, :nd] = seg[:, :nd].min(axis=0)
+        out[b, nd:] = seg[:, nd:].max(axis=0)
+    return out
+
+
 def _classify_boxes(index: PkdIndex, boxes: np.ndarray):
     """Per query box: contained-cell base count + partial-cell routing
-    pairs.  Chunked so driver memory stays O(chunk x cells)."""
+    pairs — two-level (run prune, then members of overlapping runs),
+    chunked so driver memory stays O(chunk x runs)."""
     cells, counts, bboxes = _live(index)
     m = len(boxes)
     base = np.zeros(m, dtype=np.int64)
     parts: list[_Pairs] = []
+    if not len(cells):
+        return base, _Pairs.concat(parts)
+    run_boxes = _cell_run_boxes(bboxes)
     for s in range(0, m, _CLASSIFY_CHUNK):
         q = np.asarray(boxes[s: s + _CLASSIFY_CHUNK], dtype=np.int64)
-        contained = box_contains_box(q, bboxes)  # (mq, C)
-        overlap = boxes_intersect(q, bboxes)
-        partial = overlap & ~contained
-        base[s: s + len(q)] = contained @ counts
-        qi, ci = np.nonzero(partial)
-        parts.append(_Pairs(cells[ci], (qi + s).astype(np.int64)))
+        hit = boxes_intersect(q, run_boxes)  # (mq, B)
+        for b in np.nonzero(hit.any(axis=0))[0]:
+            qs = np.nonzero(hit[:, b])[0]
+            lo, hi = b * _RUN, min((b + 1) * _RUN, len(cells))
+            sub = bboxes[lo:hi]
+            contained = box_contains_box(q[qs], sub)
+            overlap = boxes_intersect(q[qs], sub)
+            partial = overlap & ~contained
+            base[s + qs] += contained @ counts[lo:hi]
+            qi, ci = np.nonzero(partial)
+            parts.append(_Pairs(cells[lo + ci], (qs[qi] + s).astype(np.int64)))
     return base, _Pairs.concat(parts)
 
 
@@ -202,16 +233,25 @@ def _classify_circles(index: PkdIndex, circles: np.ndarray):
     m = len(circles)
     base = np.zeros(m, dtype=np.int64)
     parts: list[_Pairs] = []
+    if not len(cells):
+        return base, _Pairs.concat(parts)
+    run_boxes = _cell_run_boxes(bboxes)
     for s in range(0, m, _CLASSIFY_CHUNK):
         q = np.asarray(circles[s: s + _CLASSIFY_CHUNK], dtype=np.int64)
         r2 = (q[:, -1] * q[:, -1])[:, None]
-        mind = pnd_b_min_dist2(q[:, :-1], bboxes)
-        maxd = pnd_b_max_dist2(q[:, :-1], bboxes)
-        contained = maxd <= r2
-        partial = (mind <= r2) & ~contained
-        base[s: s + len(q)] = contained @ counts
-        qi, ci = np.nonzero(partial)
-        parts.append(_Pairs(cells[ci], (qi + s).astype(np.int64)))
+        hit = pnd_b_min_dist2(q[:, :-1], run_boxes) <= r2  # (mq, B)
+        for b in np.nonzero(hit.any(axis=0))[0]:
+            qs = np.nonzero(hit[:, b])[0]
+            lo, hi = b * _RUN, min((b + 1) * _RUN, len(cells))
+            sub = bboxes[lo:hi]
+            r2s = r2[qs]
+            mind = pnd_b_min_dist2(q[qs, :-1], sub)
+            maxd = pnd_b_max_dist2(q[qs, :-1], sub)
+            contained = maxd <= r2s
+            partial = (mind <= r2s) & ~contained
+            base[s + qs] += contained @ counts[lo:hi]
+            qi, ci = np.nonzero(partial)
+            parts.append(_Pairs(cells[lo + ci], (qs[qi] + s).astype(np.int64)))
     return base, _Pairs.concat(parts)
 
 
@@ -612,9 +652,18 @@ def _seed_chunk(Q: np.ndarray, s: int, k: int, cells, counts, bboxes) -> "_Pairs
 
 
 def _candidate_chunk(Q: np.ndarray, s: int, bounds: np.ndarray, cells, bboxes) -> "_Pairs":
-    d2 = pnd_b_min_dist2(Q, bboxes)
-    qi, ci = np.nonzero(d2 <= bounds[:, None])
-    return _Pairs(cells[ci], (qi + s).astype(np.int64))
+    """Cells within each query's kth-distance bound — two-level (run
+    prune, then members of hit runs only)."""
+    run_boxes = _cell_run_boxes(bboxes)
+    hit = pnd_b_min_dist2(Q, run_boxes) <= bounds[:, None]
+    out: list[_Pairs] = []
+    for b in np.nonzero(hit.any(axis=0))[0]:
+        qs = np.nonzero(hit[:, b])[0]
+        lo, hi = b * _RUN, min((b + 1) * _RUN, len(cells))
+        d2 = pnd_b_min_dist2(Q[qs], bboxes[lo:hi])
+        qi, ci = np.nonzero(d2 <= bounds[qs, None])
+        out.append(_Pairs(cells[lo + ci], (qs[qi] + s).astype(np.int64)))
+    return _Pairs.concat(out)
 
 
 @ray.remote(num_cpus=1)
