@@ -499,24 +499,56 @@ def simhash(docs):
 
 def fingerprints(docs, window: int = 4):
     """-> (doc_id, fingerprint): min rolling-hash over word windows
-    (winnowing-style document fingerprint)."""
+    (winnowing-style document fingerprint).
+
+    Vectorized like :class:`SimHasher`: one flat token stream per
+    batch, token hashes combined into window hashes with a rolling
+    multiply-xor (wraparound uint64, deterministic), min-reduced per
+    doc — no per-doc loop in the hot path (docs shorter than the
+    window collapse to one whole-doc window)."""
 
     token = re.compile(_TOKEN_RE)
+    P = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 increment (public domain)
 
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
         from pandas.util import hash_array
 
-        out = np.empty(len(batch), dtype=np.int64)
-        for i, text in enumerate(batch["text"]):
-            toks = token.findall(text or "")
-            if not toks:
-                out[i] = 0
-                continue
-            windows = [
-                " ".join(toks[j: j + window]) for j in range(max(1, len(toks) - window + 1))
-            ]
-            hv = hash_array(np.array(windows, dtype=object), hash_key="pkd_fingerpr0000")
-            out[i] = int(hv.min().astype(np.int64))
+        toks_per = batch["text"].fillna("").map(token.findall)
+        counts = toks_per.map(len).to_numpy(dtype=np.int64)
+        out = np.zeros(len(batch), dtype=np.int64)
+        total = int(counts.sum())
+        if total:
+            flat = np.empty(total, dtype=object)
+            pos = 0
+            for lst in toks_per:
+                flat[pos: pos + len(lst)] = lst
+                pos += len(lst)
+            owner = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+            th = hash_array(flat, hash_key="pkd_fingerpr0000")
+            w = window
+            # full windows: positions whose w tokens share one owner
+            if total >= w:
+                wh = th[: total - w + 1].copy()
+                for j in range(1, w):
+                    wh = wh * P ^ th[j: total - w + 1 + j]
+                ok = owner[: total - w + 1] == owner[w - 1:]
+                big = np.full(len(batch), np.uint64(0xFFFFFFFFFFFFFFFF))
+                np.minimum.at(big, owner[: total - w + 1][ok], wh[ok])
+            else:
+                big = np.full(len(batch), np.uint64(0xFFFFFFFFFFFFFFFF))
+            # short docs (< w tokens): ONE whole-doc window
+            short = (counts > 0) & (counts < w)
+            if short.any():
+                starts = np.concatenate([[0], np.cumsum(counts)])
+                with np.errstate(over="ignore"):  # wraparound intended
+                    for i in np.nonzero(short)[0]:
+                        seg = th[starts[i]: starts[i + 1]]
+                        h = seg[0]
+                        for v in seg[1:]:
+                            h = h * P ^ v
+                        big[i] = h
+            nz = counts > 0
+            out[nz] = big[nz].view(np.int64)
         return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": out})
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
