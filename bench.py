@@ -238,7 +238,9 @@ def run_suite() -> dict:
     # out-of-distribution phase (tests/test.cpp:494-509): query
     # points come from a different distribution than the build, so
     # kNN radii are large where the varden clusters are sparse.
+    timed2("varden_knn_k1_ood", lambda: consume(knn(vidx, qx, qy, 1)))
     timed2("varden_knn_k10_ood", lambda: consume(knn(vidx, qx, qy, 10)))
+    timed2("varden_knn_k100_ood", lambda: consume(knn(vidx, qx, qy, 100)))
     vpool.shutdown()
 
     # 9. update-ratio sweep (batchUpdateByStep, testFramework.h:306-468;

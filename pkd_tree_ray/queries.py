@@ -796,7 +796,7 @@ def _home_stats(index: PkdIndex, Q: np.ndarray):
     return counts, bb, d2h_min, d2h_max
 
 
-def _density_bounds(index: PkdIndex, Q, k, safety: int = 2) -> np.ndarray:
+def _density_bounds(index: PkdIndex, Q, k, safety: int = 2, stats=None) -> np.ndarray:
     """Estimated kth-distance bound from directory stats alone (no
     scan): min of (a) the home-cell uniform-density estimate
     r_k^2 ~ (safety * k * volume / count)^(2/d) — tight when queries
@@ -807,7 +807,7 @@ def _density_bounds(index: PkdIndex, Q, k, safety: int = 2) -> np.ndarray:
     exactly if the estimate was too small (see ``knn``)."""
     d = index.directory
     nd = index.config.ndim
-    counts, bb, d2h_min, d2h_max = _home_stats(index, Q)
+    counts, bb, d2h_min, d2h_max = stats if stats is not None else _home_stats(index, Q)
     # float to avoid overflow at d >= 3 (volume alone can reach 2^60)
     vol = np.ones(len(bb), dtype=np.float64)
     for j in range(nd):
@@ -886,8 +886,62 @@ def _bounds_from_partials(qid, d2, nb, m: int, k: int, k_eff: int) -> np.ndarray
 #: min over a few candidates approaches the true min-over-max
 _CENTER_BOUND_T = 4
 
+#: center sets up to this size take the chunked dense pass in
+#: :func:`_center_dir_bounds`; larger directories use block pruning
+_CENTER_BRUTE_MAX = 8_192
 
-def _center_dir_bounds(index: PkdIndex, Q: np.ndarray, k: int) -> np.ndarray:
+
+def _nearest_centers_dense(
+    centers: list[np.ndarray], Q: np.ndarray, T: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """T nearest centers per query via a query-chunked dense distance
+    matrix (float64 squared distances, the same space the maxdist
+    reduction uses) -> triplets (q_idx, center_idx, d2).  Each chunk's
+    matrix stays ~32 MB, so memory is flat in m."""
+    m = len(Q)
+    C = len(centers[0])
+    nd = len(centers)
+    T = min(T, C)
+    # |q - c|^2 = |q|^2 - 2 q.c + |c|^2 — one BLAS sgemm instead of
+    # per-dim broadcast temporaries.  float32 everywhere: the distances
+    # only ORDER the candidates (the provable bound is the float64
+    # maxdist computed by the caller over whichever cells are picked),
+    # and float32 halves the memory traffic of the m x C pass — the
+    # pass is DRAM-bound, not compute-bound.
+    mu = [float(c.mean()) for c in centers]  # recentre: keeps float32
+    CM = np.stack(
+        [(c - mu[j]).astype(np.float32) for j, c in enumerate(centers)], axis=1
+    )  # (C, d)
+    QM = np.stack(
+        [(Q[:, j] - mu[j]).astype(np.float32) for j in range(nd)], axis=1
+    )  # (m, d)
+    c2 = (CM * CM).sum(axis=1)  # (C,)
+    neg2C = np.ascontiguousarray(CM.T * np.float32(-2.0))
+    chunk = max(64, (1 << 23) // max(C, 1))
+    out_q: list[np.ndarray] = []
+    out_n: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    for s in range(0, m, chunk):
+        e = min(s + chunk, m)
+        Qc = QM[s:e]
+        D = Qc @ neg2C
+        D += (Qc * Qc).sum(axis=1)[:, None]
+        D += c2[None, :]
+        if T < C:
+            part = np.argpartition(D, T - 1, axis=1)[:, :T]
+        else:
+            part = np.broadcast_to(np.arange(C, dtype=np.int64), (e - s, C))
+        rows = np.repeat(np.arange(s, e, dtype=np.int64), part.shape[1])
+        cols = part.ravel().astype(np.int64)
+        out_q.append(rows)
+        out_n.append(cols)
+        out_d.append(D[rows - s, cols].astype(np.float64))
+    return np.concatenate(out_q), np.concatenate(out_n), np.concatenate(out_d)
+
+
+def _center_dir_bounds(
+    index: PkdIndex, Q: np.ndarray, k: int, return_seeds: bool = False
+):
     """PROVABLE per-query kth-distance bounds at sub-O(m x C) cost:
 
     1. find each query's T nearest CELL CENTERS among cells holding
@@ -899,14 +953,24 @@ def _center_dir_bounds(index: PkdIndex, Q: np.ndarray, k: int) -> np.ndarray:
 
     The true min-over-max cell is almost always among the nearest few
     centers; when it is not, the bound is merely looser — still
-    provable, so kNN exactness never depends on the choice."""
+    provable, so kNN exactness never depends on the choice.
+
+    ``return_seeds``: also return the (query, cell) candidate pairs —
+    each query's T nearest >= k-count cells — as flat arrays
+    (pair_qids, pair_cells).  The serving path refines the coarse
+    CELL-bbox max-distance bound against those cells' resident BLOCK
+    bboxes (``IndexShard.knn_seed``) before candidate expansion.
+    Measured on varden OOD: the refinement cuts admitted (query, cell)
+    routings ~4x — the median bound barely moves but the TAIL (queries
+    whose nearest cells are wide) is where scan cost lives."""
     from pkd_tree_ray.kdtree import block_knn_triplets, kd_block_partition
 
     cells, counts, bboxes = _live(index)
     m = len(Q)
     inf = np.iinfo(np.int64).max
     if not len(cells):
-        return np.full(m, inf, dtype=np.int64)
+        b = np.full(m, inf, dtype=np.int64)
+        return (b, None, None) if return_seeds else b
     nd = Q.shape[1]
     ok = counts >= k
     if not ok.any():
@@ -917,27 +981,65 @@ def _center_dir_bounds(index: PkdIndex, Q: np.ndarray, k: int) -> np.ndarray:
             bounds[s: s + _CLASSIFY_CHUNK] = pnd_b_max_dist2(
                 Q[s: s + _CLASSIFY_CHUNK], bboxes
             ).max(axis=1)
-        return np.minimum(bounds, float(inf // 4)).astype(np.int64)
+        b = np.minimum(bounds, float(inf // 4)).astype(np.int64)
+        return (b, None, None) if return_seeds else b
     bb = bboxes[ok]
     C = len(bb)
     centers = [((bb[:, j] + bb[:, nd + j]) // 2).astype(bb.dtype) for j in range(nd)]
     T = min(_CENTER_BOUND_T, C)
     pos = np.arange(C, dtype=np.int64)
-    if C > 256:
-        order, blo, bhi, bxs = kd_block_partition(centers, 64)
-        q3, n3, _ = block_knn_triplets(
-            [c[order] for c in centers], pos[order], blo, bhi, bxs,
-            [np.ascontiguousarray(Q[:, j]) for j in range(nd)], T,
+
+    def select(QS: np.ndarray):
+        if C > _CENTER_BRUTE_MAX:
+            # huge directory (~10^6 cells): block-pruned kNN over the
+            # center set — never an m x C matrix
+            order, blo, bhi, bxs = kd_block_partition(centers, 64)
+            return block_knn_triplets(
+                [c[order] for c in centers], pos[order], blo, bhi, bxs,
+                [np.ascontiguousarray(QS[:, j]) for j in range(nd)], T,
+            )
+        # small/mid center set: a chunked dense pass is ~10x faster
+        # than the block kernel's per-block bookkeeping at large m
+        return _nearest_centers_dense(centers, QS, T)
+
+    # coarse-grid query dedup: nearby queries share their CANDIDATE
+    # cells (the selection is a heuristic; the bound below is computed
+    # per query over whichever cells are picked, so provability is
+    # unaffected).  One representative per occupied coarse cell cuts
+    # the m x C selection pass ~10x at large m.
+    reps_inv = None
+    if m > 4 * _CLASSIFY_CHUNK and C > 64:
+        bkt = max(2, int(2 ** (14 / nd)))
+        keys = np.zeros(m, dtype=np.int64)
+        for j in range(nd):
+            qj = Q[:, j].astype(np.float64)
+            lo_, hi_ = float(qj.min()), float(qj.max())
+            w = (hi_ - lo_) or 1.0
+            bk = np.minimum(((qj - lo_) * (bkt / w)).astype(np.int64), bkt - 1)
+            keys = keys * bkt + bk
+        uq_keys, inv = np.unique(keys, return_inverse=True)
+        if len(uq_keys) <= m // 2:
+            reps_inv = inv
+    if reps_inv is not None:
+        reps = np.zeros(int(reps_inv.max()) + 1, dtype=np.int64)
+        reps[reps_inv] = np.arange(m)
+        rq3, rn3, _ = select(Q[reps])
+        # expand each representative's candidate list to its members
+        cnts = np.bincount(rq3, minlength=len(reps))
+        offs = np.concatenate([[0], np.cumsum(cnts)])
+        sorted_n3 = rn3[np.argsort(rq3, kind="stable")]
+        cnt_q = cnts[reps_inv]
+        tot = int(cnt_q.sum())
+        q3 = np.repeat(np.arange(m, dtype=np.int64), cnt_q)
+        starts_q = np.cumsum(cnt_q) - cnt_q
+        idx = (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(starts_q, cnt_q)
+            + np.repeat(offs[reps_inv], cnt_q)
         )
+        n3 = sorted_n3[idx]
     else:
-        one = np.array([0, len(centers[0])], dtype=np.int64)
-        cb = np.array(
-            [c.min() for c in centers] + [c.max() for c in centers], dtype=bb.dtype
-        )[None, :]
-        q3, n3, _ = block_knn_triplets(
-            centers, pos, one[:1], one[1:], cb,
-            [np.ascontiguousarray(Q[:, j]) for j in range(nd)], T,
-        )
+        q3, n3, _ = select(Q)
     # pairwise max-dist to each query's candidate cells, min-reduced
     bq = bb[n3]
     md = np.zeros(len(q3), dtype=np.float64)
@@ -949,17 +1051,21 @@ def _center_dir_bounds(index: PkdIndex, Q: np.ndarray, k: int) -> np.ndarray:
     np.minimum.at(bounds, q3, md)
     # float64(int64.max) rounds UP to 2^63 and overflows the int64
     # cast to a NEGATIVE bound — clamp at max//4 (as _density_bounds)
-    return np.minimum(bounds, float(inf // 4)).astype(np.int64)
+    out = np.minimum(bounds, float(inf // 4)).astype(np.int64)
+    if not return_seeds:
+        return out
+    return out, q3, cells[ok][n3]
 
 
-def _ood_mask(index: PkdIndex, Q: np.ndarray, k_eff: int) -> np.ndarray:
+def _ood_mask(index: PkdIndex, Q: np.ndarray, k_eff: int, stats=None) -> np.ndarray:
     """True for queries the density heuristic has no basis for: the
     home cell holds < k points, or the query lies outside its live
-    bbox (stats from :func:`_home_stats`).  The complementary set is
-    served by the r1 fast path (density bound + shard-fused
+    bbox (stats from :func:`_home_stats`, precomputed by the caller
+    when it also feeds :func:`_density_bounds`).  The complementary
+    set is served by the r1 fast path (density bound + shard-fused
     classification) at O(m) driver cost; only OOD queries pay the
     nearest-center directory-bound pass."""
-    counts, _, d2h_min, _ = _home_stats(index, Q)
+    counts, _, d2h_min, _ = stats if stats is not None else _home_stats(index, Q)
     return (counts < k_eff) | (d2h_min > 0)
 
 
@@ -994,32 +1100,46 @@ def _pool_serve(index: PkdIndex, pool, Q: np.ndarray, k: int, k_eff: int):
     "skip the extra bound passes wholesale" fast path: no driver-side
     query-vs-cell matrix at all.
 
-    Out-of-distribution queries take the SAME one-scan path but with
-    the provable nearest-center directory bound
+    Out-of-distribution queries run a two-phase seed walk (the
+    distributed analog of the reference's guided descent seeding the
+    bounded queue at the home leaf, ``nn_search.hpp:108-125``):
+    (a) the provable nearest-center directory bound
     (``_center_dir_bounds``: block-kNN over the tiny cell-center set,
-    then maxdist to the nearest few >= k cells) — no O(m x C) matrix
-    anywhere, and the bound's looseness is re-tightened inside each
-    candidate cell by the sub-cell block pruning
-    (``kdtree.block_knn_triplets``), so a candidate cell costs ~1-2
-    block scans, not a full-cell brute.  The bound is provable, so
-    OOD verification never repairs.
+    then maxdist to the nearest few >= k cells) picks each query's
+    SEED cell; (b) one shard hop (``ShardedQueryPool.knn_seed_bounds``)
+    scans just that seed cell block-pruned and returns the exact kth
+    distance within it — a provable upper bound on the global kth that
+    is typically ~the true kth, not ~a cell diameter, so candidate
+    expansion admits a handful of cells instead of a ring of them.
+    No O(m x C) matrix anywhere.  Both bounds are provable, so OOD
+    verification never repairs.
 
     Returns ``(merged, unsafe_qids)`` in batch-global qid space;
     ``merged`` is a pyarrow Table (small) or ref-backed Dataset."""
-    def ood_bounds(Qo: np.ndarray) -> np.ndarray:
-        return _center_dir_bounds(index, Qo, k)
+    def ood_bounds(Qo: np.ndarray) -> tuple[np.ndarray, np.ndarray | None]:
+        base, pq, pc = _center_dir_bounds(index, Qo, k, return_seeds=True)
+        if pq is None or not hasattr(pool, "knn_seed_bounds"):
+            return base, None
+        kth, best = pool.knn_seed_bounds(Qo, k, pq, pc)
+        return np.minimum(base, kth), best
 
-    ood = _ood_mask(index, Q, k_eff)
+    stats = _home_stats(index, Q)
+    ood = _ood_mask(index, Q, k_eff, stats=stats)
     n_ood = int(ood.sum())
     if n_ood == 0:
-        bounds = _density_bounds(index, Q, k)
+        bounds = _density_bounds(index, Q, k, stats=stats)
         return pool.knn_topk(Q, k, bounds, k_eff)
     if n_ood == len(Q):
-        return pool.knn_topk(Q, k, ood_bounds(Q), k_eff)
+        b, best = ood_bounds(Q)
+        return pool.knn_topk(Q, k, b, k_eff, seeds=best)
     ii = np.nonzero(~ood)[0]
     oi = np.nonzero(ood)[0]
-    mi, ui = pool.knn_topk(Q[ii], k, _density_bounds(index, Q[ii], k), k_eff)
-    mo, uo = pool.knn_topk(Q[oi], k, ood_bounds(Q[oi]), k_eff)
+    stats_ii = tuple(s[ii] for s in stats)
+    mi, ui = pool.knn_topk(
+        Q[ii], k, _density_bounds(index, Q[ii], k, stats=stats_ii), k_eff
+    )
+    bo, besto = ood_bounds(Q[oi])
+    mo, uo = pool.knn_topk(Q[oi], k, bo, k_eff, seeds=besto)
     mi = _remap_qids(mi, ii)
     mo = _remap_qids(mo, oi)
     unsafe = np.sort(np.concatenate([ii[ui], oi[uo]]))

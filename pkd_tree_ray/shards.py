@@ -176,7 +176,13 @@ class IndexShard:
         )
         from pkd_tree_ray.queries import _topk_per_qid
 
-        Q, k, bounds = payload  # Q: (m, d) query matrix
+        Q, k, bounds = payload[:3]  # Q: (m, d) query matrix
+        # optional 4th element: per-query SEED cell (the best candidate
+        # found by knn_seed) — served with the exact local top-k path
+        # even when the query ball only slivers it, because the global
+        # bound ~equals that cell's block maxdist and the sliver filter
+        # would scan every near-side block (OOD r4 finding)
+        seeds = payload[3] if len(payload) > 3 else None
         nd = self.nd
         Qc = [np.ascontiguousarray(Q[:, j]) for j in range(nd)]
         out_q: list[np.ndarray] = []
@@ -225,6 +231,8 @@ class IndexShard:
                 ext = np.minimum(qj + r, hi) - np.maximum(qj - r, lo)
                 frac *= np.clip(ext, 0.0, hi - lo + 1.0) / (hi - lo + 1.0)
             deep = frac > _DEEP_OVERLAP_FRAC
+            if seeds is not None:
+                deep = deep | (seeds[qs] == cell)
             hq = qs[home | deep]
             fq = qs[~home & ~deep]
             if len(hq):
@@ -284,6 +292,85 @@ class IndexShard:
                 "qid": pa.array(q[rows], pa.int64()),
                 "neighbor": pa.array(n[rows]),
                 "dist2": pa.array(d[rows], pa.int64()),
+            }
+        )
+
+    def knn_seed(self, payload) -> pa.Table:
+        """Per-query kth-distance UPPER bound from ONE resident cell —
+        each query's nearest >= k-count cell (its SEED, chosen by
+        ``queries._center_dir_bounds``): the min over the cell's
+        kd-ordered BLOCKS holding >= k rows of the query's bbox
+        max-distance.  Each such block alone holds k rows within that
+        distance, so the bound is provable; block bboxes are ~32x
+        tighter than the whole-cell bbox, so it is ~the true kth for
+        far queries — the OOD analog of the reference's guided descent
+        seeding the bounded queue at the home leaf
+        (``nn_search.hpp:108-125``).  No rows are scanned: the cost is
+        m_cell x n_blocks box arithmetic, so the hop has no straggler
+        even under heavy seed-load skew.
+
+        ``payload``: (Q, k, pair_qids, pair_cells) — flat (query, cell)
+        candidate pairs (every query's T nearest >= k-count cells).
+        Returns (qid, kth) rows for the pairs whose cell is resident
+        here with a usable block index; the pool min-reduces rows
+        across shards per query."""
+        Q, k, pqid, pcell = payload
+        nd = self.nd
+        out_q: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        order = np.argsort(pcell, kind="stable")
+        ss = pcell[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], ss[1:] != ss[:-1]])
+        ) if len(ss) else np.zeros(0, np.int64)
+        ends = np.concatenate([starts[1:], [len(ss)]]).astype(np.int64) \
+            if len(starts) else starts
+        for s, e in zip(starts, ends):
+            cell = int(ss[s])
+            ent = self.cells.get(cell)
+            if ent is None:
+                continue
+            rank, n_holders = self.role.get(cell, (0, 1))
+            qs = pqid[order[s:e]]
+            if n_holders > 1:
+                qs = qs[qs % n_holders == rank]
+            if not len(qs):
+                continue
+            key, ids, fc, bbox, blocks = ent
+            if blocks is None:
+                continue  # small cell: its bbox IS ~a block — no gain
+            blo, bhi, bxs = blocks
+            okb = (bhi - blo) >= k
+            if not okb.any():
+                continue  # k exceeds every block: keep the cell bound
+            bx = bxs[okb]
+            md = np.zeros((len(qs), len(bx)), dtype=np.float64)
+            for j in range(nd):
+                qj = Q[qs, j].astype(np.float64)[:, None]
+                blo_j = bx[None, :, j].astype(np.float64)
+                bhi_j = bx[None, :, nd + j].astype(np.float64)
+                dj = np.maximum(np.abs(qj - blo_j), np.abs(qj - bhi_j))
+                md += dj * dj
+            kth = np.minimum(
+                md.min(axis=1), float(np.iinfo(np.int64).max // 4)
+            ).astype(np.int64)
+            out_q.append(qs.astype(np.int64))
+            out_b.append(kth)
+            out_c.append(np.full(len(qs), cell, dtype=np.int64))
+        if not out_q:
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "kth": pa.array([], pa.int64()),
+                    "cell": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q), pa.int64()),
+                "kth": pa.array(np.concatenate(out_b), pa.int64()),
+                "cell": pa.array(np.concatenate(out_c), pa.int64()),
             }
         )
 
@@ -538,6 +625,36 @@ class ShardedQueryPool:
         tables (counts, shrunk kNN partials)."""
         return pa.concat_tables(ray.get(self.scan_refs(kind, payload_ref, cell_list)))
 
+    def knn_seed_bounds(
+        self, Q: np.ndarray, k: int, pair_qids: np.ndarray, pair_cells: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """One-hop block-level kth bound over each query's candidate
+        cells (:meth:`IndexShard.knn_seed`): broadcast (queries, pairs)
+        once, min-reduce the (qid, kth, cell) parts per query.  Returns
+        (kth, best_cell): per-query kth int64 (int64.max where no shard
+        answered — the caller mins against its coarse bound, so that is
+        a no-op) and the cell achieving it (-1 where none) — the cell
+        the scan should serve with its exact local top-k path."""
+        ref = ray.put((Q, k, pair_qids, pair_cells))
+        parts = [
+            t for t in ray.get([a.knn_seed.remote(ref) for a in self.actors])
+            if t.num_rows
+        ]
+        out = np.full(len(Q), np.iinfo(np.int64).max, dtype=np.int64)
+        best = np.full(len(Q), -1, dtype=np.int64)
+        if parts:
+            t = pa.concat_tables(parts)
+            qid = t["qid"].to_numpy()
+            kth = t["kth"].to_numpy()
+            cell = t["cell"].to_numpy()
+            order = np.lexsort((kth, qid))
+            qs = qid[order]
+            first = np.concatenate([[True], qs[1:] != qs[:-1]])
+            sel = order[first]
+            out[qid[sel]] = kth[sel]
+            best[qid[sel]] = cell[sel]
+        return out, best
+
     def knn_partials(self, Q: np.ndarray, k: int, bounds: np.ndarray):
         """One-hop kNN partials: broadcast (queries, bounds) once; every
         shard classifies against its own cells and answers locally.
@@ -551,7 +668,14 @@ class ShardedQueryPool:
     #: Ray tasks over qid slices instead of one driver-side lexsort
     _DRIVER_MERGE_ROWS = 400_000
 
-    def knn_topk(self, Q: np.ndarray, k: int, bounds: np.ndarray, k_eff: int):
+    def knn_topk(
+        self,
+        Q: np.ndarray,
+        k: int,
+        bounds: np.ndarray,
+        k_eff: int,
+        seeds: np.ndarray | None = None,
+    ):
         """Final ranked top-k + verification.
 
         Returns ``(result, unsafe_qids)`` where unsafe queries (bound
@@ -563,7 +687,7 @@ class ShardedQueryPool:
         Dataset that never materializes on the driver."""
         from pkd_tree_ray.queries import _topk_per_qid
 
-        ref = ray.put((Q, k, bounds))
+        ref = ray.put((Q, k, bounds) if seeds is None else (Q, k, bounds, seeds))
         part_refs = [a.knn_auto.remote(ref) for a in self.actors]
         m = len(Q)
         if m * k <= self._DRIVER_MERGE_ROWS:

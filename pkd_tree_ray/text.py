@@ -214,6 +214,10 @@ N_BANDS = 16  # 4 rows per band
 _PRIME = (1 << 61) - 1
 
 
+#: rolling-window multiplier (splitmix64 increment, public domain)
+_ROLL_P = np.uint64(0x9E3779B97F4A7C15)
+
+
 class MinHasher:
     """Actor: word-shingle MinHash signatures + LSH band keys.
 
@@ -221,6 +225,13 @@ class MinHasher:
     for the bucket groupby — the shingle->minhash->band->bucket
     pipeline.  Permutations are derived from splitmix64(seed) once per
     actor.
+
+    Shingle hash = rolling multiply-xor over the window's TOKEN hashes
+    (the :func:`fingerprints` kernel) — a function of per-token hashes
+    only, so a whole batch needs ONE ``hash_array`` call over its flat
+    token stream instead of materializing + hashing every joined
+    shingle string (~20x less string work per corpus; the LSH recall
+    properties only need a uniform hash of the shingle identity).
     """
 
     def __init__(self, shingle: int = 3, seed: int = 42):
@@ -230,41 +241,133 @@ class MinHasher:
         self.a = (splitmix64(idx, seed) | np.uint64(1)).astype(np.uint64)
         self.b = splitmix64(idx, seed + 1).astype(np.uint64)
 
-    def signature(self, text: str) -> np.ndarray:
-        toks = self.token.findall(text or "")
-        if len(toks) < self.shingle:
-            shingles = [" ".join(toks)] if toks else [""]
-        else:
-            shingles = [
-                " ".join(toks[i: i + self.shingle])
-                for i in range(len(toks) - self.shingle + 1)
-            ]
+    def _empty_hash(self) -> np.ndarray:
         from pandas.util import hash_array
 
-        hv = hash_array(np.array(shingles, dtype=object), hash_key="pkd_shingle_0000")
-        # one-permutation-per-hash: min over (a*h + b)
-        vals = (self.a[None, :] * hv[:, None].astype(np.uint64) + self.b[None, :])
+        return hash_array(
+            np.array([""], dtype=object), hash_key="pkd_shingle_0000"
+        ).astype(np.uint64)
+
+    def _window_hashes(self, th: np.ndarray) -> np.ndarray:
+        """Rolling multiply-xor window hashes of one doc's token-hash
+        sequence; docs shorter than the window collapse to one
+        whole-doc window (empty docs: the hash of "")."""
+        w = self.shingle
+        n = len(th)
+        if n == 0:
+            return self._empty_hash()
+        with np.errstate(over="ignore"):  # wraparound intended
+            if n < w:
+                h = th[0]
+                for v in th[1:]:
+                    h = h * _ROLL_P ^ v
+                return np.array([h], dtype=np.uint64)
+            wh = th[: n - w + 1].copy()
+            for j in range(1, w):
+                wh = wh * _ROLL_P ^ th[j: n - w + 1 + j]
+        return wh
+
+    def signature(self, text: str) -> np.ndarray:
+        """Scalar reference path (one doc) — bit-identical to one row
+        of :meth:`signatures_batch`."""
+        from pandas.util import hash_array
+
+        toks = self.token.findall(text or "")
+        th = (
+            hash_array(
+                np.array(toks, dtype=object), hash_key="pkd_shingle_0000"
+            ).astype(np.uint64)
+            if toks
+            else np.zeros(0, dtype=np.uint64)
+        )
+        hv = self._window_hashes(th)
+        with np.errstate(over="ignore"):
+            vals = self.a[None, :] * hv[:, None] + self.b[None, :]
         return vals.min(axis=0)
 
+    def signatures_batch(self, texts: pd.Series) -> np.ndarray:
+        """(n_docs, N_HASHES) signature matrix for a whole batch with
+        NO per-doc Python loop on the main path: one flat token stream
+        (the :func:`fingerprints` kernel shape), ONE ``hash_array``
+        call over the tokens, rolling-kernel window hashes, then a
+        per-permutation segmented min (``np.minimum.reduceat`` over the
+        owner-sorted window stream).  Only sub-window docs (< shingle
+        tokens) take a scalar path."""
+        from pandas.util import hash_array
+
+        w = self.shingle
+        n = len(texts)
+        toks_per = texts.fillna("").map(self.token.findall)
+        counts = toks_per.map(len).to_numpy(dtype=np.int64)
+        total = int(counts.sum())
+        sig = np.full(
+            (n, N_HASHES), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64
+        )
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for lst in toks_per:
+            flat[pos: pos + len(lst)] = lst
+            pos += len(lst)
+        owner = np.repeat(np.arange(n, dtype=np.int64), counts)
+        th = (
+            hash_array(flat, hash_key="pkd_shingle_0000").astype(np.uint64)
+            if total
+            else np.zeros(0, dtype=np.uint64)
+        )
+        with np.errstate(over="ignore"):  # a*h + b / rolling wrap by design
+            # full windows: positions whose w tokens share one owner
+            if total >= w:
+                wh = th[: total - w + 1].copy()
+                for j in range(1, w):
+                    wh = wh * _ROLL_P ^ th[j: total - w + 1 + j]
+                ok = owner[: total - w + 1] == owner[w - 1:]
+                hv = wh[ok]
+                own = owner[: total - w + 1][ok]  # ascending (doc order)
+                if len(hv):
+                    starts = np.flatnonzero(
+                        np.concatenate([[True], own[1:] != own[:-1]])
+                    )
+                    seg_own = own[starts]
+                    mins = np.empty((N_HASHES, len(starts)), dtype=np.uint64)
+                    for p in range(N_HASHES):
+                        mins[p] = np.minimum.reduceat(
+                            self.a[p] * hv + self.b[p], starts
+                        )
+                    sig[seg_own] = mins.T
+            # sub-window docs: ONE whole-doc window (or "" when empty)
+            special = np.nonzero(counts < w)[0]
+            if len(special):
+                starts_f = np.concatenate([[0], np.cumsum(counts)])
+                hv_s = np.concatenate(
+                    [
+                        self._window_hashes(th[starts_f[i]: starts_f[i + 1]])
+                        for i in special
+                    ]
+                )
+                sig[special] = (
+                    self.a[None, :] * hv_s[:, None] + self.b[None, :]
+                )
+        return sig
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows_band, rows_hash, rows_doc = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sig = self.signature(text)
-            bands = sig.reshape(N_BANDS, -1)
-            bh = splitmix64(
-                bands.astype(np.uint64).sum(axis=1)
-                ^ bands[:, 0]
-                ^ np.arange(N_BANDS, dtype=np.uint64),
-                7,
-            ).view(np.int64)
-            rows_band.append(np.arange(N_BANDS, dtype=np.int64))
-            rows_hash.append(bh)
-            rows_doc.append(np.full(N_BANDS, doc_id, dtype=np.int64))
+        n = len(batch)
+        sig = self.signatures_batch(batch["text"])
+        bands = sig.reshape(n, N_BANDS, -1)
+        bh = splitmix64(
+            (
+                bands.sum(axis=2, dtype=np.uint64)
+                ^ bands[:, :, 0]
+                ^ np.arange(N_BANDS, dtype=np.uint64)[None, :]
+            ).ravel(),
+            7,
+        ).view(np.int64)
         return pd.DataFrame(
             {
-                "band_id": np.concatenate(rows_band),
-                "band_hash": np.concatenate(rows_hash),
-                "doc_id": np.concatenate(rows_doc),
+                "band_id": np.tile(np.arange(N_BANDS, dtype=np.int64), n),
+                "band_hash": bh,
+                "doc_id": np.repeat(
+                    batch["doc_id"].to_numpy(dtype=np.int64), N_BANDS
+                ),
             }
         )
 

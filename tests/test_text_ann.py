@@ -89,6 +89,25 @@ class TestDedup:
         assert (0, 1) in pairs
         assert not any(2 in p for p in pairs)
 
+    def test_minhash_batch_matches_scalar(self):
+        # the flat-token batch kernel must be bit-identical to the
+        # per-doc scalar path for every doc shape (empty, None,
+        # sub-window, repeated tokens, long)
+        import numpy as np
+        import pandas as pd
+
+        from pkd_tree_ray.text import MinHasher
+
+        mh = MinHasher()
+        texts = [
+            "", None, "one", "two words", "three word doc",
+            "the quick brown fox jumps over the lazy dog",
+            "a a a a a a", "x y z " * 50, "unique tokens everywhere " * 7,
+        ]
+        sig_b = mh.signatures_batch(pd.Series(texts))
+        for i, t in enumerate(texts):
+            assert np.array_equal(sig_b[i], mh.signature(t)), f"doc {i}"
+
     def test_simhash_similar_texts_close(self, ray_session):
         from pkd_tree_ray.text import simhash
 
