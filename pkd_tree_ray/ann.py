@@ -272,6 +272,15 @@ def embedding_neardup(
         payload, cand, "vec_id", "vec_a", "vec_b", "embedding", pa.float32(),
         verify_fn, "cos_permille", verify_batch_fn=verify_batch_fn,
     ).to_pandas()
+    if not len(out):
+        # empty verify output may arrive column-less from to_pandas
+        return pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cos_permille": pa.array([], pa.int64()),
+            }
+        )
     out = out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     return pa.table(
         {

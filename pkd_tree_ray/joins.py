@@ -236,6 +236,11 @@ def point_in_polygon_join(index: PkdIndex, polys: list[np.ndarray]):
 #: so driver memory stays bounded at any left-side scale.
 KNN_JOIN_LEFT_CAP = 5_000_000
 
+#: knn_graph boundary-repair window: each driver-resident repair slice
+#: holds at most this many pending points (a clustered corpus can make
+#: the boundary fraction large, so the repair must not assume "thin")
+KNN_GRAPH_REPAIR_CAP = 1_000_000
+
 
 def _knn_join_window(index: PkdIndex, left: pa.Table, key_col: str, k: int):
     """One bounded window of the join: broadcast the window's queries,
@@ -311,11 +316,11 @@ def knn_join(index: PkdIndex, left, key_col: str, k: int):
     )
 
 
-def _iter_left_windows(left, key_col: str):
-    """Yield <= KNN_JOIN_LEFT_CAP-row pyarrow windows of a left
-    Dataset without ever holding more than one window (plus one input
-    block) on the driver.  The drain loop is a ``while`` so a single
-    oversized input block still splits into cap-sized windows."""
+def _iter_left_windows(left, key_col: str, cap: int = KNN_JOIN_LEFT_CAP):
+    """Yield <= ``cap``-row pyarrow windows of a left Dataset without
+    ever holding more than one window (plus one input block) on the
+    driver.  The drain loop is a ``while`` so a single oversized input
+    block still splits into cap-sized windows."""
     buf: list[pa.Table] = []
     buffered = 0
     for b in left.select_columns([key_col, "x", "y"]).iter_batches(
@@ -324,10 +329,10 @@ def _iter_left_windows(left, key_col: str):
         t = pa.table(b) if not isinstance(b, pa.Table) else b
         buf.append(t)
         buffered += t.num_rows
-        while buffered >= KNN_JOIN_LEFT_CAP:
+        while buffered >= cap:
             whole = pa.concat_tables(buf)
-            yield whole.slice(0, KNN_JOIN_LEFT_CAP)
-            rest = whole.slice(KNN_JOIN_LEFT_CAP)
+            yield whole.slice(0, cap)
+            rest = whole.slice(cap)
             buf = [rest] if rest.num_rows else []
             buffered = rest.num_rows
     if buffered:
@@ -509,18 +514,13 @@ def knn_graph(index: PkdIndex, out_path: str, k: int, config=None):
             }
         )
 
-    pending = (
-        rd.from_items(items, override_num_blocks=len(items))
-        .map_batches(one_cell, batch_size=1, batch_format="pyarrow")
-        .to_pandas()
+    pending_ds = rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        one_cell, batch_size=1, batch_format="pyarrow"
     )
 
-    repair_file = os.path.join(out_path, "edges", f"repair-v{version}.parquet")
-    if len(pending) and not os.path.exists(repair_file):
-        src = pending["src"].to_numpy()
-        res = knn_exact(
-            index, pending["x"].to_numpy(), pending["y"].to_numpy(), k + 1, cfg
-        )
+    def repair_window(w: pa.Table) -> pa.Table:
+        src = w["src"].to_numpy()
+        res = knn_exact(index, w["x"].to_numpy(), w["y"].to_numpy(), k + 1, cfg)
         rt = res.to_pandas() if hasattr(res, "to_pandas") else res
         rq = src[rt["qid"].to_numpy()]
         not_self = rt["neighbor"].to_numpy() != rq
@@ -532,18 +532,51 @@ def knn_graph(index: PkdIndex, out_path: str, k: int, config=None):
         uq, starts, cnts = np.unique(rq, return_index=True, return_counts=True)
         ranks = np.arange(len(rq), dtype=np.int64) - np.repeat(starts, cnts)
         keep = ranks < k
-        _atomic_write_table(
-            pa.table(
-                {
-                    "src": pa.array(rq[keep]),
-                    "rank": pa.array(ranks[keep] + 1, pa.int64()),
-                    "dst": pa.array(rn[keep]),
-                    "dist2": pa.array(rd2[keep], pa.int64()),
-                }
-            ),
-            repair_file,
+        return pa.table(
+            {
+                "src": pa.array(rq[keep]),
+                "rank": pa.array(ranks[keep] + 1, pa.int64()),
+                "dst": pa.array(rn[keep]),
+                "dist2": pa.array(rd2[keep], pa.int64()),
+            }
         )
-    elif not os.path.exists(repair_file):
+
+    # boundary repair in bounded WINDOWS: the pending set (thin on
+    # uniform data, potentially large on clustered corpora) streams
+    # through cap-sized driver windows instead of one to_pandas(); each
+    # window writes its own versioned file, so a killed run resumes at
+    # window granularity, and the version-stamped done marker is
+    # written only after every window landed (window boundaries are
+    # deterministic per version: ordered iter_batches over the same
+    # cell list)
+    done_marker = os.path.join(out_path, "edges", f"repair-v{version}.parquet")
+    missing = [
+        it
+        for it in items
+        if not os.path.exists(
+            os.path.join(
+                out_path, "edges", f"cell-{it['cell']:012x}-v{version}.parquet"
+            )
+        )
+    ]
+    if os.path.exists(done_marker) and missing:
+        # repair already complete for this version but some finished
+        # cell files were lost: regenerate exactly those cells (their
+        # pending rows are discarded — the repair files already hold
+        # the boundary answers for this version)
+        rd.from_items(missing, override_num_blocks=len(missing)).map_batches(
+            one_cell, batch_size=1, batch_format="pyarrow"
+        ).count()
+    if not os.path.exists(done_marker):
+        for widx, w in enumerate(
+            _iter_left_windows(pending_ds, "src", cap=KNN_GRAPH_REPAIR_CAP)
+        ):
+            wfile = os.path.join(
+                out_path, "edges", f"repair-v{version}-w{widx}.parquet"
+            )
+            if os.path.exists(wfile):
+                continue
+            _atomic_write_table(repair_window(w), wfile)
         _atomic_write_table(
             pa.table(
                 {
@@ -553,7 +586,7 @@ def knn_graph(index: PkdIndex, out_path: str, k: int, config=None):
                     "dist2": pa.array([], pa.int64()),
                 }
             ),
-            repair_file,
+            done_marker,
         )
     from pkd_tree_ray.sources import read_parquet_clean
 

@@ -5,12 +5,16 @@ endpoints' payloads onto ONE row per pair, then a vectorized
 Shared shape for the near-dup verifiers (MinHash-Jaccard in text.py,
 embedding-cosine in ann.py).  r1 fetched every candidate payload to
 the driver; r2 joined payloads to pairs distributedly but verified via
-``groupby(pair).map_groups`` — one Python call per pair (r2 weak
-item).  Here each join is a ``groupby(endpoint)`` whose ``map_groups``
-runs once per distinct DOC (not per pair), and verification is a
-``map_batches`` over (a, b, payload_a, payload_b) rows — the caller
-supplies a batch kernel that vectorizes the comparison across the
-whole batch.  The only driver-side state is the candidate id set
+``groupby(pair).map_groups`` — one Python call per pair; r3 attached
+payloads via ``groupby(endpoint).map_groups`` — one Python call per
+distinct DOC (r3 weak item).  Here each join groups by a HASH BUCKET
+of the endpoint (``_ATTACH_BUCKETS`` buckets), and the per-bucket
+kernel attaches every doc's payload to its edges with run-segmented
+numpy plus ONE vectorized Arrow ``take`` on the list column — zero
+per-doc Python, bounded bucket payload (~corpus/1024).  Verification
+is a ``map_batches`` over (a, b, payload_a, payload_b) rows — the
+caller supplies a batch kernel that vectorizes the comparison across
+the whole batch.  The only driver-side state is the candidate id set
 (ints), used for the broadcast semi-filter of the payload table.
 """
 
@@ -45,6 +49,29 @@ def list_flat(col) -> tuple[np.ndarray, np.ndarray]:
     return vals, idx
 
 
+#: hash buckets for the payload-attach shuffles — each bucket's group
+#: is ~corpus/1024, so per-task payload stays bounded at any corpus
+#: size while the per-bucket kernel amortizes Python over ~thousands
+#: of docs
+_ATTACH_BUCKETS = 1024
+
+#: splitmix64 finalizer multipliers (public domain) — jkey values are
+#: doc ids (often sequential), so bucket = jkey % P would stripe;
+#: a mixed bucket spreads any id pattern
+_MIX_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def _bucket_of(jkey: np.ndarray) -> np.ndarray:
+    z = jkey.astype(np.uint64, copy=True)
+    z ^= z >> np.uint64(30)
+    z *= _MIX_M1
+    z ^= z >> np.uint64(27)
+    z *= _MIX_M2
+    z ^= z >> np.uint64(31)
+    return (z & np.uint64(_ATTACH_BUCKETS - 1)).astype(np.int64)
+
+
 def pairwise_join_verify(
     payload_ds,
     cand_ds,
@@ -72,6 +99,7 @@ def pairwise_join_verify(
 
     def join_schema(with_b: bool) -> dict:
         cols = {
+            "jbkt": pa.int64(),
             "jkey": pa.int64(),
             a_col: pa.int64(),
             b_col: pa.int64(),
@@ -93,9 +121,11 @@ def pairwise_join_verify(
     # -- stage 1: join on `a` ------------------------------------------
     def edges1(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        jk = batch[a_col].to_numpy().astype(np.int64)
         return pa.table(
             {
-                "jkey": batch[a_col].cast(pa.int64()),
+                "jbkt": pa.array(_bucket_of(jk)),
+                "jkey": pa.array(jk),
                 a_col: batch[a_col].cast(pa.int64()),
                 b_col: batch[b_col].cast(pa.int64()),
                 "slot": pa.array(np.zeros(n, np.int8)),
@@ -103,74 +133,78 @@ def pairwise_join_verify(
             }
         )
 
-    def tag1(batch: pa.Table) -> pa.Table:
+    def tag(batch: pa.Table, with_b: bool) -> pa.Table:
         n = batch.num_rows
         z = pa.array(np.zeros(n, np.int64))
-        return pa.table(
-            {
-                "jkey": batch[id_col].cast(pa.int64()),
-                a_col: z,
-                b_col: z,
-                "slot": pa.array(np.full(n, -1, np.int8)),
-                "pl_a": batch[payload_col].cast(ptype),
-            }
-        )
+        jk = batch[id_col].to_numpy().astype(np.int64)
+        cols = {
+            "jbkt": pa.array(_bucket_of(jk)),
+            "jkey": pa.array(jk),
+            a_col: z,
+            b_col: z,
+            "slot": pa.array(np.full(n, -1, np.int8)),
+            "pl_a": (
+                const_lists(n) if with_b else batch[payload_col].cast(ptype)
+            ),
+        }
+        if with_b:
+            cols["pl_b"] = batch[payload_col].cast(ptype)
+        return pa.table(cols)
 
-    def attach_a(group: pa.Table) -> pa.Table:
+    def attach(group: pa.Table, stage: int) -> pa.Table:
+        """Run-segmented payload attach over one HASH BUCKET of jkeys:
+        owner rows (slot=-1, one per doc) sort to the head of their
+        doc's run; every edge row in a run with an owner receives the
+        owner's payload via ONE Arrow ``take`` on the list column —
+        no per-doc Python, no ``.as_py()`` payload round-trip."""
+        jk = group["jkey"].to_numpy()
         slot = group["slot"].to_numpy()
-        own = np.nonzero(slot == -1)[0]
-        e = np.nonzero(slot >= 0)[0]
-        if not len(own) or not len(e):
-            return empty_table(join_schema(False))
-        payload = group["pl_a"][int(own[0])].as_py()
-        sub = group.take(pa.array(e))
-        return pa.table(
-            {
-                # re-key by b for the second join
-                "jkey": sub[b_col],
-                a_col: sub[a_col],
-                b_col: sub[b_col],
-                "slot": pa.array(np.zeros(len(e), np.int8)),
-                "pl_a": pa.array([payload] * len(e), ptype),
-            }
-        )
-
-    # -- stage 2: join on `b` ------------------------------------------
-    def tag2(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        z = pa.array(np.zeros(n, np.int64))
-        return pa.table(
-            {
-                "jkey": batch[id_col].cast(pa.int64()),
-                a_col: z,
-                b_col: z,
-                "slot": pa.array(np.full(n, -1, np.int8)),
-                "pl_a": const_lists(n),
-                "pl_b": batch[payload_col].cast(ptype),
-            }
-        )
-
-    def widen1(batch: pa.Table) -> pa.Table:
-        return batch.append_column("pl_b", const_lists(batch.num_rows))
-
-    def attach_b(group: pa.Table) -> pa.Table:
-        slot = group["slot"].to_numpy()
-        own = np.nonzero(slot == -1)[0]
-        e = np.nonzero(slot >= 0)[0]
-        if not len(own) or not len(e):
+        order = np.lexsort((slot, jk))
+        jk_s = jk[order]
+        slot_s = slot[order]
+        new_run = np.concatenate([[True], jk_s[1:] != jk_s[:-1]])
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        owner_ok = slot_s[starts] == -1
+        keep = (slot_s >= 0) & owner_ok[run_id]
+        if not keep.any():
             return empty_table(join_schema(True))
-        payload = group["pl_b"][int(own[0])].as_py()
-        sub = group.take(pa.array(e))
+        edge_pos = pa.array(order[keep])
+        owner_pos = pa.array(order[starts[run_id[keep]]])
+        sub = group.take(edge_pos)
+        pl_col = "pl_a" if stage == 1 else "pl_b"
+        payload = group[pl_col].take(owner_pos)
+        if stage == 1:
+            # re-key by b for the second join
+            jk2 = sub[b_col].to_numpy()
+            return pa.table(
+                {
+                    "jbkt": pa.array(_bucket_of(jk2)),
+                    "jkey": sub[b_col],
+                    a_col: sub[a_col],
+                    b_col: sub[b_col],
+                    "slot": sub["slot"],
+                    "pl_a": payload,
+                    "pl_b": const_lists(len(jk2)),
+                }
+            )
         return pa.table(
             {
+                "jbkt": sub["jbkt"],
                 "jkey": sub["jkey"],
                 a_col: sub[a_col],
                 b_col: sub[b_col],
                 "slot": sub["slot"],
                 "pl_a": sub["pl_a"],
-                "pl_b": pa.array([payload] * len(e), ptype),
+                "pl_b": payload,
             }
         )
+
+    def attach_a(group: pa.Table) -> pa.Table:
+        return attach(group, 1)
+
+    def attach_b(group: pa.Table) -> pa.Table:
+        return attach(group, 2)
 
     # -- stage 3: vectorized verify ------------------------------------
     def verify_batch(batch: pa.Table) -> pa.Table:
@@ -207,18 +241,21 @@ def pairwise_join_verify(
             }
         )
 
-    tagged1 = payload_ds.map_batches(tag1, batch_format="pyarrow")
+    tagged1 = payload_ds.map_batches(
+        lambda b: tag(b, False), batch_format="pyarrow"
+    )
     edge_ds = cand_ds.map_batches(edges1, batch_format="pyarrow")
     half = (
         tagged1.union(edge_ds)
-        .groupby("jkey")
+        .groupby("jbkt")
         .map_groups(attach_a, batch_format="pyarrow")
-        .map_batches(widen1, batch_format="pyarrow")
     )
-    tagged2 = payload_ds.map_batches(tag2, batch_format="pyarrow")
+    tagged2 = payload_ds.map_batches(
+        lambda b: tag(b, True), batch_format="pyarrow"
+    )
     full = (
         tagged2.union(half)
-        .groupby("jkey")
+        .groupby("jbkt")
         .map_groups(attach_b, batch_format="pyarrow")
     )
     return full.map_batches(verify_batch, batch_format="pyarrow")

@@ -315,6 +315,57 @@ class TestKnnGraph:
             assert list(got["dst"]) == list(pid[order])
             assert list(got["dist2"]) == list(d2[order])
 
+    def test_graph_clustered_corpus_windows_repair(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        # heavily clustered corpus: kth-balls cross cells for a LARGE
+        # fraction of points, so the boundary-repair set is not thin.
+        # Force multiple repair windows (tiny cap) and check exactness
+        # — the repair must stream, never assume one driver slice.
+        import glob
+        import os
+
+        import ray.data as rd
+
+        from pkd_tree_ray import joins
+        from pkd_tree_ray.joins import knn_graph
+
+        monkeypatch.setattr(joins, "KNN_GRAPH_REPAIR_CAP", 200)
+
+        n, k = 3_000, 5
+        pid = np.arange(n, dtype=np.int64)
+        # ONE razor-thin cluster larger than a cell: the build must
+        # split it, so cell bboxes sit within a few units of almost
+        # every point's kth-ball — the boundary-repair set is a large
+        # fraction of the corpus, not a thin strip
+        rng = np.random.default_rng(23)
+        x = (500_000 + rng.integers(-40, 41, n)).astype(np.int64)
+        y = (500_000 + rng.integers(-40, 41, n)).astype(np.int64)
+        idx = PkdIndex.build(
+            rd.from_pandas(pd.DataFrame({"point_id": pid, "x": x, "y": y})),
+            str(tmp_path / "cl"),
+            CFG,
+            id_col="point_id",
+        )
+        out = str(tmp_path / "clout")
+        edges = (
+            knn_graph(idx, out, k)
+            .to_pandas()
+            .sort_values(["src", "rank"])
+            .reset_index(drop=True)
+        )
+        assert len(edges) == n * k
+        # the tiny cap must have produced several repair windows
+        wfiles = glob.glob(os.path.join(out, "edges", "repair-v*-w*.parquet"))
+        assert len(wfiles) >= 2
+        for s in range(0, n, 307):
+            d2 = (x - x[s]).astype(np.int64) ** 2 + (y - y[s]).astype(np.int64) ** 2
+            order = np.lexsort((pid, d2))
+            order = order[order != s][:k]
+            got = edges[edges.src == s]
+            assert list(got["dst"]) == list(pid[order])
+            assert list(got["dist2"]) == list(d2[order])
+
     def test_graph_resumes_from_partial_output(self, ray_session, tmp_path):
         import ray.data as rd
 
