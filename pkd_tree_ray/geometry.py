@@ -264,6 +264,18 @@ def points_in_polygon(x: np.ndarray, y: np.ndarray, verts: np.ndarray) -> np.nda
     x = np.asarray(x, dtype=np.int64)
     y = np.asarray(y, dtype=np.int64)
     verts = np.asarray(verts, dtype=np.int64)
+    # the cross-multiplied edge test forms products of two coordinate
+    # DIFFERENCES; |coords| <= 2^30 keeps every product within int64
+    # exactly (numpy would wrap silently while the SQL twin errors,
+    # silently diverging the two oracle sides).  The engine grid is
+    # [0, 1e6], far inside the bound.
+    lim = np.int64(1) << 30
+    if (
+        (len(x) and max(abs(int(x.max(initial=0))), abs(int(x.min(initial=0)))) >= lim)
+        or (len(y) and max(abs(int(y.max(initial=0))), abs(int(y.min(initial=0)))) >= lim)
+        or (len(verts) and int(np.abs(verts).max()) >= lim)
+    ):
+        raise ValueError("points_in_polygon: |coordinates| must be < 2^30")
     inside = np.zeros(x.shape, dtype=bool)
     k = len(verts)
     for i in range(k):

@@ -856,18 +856,6 @@ def _candidate_pairs(index: PkdIndex, Q, bounds) -> "_Pairs":
     return _Pairs.concat(parts)
 
 
-def _pairs_diff(a: "_Pairs", b: "_Pairs", starts: np.ndarray) -> "_Pairs":
-    """Pairs of ``a`` not present in ``b`` (cells keyed by directory
-    position so the (qid, cell) composite fits one int64)."""
-    if not a or not b:
-        return a
-    w = np.int64(len(starts) + 1)
-    ka = a.qids * w + np.searchsorted(starts, a.cells)
-    kb = b.qids * w + np.searchsorted(starts, b.cells)
-    keep = ~np.isin(ka, kb)
-    return _Pairs(a.cells[keep], a.qids[keep])
-
-
 def _bounds_from_partials(qid, d2, nb, m: int, k: int, k_eff: int) -> np.ndarray:
     """Per-query kth-distance upper bound from scan partials: the kth
     smallest found distance (exact over the rows seen; +inf where

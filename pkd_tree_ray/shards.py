@@ -512,7 +512,12 @@ class ShardedQueryPool:
     """Fixed pool of :class:`IndexShard` actors serving one index
     (refreshable to its successor versions)."""
 
-    def __init__(self, index: PkdIndex, n_shards: int | None = None):
+    def __init__(
+        self,
+        index: PkdIndex,
+        n_shards: int | None = None,
+        min_replicas: int = 1,
+    ):
         if n_shards is None:
             try:
                 cpus = int(ray.cluster_resources().get("CPU", 4))
@@ -521,6 +526,11 @@ class ShardedQueryPool:
             n_shards = max(1, min(cpus, max(1, len(index.cell_files))))
         cfg = index.config
         self.n_shards = n_shards
+        #: floor on per-cell holder count (capped at n_shards); the
+        #: traffic heuristic in refresh() can only raise it.  >1 forces
+        #: replication — used by tests and by read-heavy deployments
+        #: that want every cell multi-homed regardless of traffic.
+        self.min_replicas = max(1, int(min_replicas))
         self.actors = [
             IndexShard.remote(index.id_col, cfg.dims, cfg.leaf_size, cfg.brute_force_cutoff)
             for _ in range(n_shards)
@@ -572,7 +582,10 @@ class ShardedQueryPool:
         traffic = vol / tot_vol * rows_of.astype(np.float64)
         fair = float(traffic.sum()) / self.n_shards or 1.0
         n_rep = np.minimum(
-            np.ceil(traffic / fair).astype(np.int64), self.n_shards
+            np.maximum(
+                np.ceil(traffic / fair).astype(np.int64), self.min_replicas
+            ),
+            self.n_shards,
         )
         replicas: dict[int, list[int]] = {}
         rep_load = load.astype(np.float64)

@@ -33,6 +33,11 @@ from pkd_tree_ray.hashing import (
 )
 
 
+#: cache for read_parquet_clean's zero-row-part sweep:
+#: {file-list tuple: (mtime signature, live files)}
+_LIVE_PARTS_CACHE: dict = {}
+
+
 def read_parquet_clean(path, columns: list[str] | None = None):
     """``ray.data.read_parquet`` with the file's schema METADATA
     stripped (projected to ``columns``).  The testdata tables carry
@@ -59,8 +64,20 @@ def read_parquet_clean(path, columns: list[str] | None = None):
         # a ZERO-ROW part yields a block with an EMPTY Arrow schema even
         # when schema= is passed, tripping Ray's RefBundle schema-change
         # warning — drop empty parts (keep one so the read stays valid);
-        # capped so huge directories skip the footer sweep
-        live = [f for f in parts if pq.read_metadata(f).num_rows > 0]
+        # capped so huge directories skip the footer sweep.  The sweep
+        # result is cached per (file list, mtimes) — repeated reads of
+        # the same path (bench/entry hot loops) pay O(n) stat calls,
+        # not O(n) footer reads.
+        key = tuple(parts)
+        sig = tuple(int(os.stat(f).st_mtime_ns) for f in parts)
+        hit = _LIVE_PARTS_CACHE.get(key)
+        if hit is not None and hit[0] == sig:
+            live = hit[1]
+        else:
+            live = [f for f in parts if pq.read_metadata(f).num_rows > 0]
+            if len(_LIVE_PARTS_CACHE) > 64:
+                _LIVE_PARTS_CACHE.clear()
+            _LIVE_PARTS_CACHE[key] = (sig, live)
         path = live or parts[:1]
         probe = path[0]
     full = pq.read_schema(probe).remove_metadata()

@@ -1,7 +1,8 @@
-"""Higher-dimension conformance (d=5, 9, 12, 16) — the reference dispatches
-d in {2,3,5,7,9,10,12,16} (``tests/test.cpp:569-617``); dimension is a
-runtime parameter here.  Morton depth shrinks with d (ndim * max_depth
-<= 62 so a full-depth code fits int64)."""
+"""Higher-dimension conformance (d=5, 7, 9, 10, 12, 16) — the reference
+dispatches d in {2,3,5,7,9,10,12,16} (``tests/test.cpp:569-617``);
+dimension is a runtime parameter here.  Morton depth shrinks with d
+(ndim * max_depth <= 62 so a full-depth code fits int64); d=7 exercises
+an odd-dimension Morton budget (7*8 = 56 bits)."""
 
 import numpy as np
 import pyarrow as pa
@@ -16,7 +17,7 @@ def _mk(d, n, seed=5):
     return [rng.integers(0, 1 << 20, n).astype(np.int64) for _ in range(d)]
 
 
-@pytest.mark.parametrize("d", [5, 9, 12, 16])
+@pytest.mark.parametrize("d", [5, 7, 9, 10, 12, 16])
 class TestHigherD:
     def _build(self, ray_session, tmp_path, d, n=3_000):
         import ray.data as rd

@@ -210,14 +210,7 @@ class TestCenterDirBounds:
         finally:
             pool.shutdown()
 
-        orig = np.ceil
-
-        def aggressive_ceil(a):  # n_rep = ceil(traffic/fair) -> all shards
-            return np.full_like(np.asarray(orig(a)), 64.0)
-
-        monkeypatch.setattr(np, "ceil", aggressive_ceil)
-        pool2 = ShardedQueryPool(idx, n_shards=3)
-        monkeypatch.setattr(np, "ceil", orig)
+        pool2 = ShardedQueryPool(idx, n_shards=3, min_replicas=64)
         try:
             n_rep = sum(1 for v in pool2.replicas.values() if len(v) > 1)
             assert n_rep > 0, "replication never triggered; test is vacuous"
