@@ -560,21 +560,28 @@ def _q_window_range_count(sf_dir: str) -> pa.Table:
     return range_count(_INDEX_CACHE[key], workloads.range_boxes())
 
 
-# --- image-table flagship (input_hint shape; rows-only) -----------------
+# --- image-table flagship (input_hint shape; oracle-checked) ------------
+
+def _image_n(sf_dir: str) -> int:
+    """Image-table row count for an sf dir: lineitem rows / 10 (600 at
+    sf0.001) — derived from the data so the static oracle SQL can
+    compute the identical count from the registered lineitem view."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir.rstrip('/')}/lineitem.parquet").num_rows // 10
+
 
 def _q_image_knn(sf_dir: str):
     """Flagship image pipeline: synthetic Lance-style image table
     (image_id, bytes, w, h, fmt, caption, phash) -> decode-verify
     (PSNR inf for PNG) -> geotag from phash -> spatial index -> self-kNN
-    k=10.  sf_dir scales the row count; rows-only check (the image
-    table is generated, not a registered parquet view)."""
+    k=10.  Oracle-checked: phash/geotag are splitmix64-derived, which
+    hashing.sql_splitmix64 reproduces bit-exactly in DuckDB."""
     from pkd_tree_ray.fixtures import image_table_dataset, phash_to_xy
     from pkd_tree_ray.queries import knn
     from pkd_tree_ray.sources import geotag_images
 
-    n = {"0.001": 600, "0.01": 6_000, "0.1": 60_000}.get(
-        sf_dir.rstrip("/").rsplit("sf", 1)[-1], 600
-    )
+    n = _image_n(sf_dir)
     images = image_table_dataset(n)
     pts = geotag_images(images).map_batches(
         lambda t: pa.table(
@@ -607,36 +614,46 @@ def _q_image_knn(sf_dir: str):
 def _q_image_decode_stats(sf_dir: str):
     """Multimodal decode pipeline over the synthetic Lance-style image
     table: actor-pool DecodeImage (bytes -> pixels, PSNR-lossless PNG)
-    -> per-image mean-channel features, aggregated to global channel
-    means scaled x1000 (rows-only: the image table is generated)."""
-    import ray.data as rd
-
+    -> per-image mean-channel features -> global integer channel sums.
+    Per-image mean_c = k/64 is an exact float (w*h = 64 pixels), so
+    mean_c * (w*h) recovers the integer byte sum exactly and the DuckDB
+    oracle can re-derive it from the splitmix64 pixel stream."""
     from pkd_tree_ray.fixtures import image_table_dataset
     from pkd_tree_ray.multimodal import decode_features
 
-    n = {"0.001": 600, "0.01": 6_000, "0.1": 60_000}.get(
-        sf_dir.rstrip("/").rsplit("sf", 1)[-1], 600
-    )
+    n = _image_n(sf_dir)
     feats = decode_features(image_table_dataset(n), concurrency=(1, 4))
 
     def agg(batch: pa.Table) -> pa.Table:
+        px = (
+            batch["w"].to_numpy().astype(np.float64)
+            * batch["h"].to_numpy().astype(np.float64)
+        )
         return pa.table(
             {
                 "n": pa.array([batch.num_rows], pa.int64()),
-                "sum_r": pa.array([float(np.sum(batch["mean_r"].to_numpy()))]),
-                "sum_g": pa.array([float(np.sum(batch["mean_g"].to_numpy()))]),
-                "sum_b": pa.array([float(np.sum(batch["mean_b"].to_numpy()))]),
+                "sum_r": pa.array(
+                    [int(round(float(np.sum(batch["mean_r"].to_numpy() * px))))],
+                    pa.int64(),
+                ),
+                "sum_g": pa.array(
+                    [int(round(float(np.sum(batch["mean_g"].to_numpy() * px))))],
+                    pa.int64(),
+                ),
+                "sum_b": pa.array(
+                    [int(round(float(np.sum(batch["mean_b"].to_numpy() * px))))],
+                    pa.int64(),
+                ),
             }
         )
 
     pdf = feats.map_batches(agg, batch_format="pyarrow").to_pandas()
-    tot = pdf["n"].sum()
     return pa.table(
         {
-            "n_images": pa.array([int(tot)], pa.int64()),
-            "mean_r_milli": pa.array([int(pdf["sum_r"].sum() / tot * 1000)], pa.int64()),
-            "mean_g_milli": pa.array([int(pdf["sum_g"].sum() / tot * 1000)], pa.int64()),
-            "mean_b_milli": pa.array([int(pdf["sum_b"].sum() / tot * 1000)], pa.int64()),
+            "n_images": pa.array([int(pdf["n"].sum())], pa.int64()),
+            "sum_r": pa.array([int(pdf["sum_r"].sum())], pa.int64()),
+            "sum_g": pa.array([int(pdf["sum_g"].sum())], pa.int64()),
+            "sum_b": pa.array([int(pdf["sum_b"].sum())], pa.int64()),
         }
     )
 
@@ -837,6 +854,79 @@ FROM q
 """
 
 
+def _image_ids_ctes() -> str:
+    """Shared CTEs deriving the image-table row ids (0..n-1, with
+    n = lineitem rows / 10, mirroring ``_image_n``) from the registered
+    lineitem view — the oracle SQL is static, so the image-table size
+    must be computable from the data."""
+    return """
+nn AS (SELECT count(*) // 10 AS n FROM lineitem),
+ids AS (
+  SELECT i FROM (
+    SELECT CAST(row_number() OVER () - 1 AS BIGINT) AS i FROM lineitem
+  ) WHERE i < (SELECT n FROM nn)
+)"""
+
+
+def _image_knn_sql(k: int) -> str:
+    """Brute-force kNN over the geotagged image table: phash =
+    splitmix64(i, 42) and (x, y) = phash_to_xy(phash), both re-derived
+    bit-exactly in SQL (hashing.sql_splitmix64 / sql_phash_xy).  Query
+    points are the self-sample at id multiples of max(1, n // 256)."""
+    from pkd_tree_ray.hashing import sql_phash_xy, sql_splitmix64
+
+    xe, ye = sql_phash_xy(sql_splitmix64("i", 42))
+    step = "greatest(1, (SELECT n FROM nn) // 256)"
+    return f"""
+WITH {_image_ids_ctes()},
+pts AS (SELECT i AS point_id, {xe} AS x, {ye} AS y FROM ids),
+q AS (
+  SELECT point_id // {step} AS qid, x AS qx, y AS qy
+  FROM pts WHERE point_id % {step} = 0
+),
+d AS (
+  SELECT q.qid, p.point_id AS neighbor,
+         (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy) AS dist2,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy),
+                    p.point_id
+         ) AS "rank"
+  FROM pts p CROSS JOIN q
+)
+SELECT qid, "rank", neighbor, dist2 FROM d WHERE "rank" <= {k}
+"""
+
+
+def _image_decode_stats_sql() -> str:
+    """Global per-channel byte sums of the decoded image pixels,
+    re-derived from the generator: pixels of image i are the first 192
+    bytes of the little-endian words splitmix64(i*1000 + j, 49) for
+    j in [0, 24), laid out (h, w, 3) — so byte k of word j belongs to
+    channel (8*j + k) % 3 (fixtures.image_pixels)."""
+    from pkd_tree_ray.hashing import sql_splitmix64
+
+    wv = sql_splitmix64("ids.i * 1000 + wj.j", 49)
+    shifts = ", ".join(f"({kk}, {1 << (8 * kk)})" for kk in range(8))
+    return f"""
+WITH {_image_ids_ctes()},
+words AS (
+  SELECT ids.i AS img, wj.j AS j, {wv} AS wv
+  FROM ids CROSS JOIN range(0, 24) wj(j)
+),
+b AS (
+  SELECT (8 * j + bk.k) % 3 AS ch,
+         CAST((wv // bk.dv) % 256 AS BIGINT) AS v
+  FROM words CROSS JOIN (VALUES {shifts}) AS bk(k, dv)
+)
+SELECT (SELECT n FROM nn) AS n_images,
+       CAST(sum(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+FROM b
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     boxes_rep = workloads.report_boxes()
     circ = workloads.circles()
@@ -990,4 +1080,6 @@ d AS (
 )
 SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
 """,
+        "image_knn": _image_knn_sql(10),
+        "image_decode_stats": _image_decode_stats_sql(),
     }

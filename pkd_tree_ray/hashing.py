@@ -71,3 +71,51 @@ def sql_coord_exprs_3d(id_expr: str) -> tuple[str, str, str]:
     build baselines are d=3, ``script/data/build.csv``)."""
     x, y = sql_coord_exprs(id_expr)
     return (x, y, f"(({id_expr}) * {ZA}) % {COORD_MOD}")
+
+
+# SQL-expressible splitmix64 ---------------------------------------------
+# DuckDB lacks wrapping 64-bit arithmetic (BIGINT/UBIGINT ops error on
+# overflow), so the mix is carried in HUGEINT (int128): multiplication
+# mod 2**64 splits the multiplicand into 32-bit halves (each partial
+# product < 2**96, well inside int128), xor-shift stages round-trip
+# through UBIGINT where xor is defined.  Bit-exact vs :func:`splitmix64`
+# (validated for i up to 6e6 in tests/test_window_image.py).
+
+_SQL_M = 1 << 64
+
+
+def _sql_mulmod64(z: str, c: int) -> str:
+    """HUGEINT expr for ``(z * c) mod 2**64`` (z in [0, 2**64), c < 2**64)."""
+    return (
+        f"(((({z}) % 4294967296) * {c} + "
+        f"(((({z}) // 4294967296) * {c}) % 4294967296) * 4294967296) % {_SQL_M})"
+    )
+
+
+def _sql_xorshift(z: str, n: int) -> str:
+    """HUGEINT expr for ``z ^ (z >> n)`` on a uint64 value."""
+    return (
+        f"CAST(xor(CAST(({z}) AS UBIGINT), "
+        f"CAST((({z}) // {1 << n}) AS UBIGINT)) AS HUGEINT)"
+    )
+
+
+def sql_splitmix64(x_expr: str, seed: int = 0) -> str:
+    """DuckDB HUGEINT expression computing ``splitmix64(x_expr, seed)``
+    bit-exactly (result in [0, 2**64); wrap in CAST(... AS UBIGINT) to
+    fetch).  ``x_expr`` must be a non-negative BIGINT expression."""
+    off = (int(seed) * 0x9E3779B97F4A7C15 + 0x9E3779B97F4A7C15) % _SQL_M
+    z = f"((CAST(({x_expr}) AS HUGEINT) + {off}) % {_SQL_M})"
+    z = _sql_mulmod64(_sql_xorshift(z, 30), int(_SM_M1))
+    z = _sql_mulmod64(_sql_xorshift(z, 27), int(_SM_M2))
+    return _sql_xorshift(z, 31)
+
+
+def sql_phash_xy(h_expr: str) -> tuple[str, str]:
+    """SQL (x, y) exprs matching :func:`pkd_tree_ray.fixtures.phash_to_xy`
+    for a HUGEINT uint64-valued hash expression: low 32 bits mod
+    COORD_MOD for x, high 32 bits mod COORD_MOD for y."""
+    return (
+        f"CAST((({h_expr}) % 4294967296) % {COORD_MOD} AS BIGINT)",
+        f"CAST((({h_expr}) // 4294967296) % {COORD_MOD} AS BIGINT)",
+    )
