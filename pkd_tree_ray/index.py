@@ -1505,11 +1505,44 @@ def _tomb_ids_cached(tomb_files: tuple, id_col: str) -> np.ndarray:
     return _TOMB_CACHE[key]
 
 
+def _read_ids_pruned(f: str, id_col: str, dead: np.ndarray) -> np.ndarray | None:
+    """Read the id column of ``f``, pruning row groups whose min/max id
+    statistics admit NO candidate from the sorted ``dead`` array (the
+    footer read is O(KB) vs the column's O(rows); a delete of
+    recently-inserted or otherwise id-clustered rows skips every base
+    fragment).  Returns None when the whole file is pruned."""
+    import pyarrow.parquet as pq
+
+    if dead.dtype.kind not in "iuf" or not len(dead):
+        return pq.read_table(f, columns=[id_col])[id_col].to_numpy(zero_copy_only=False)
+    pf = pq.ParquetFile(f)
+    try:
+        ci = pf.schema_arrow.names.index(id_col)
+    except ValueError:
+        return pq.read_table(f, columns=[id_col])[id_col].to_numpy(zero_copy_only=False)
+    keep = []
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(ci).statistics
+        if st is None or not st.has_min_max:
+            keep.append(rg)
+            continue
+        lo = np.searchsorted(dead, st.min, side="left")
+        hi = np.searchsorted(dead, st.max, side="right")
+        if hi > lo:
+            keep.append(rg)
+    if not keep:
+        return None
+    return pf.read_row_groups(keep, columns=[id_col])[id_col].to_numpy(
+        zero_copy_only=False
+    )
+
+
 @ray.remote(num_cpus=1)
 def _count_matches_task(entries, del_ids_ref, id_col: str) -> dict:
     """Count LIVE rows whose id is in the delete set, for a chunk of
     cells — raw parquet id-column reads (base + sidecar files,
-    tombstones applied), mirroring IndexShard.sync's live-row rule."""
+    tombstones applied, row groups pruned by id statistics), mirroring
+    IndexShard.sync's live-row rule."""
     import pyarrow.parquet as pq
 
     dead = ray.get(del_ids_ref) if isinstance(del_ids_ref, ray.ObjectRef) else del_ids_ref
@@ -1517,12 +1550,11 @@ def _count_matches_task(entries, del_ids_ref, id_col: str) -> dict:
     for cell, files, tombs in entries:
         if not files:
             continue
-        ids = np.concatenate(
-            [
-                pq.read_table(f, columns=[id_col])[id_col].to_numpy(zero_copy_only=False)
-                for f in files
-            ]
-        )
+        parts = [_read_ids_pruned(f, id_col, dead) for f in files]
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            continue
+        ids = np.concatenate(parts)
         if tombs:
             gone = np.unique(
                 np.concatenate(
