@@ -942,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
         for i, v in enumerate(polys)
     )
     from pkd_tree_ray.geometry import sql_point_in_polygon
+    from pkd_tree_ray.text import sql_lang_id
 
     pip_concave_sql = "\nUNION ALL\n".join(
         f"SELECT {i} AS poly_id, count(*) AS cnt FROM pts WHERE "
@@ -1082,4 +1083,5 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
 """,
         "image_knn": _image_knn_sql(10),
         "image_decode_stats": _image_decode_stats_sql(),
+        "lang_id": sql_lang_id(),
     }

@@ -205,6 +205,42 @@ def lang_id(docs):
     )
 
 
+def sql_lang_id() -> str:
+    """DuckDB SQL reproducing :class:`LangId` exactly over the
+    ``documents`` view.  DuckDB's RE2 lacks lookarounds, so the
+    whole-word marker test uses boundary groups ``(^|[^a-zA-Z])w([^a-zA-Z]|$)``
+    — equivalent to the Python lookaround regex for *presence*.  The
+    argmax tie-break (first language in name order) becomes a CASE
+    cascade over the name-sorted score columns."""
+    langs = sorted(l for l, m in _LANG_MARKERS.items() if m)
+    score_cols = []
+    for lang in langs:
+        terms = " + ".join(
+            "CAST(regexp_matches(coalesce(text, ''), "
+            f"'(?i)(^|[^a-zA-Z]){w}([^a-zA-Z]|$)') AS BIGINT)"
+            for w in sorted(_LANG_MARKERS[lang])
+        )
+        score_cols.append(f"({terms}) AS s_{lang}")
+    snames = [f"s_{lang}" for lang in langs]
+    cascade = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{snames[i]} >= {s}" for s in snames[i + 1:])
+        cascade.append(f"WHEN {conds} THEN '{lang}'")
+    return f"""
+WITH s AS (
+  SELECT doc_id, {", ".join(score_cols)},
+         regexp_matches(coalesce(text, ''), '[一-鿿]') AS is_zh
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN is_zh THEN 'zh'
+       WHEN greatest({", ".join(snames)}) = 0 THEN 'und'
+       {" ".join(cascade)}
+       ELSE '{langs[-1]}' END AS pred_lang
+FROM s
+"""
+
+
 # ----------------------------------------------------------------------
 # MinHash-LSH near-dup
 # ----------------------------------------------------------------------
