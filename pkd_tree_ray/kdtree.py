@@ -774,6 +774,7 @@ def block_knn_triplets(
     Qc: Sequence[np.ndarray],
     k: int,
     exact: bool = True,
+    init_bounds: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Within-cell top-k via block pruning -> triplets
     (q_idx, neighbor_id, dist2), already cut to per-query top-k under
@@ -785,6 +786,16 @@ def block_knn_triplets(
     Exact: the bound is the kth smallest distance among scanned rows
     (>= the true kth), and candidate inclusion is <=, so every true
     top-k row (ties included) is emitted before the final cut.
+
+    ``init_bounds`` (per-query, aligned with Qc): an EXTERNAL upper
+    bound on the distance any caller-relevant row can have (a provable
+    global-kth bound on the serving path).  Seed blocks outside it are
+    never scanned and the phase-B bound is capped by it — a non-seed
+    cell whose nearest blocks sit beyond the global bound costs one
+    vectorized compare instead of a brute scan.  Rows beyond the
+    caller's bound were going to be discarded by the bound-verified
+    merge anyway, so exactness is unchanged (a too-small caller bound
+    is already repaired by the found/kth verification).
 
     ``exact=False`` skips phase B: the result is the top-k among the
     seed blocks only — points whose true rank is k-th but who live in
@@ -802,6 +813,10 @@ def block_knn_triplets(
     bd2 = pnd_b_min_dist2(Qm, bboxes)
     sizes = bhi - blo
     sq, sb = cum_nearest_prefix(bd2, sizes, min(k, n))
+    if init_bounds is not None:
+        ib = np.asarray(init_bounds, dtype=np.float64)
+        keep_seed = bd2[sq, sb] <= ib[sq]
+        sq, sb = sq[keep_seed], sb[keep_seed]
     B = len(blo)
     out_q: list[np.ndarray] = []
     out_n: list[np.ndarray] = []
@@ -823,13 +838,20 @@ def block_knn_triplets(
         out_q.append(np.repeat(qs, k_eff))
         out_n.append(ids[lo + idx.ravel()])
         out_d.append(d2.ravel())
-    q1 = np.concatenate(out_q)
-    n1 = np.concatenate(out_n)
-    d1 = np.concatenate(out_d)
+    if out_q:
+        q1 = np.concatenate(out_q)
+        n1 = np.concatenate(out_n)
+        d1 = np.concatenate(out_d)
+    else:
+        q1 = np.zeros(0, np.int64)
+        n1 = np.zeros(0, ids.dtype)
+        d1 = np.zeros(0, np.int64)
     if not exact:
         rows0, _ = topk_per_qid(q1, d1, n1, k)
         return q1[rows0], n1[rows0], d1[rows0]
     bounds = _bounds_from_triplets(q1, d1, n1, m, min(k, n))
+    if init_bounds is not None:
+        bounds = np.minimum(bounds.astype(np.float64), ib)
     cand = (bd2 <= bounds[:, None]) & ~seeded
     for b in range(B):
         qs2 = np.nonzero(cand[:, b])[0]
@@ -850,6 +872,8 @@ def block_knn_triplets(
         out_q.append(qs2[qi])
         out_n.append(nb)
         out_d.append(d2f)
+    if not out_q:
+        return q1, n1, d1
     q = np.concatenate(out_q)
     nbr = np.concatenate(out_n)
     dd = np.concatenate(out_d)

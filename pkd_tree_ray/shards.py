@@ -237,8 +237,12 @@ class IndexShard:
             fq = qs[~home & ~deep]
             if len(hq):
                 if blocks is not None and k < len(fc[0]):
+                    # the caller's per-query bound is a provable cap on
+                    # any row that can survive the bound-verified merge
+                    # — blocks beyond it are never scanned
                     q3, n3, d3 = block_knn_triplets(
-                        fc, ids, *blocks, [c[hq] for c in Qc], k
+                        fc, ids, *blocks, [c[hq] for c in Qc], k,
+                        init_bounds=bounds[hq],
                     )
                     out_q.append(hq[q3])
                     out_n.append(n3)

@@ -91,3 +91,40 @@ def test_partition_covers_every_row_once():
         assert sorted(order.tolist()) == list(range(n))
         assert blo[0] == 0 and bhi[-1] == n
         assert (blo[1:] == bhi[:-1]).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=3_000),
+    m=st.integers(min_value=1, max_value=50),
+    k=st.integers(min_value=1, max_value=60),
+    block=st.sampled_from([16, 64, 256]),
+    coord_range=st.sampled_from([3, 1_000_000]),
+    slack=st.sampled_from([0, 1, 1_000_000_000]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_block_knn_with_valid_init_bounds_is_exact(
+    n, m, k, block, coord_range, slack, seed
+):
+    """With init_bounds >= the true per-query kth distance (the
+    serving path's provable global bound), block_knn_triplets must
+    still return the exact (dist2, id)-ordered top-k — the skipped
+    seed blocks and capped phase-B bound may only drop rows that the
+    bound-verified merge would discard anyway."""
+    rng = np.random.RandomState(seed)
+    fc = [rng.randint(0, coord_range, n).astype(np.int64) for _ in range(2)]
+    Qc = [rng.randint(-coord_range, 2 * coord_range, m).astype(np.int64) for _ in range(2)]
+    ids = rng.permutation(n).astype(np.int64)
+    eq, en, ed = _brute_reference(fc, ids, Qc, k)
+    # true kth per query (+ slack): a VALID external bound
+    kth = np.zeros(m, dtype=np.int64)
+    uq, st_, ct = np.unique(eq, return_index=True, return_counts=True)
+    kth[uq] = ed[st_ + ct - 1]
+    order, blo, bhi, bb = kd_block_partition(fc, block)
+    q3, n3, d3 = block_knn_triplets(
+        [c[order] for c in fc], ids[order], blo, bhi, bb, Qc, k,
+        init_bounds=kth + slack,
+    )
+    assert np.array_equal(q3, eq)
+    assert np.array_equal(n3, en)
+    assert np.array_equal(d3, ed)
