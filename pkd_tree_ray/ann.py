@@ -169,7 +169,6 @@ def embedding_neardup(
     import pandas as pd
 
     from pkd_tree_ray.pairjoin import (
-        bucket_pairs_capped,
         pairwise_join_verify,
         semi_filter_ids,
     )
@@ -201,17 +200,32 @@ def embedding_neardup(
             }
         )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        a, b = bucket_pairs_capped(group["vec_id"].to_numpy())
+    from pkd_tree_ray.pairjoin import _bucket_of, bucket_pairs_runs_table
+
+    def pairs_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # one Python call per HASH bucket; every (band, key) LSH bucket
+        # inside is emitted by the vectorized multi-run kernel
+        a, b = bucket_pairs_runs_table(
+            [group["band"].to_numpy(), group["key"].to_numpy()],
+            group["vec_id"].to_numpy(dtype=np.int64),
+        )
         return pd.DataFrame({"vec_a": a, "vec_b": b})
+
+    def add_gbkt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["gbkt"] = _bucket_of(
+            batch["key"].to_numpy()
+            ^ (batch["band"].to_numpy() * np.int64(0x9E3779B9))
+        )
+        return batch
 
     from ray.data.aggregate import Count
 
     cand = (
         embeddings.select_columns(["vec_id", "embedding"])
         .map_batches(signatures, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(pairs, batch_format="pandas")
+        .map_batches(add_gbkt, batch_format="pandas")
+        .groupby("gbkt")
+        .map_groups(pairs_bucket, batch_format="pandas")
         .groupby(["vec_a", "vec_b"])
         .aggregate(Count(alias_name="nb"))
         .select_columns(["vec_a", "vec_b"])

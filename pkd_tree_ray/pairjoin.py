@@ -273,6 +273,71 @@ def semi_filter_ids(ds, id_col: str, ids: np.ndarray):
     return ds.map_batches(semi, batch_format="pyarrow")
 
 
+def bucket_pairs_capped_runs(
+    run: np.ndarray, ids: np.ndarray, cap: int = 64
+) -> tuple[np.ndarray, np.ndarray]:
+    """:func:`bucket_pairs_capped` over MANY buckets at once — the
+    emitted pair SET per run is identical, with zero per-bucket Python.
+
+    ``run``: non-decreasing run labels (one per LSH bucket); ``ids``
+    must be sorted ascending WITHIN each run (lexsort by (bucket key,
+    id) upstream).  Small runs (<= cap) vectorize by grouping equal
+    lengths (one ``triu_indices`` broadcast per distinct length — at
+    most cap-1 iterations, independent of bucket count); large runs
+    emit the segmented star + sorted-adjacent chain with global
+    position arithmetic, skipping the chain edges the star already
+    covers (position % cap == 1) instead of a unique() dedup."""
+    run = np.asarray(run)
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+    empty = np.empty(0, np.int64)
+    if n < 2:
+        return empty, empty
+    starts = np.flatnonzero(np.concatenate([[True], run[1:] != run[:-1]]))
+    lens = np.diff(np.append(starts, n))
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    small = (lens >= 2) & (lens <= cap)
+    for L in np.unique(lens[small]):
+        rs = starts[small & (lens == L)]
+        ia, ib = np.triu_indices(int(L), k=1)
+        out_a.append(ids[(rs[:, None] + ia[None, :]).ravel()])
+        out_b.append(ids[(rs[:, None] + ib[None, :]).ravel()])
+    big = np.repeat(lens > cap, lens)
+    if big.any():
+        p = pos[big]
+        gi = np.nonzero(big)[0]
+        st = np.repeat(starts, lens)[big]
+        spoke = p % cap != 0
+        out_a.append(ids[(st + (p // cap) * cap)[spoke]])
+        out_b.append(ids[gi[spoke]])
+        chain = (p >= 1) & (p % cap != 1)
+        out_a.append(ids[gi[chain] - 1])
+        out_b.append(ids[gi[chain]])
+    if not out_a:
+        return empty, empty
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+def bucket_pairs_runs_table(
+    key_cols: list[np.ndarray], ids: np.ndarray, cap: int = 64
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pairs for a batch holding MANY (bucket-key, id) rows: lexsort by
+    (keys..., id), run-split on key change, emit capped pairs — the
+    whole-batch form used inside a hash-bucket ``map_groups``."""
+    order = np.lexsort((ids, *reversed(key_cols)))
+    ids_s = ids[order]
+    change = np.zeros(len(ids_s), dtype=bool)
+    if len(ids_s):
+        change[0] = True
+        for c in key_cols:
+            cs = c[order]
+            change[1:] |= cs[1:] != cs[:-1]
+    runs = np.cumsum(change) - 1
+    return bucket_pairs_capped_runs(runs, ids_s, cap)
+
+
 def bucket_pairs_capped(ids: np.ndarray, cap: int = 64) -> tuple[np.ndarray, np.ndarray]:
     """Candidate pairs within one LSH bucket, bounded ~O(B) edges and
     O(cap) PER-DOC degree.

@@ -412,18 +412,37 @@ def minhash_candidates(docs):
     """-> Dataset of candidate near-dup pairs (doc_a, doc_b) from LSH
     buckets (doc_a < doc_b, distinct).  Oversized buckets are
     sub-linearised (star+chain, :func:`pairjoin.bucket_pairs_capped`)
-    so a duplicate-heavy corpus cannot make one bucket O(B^2)."""
-    from pkd_tree_ray.pairjoin import bucket_pairs_capped
+    so a duplicate-heavy corpus cannot make one bucket O(B^2).
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        a, b = bucket_pairs_capped(group["doc_id"].to_numpy())
+    Buckets are grouped by a HASH of the bucket key (the pairjoin
+    attach pattern): one Python call per hash bucket, with every LSH
+    bucket inside emitted by the vectorized multi-run kernel
+    (:func:`pairjoin.bucket_pairs_runs_table`) — per-LSH-bucket
+    ``map_groups`` costs one Python call per distinct (band, hash)
+    value, which is O(corpus) calls at 10^9 docs."""
+    from pkd_tree_ray.pairjoin import _bucket_of, bucket_pairs_runs_table
+
+    def pairs_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        a, b = bucket_pairs_runs_table(
+            [group["band_id"].to_numpy(), group["band_hash"].to_numpy()],
+            group["doc_id"].to_numpy(dtype=np.int64),
+        )
         return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    def add_gbkt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["gbkt"] = _bucket_of(
+            batch["band_hash"].to_numpy()
+            ^ (batch["band_id"].to_numpy() * np.int64(0x9E3779B9))
+        )
+        return batch
 
     bands = docs.select_columns(["doc_id", "text"]).map_batches(
         MinHasher, batch_format="pandas", concurrency=(1, 8)
     )
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
+    cand = (
+        bands.map_batches(add_gbkt, batch_format="pandas")
+        .groupby("gbkt")
+        .map_groups(pairs_bucket, batch_format="pandas")
     )
     # dedup pairs found by multiple bands: aggregate (vectorized hash
     # shuffle) rather than per-group Python calls
