@@ -122,24 +122,38 @@ def ann_bruteforce(
             }
         )
 
-    def topk(group: pa.Table) -> pa.Table:
-        nb = group["neighbor"].to_numpy()
+    def topk_bucket(group: pa.Table) -> pa.Table:
+        # one Python call per qid HASH bucket (a qid's partials all
+        # land in one bucket); the (score, neighbor)-ordered cut runs
+        # vectorized over every qid inside
+        from pkd_tree_ray.kdtree import topk_per_qid
+
+        qi = group["qid"].to_numpy()
         sc = group["score"].to_numpy()
-        order = np.lexsort((nb, sc))[:k]
-        out = group.take(pa.array(order))
+        nb = group["neighbor"].to_numpy()
+        rows, ranks = topk_per_qid(qi, sc, nb, k)
+        out = group.take(pa.array(rows))
         return pa.table(
             {
                 "qid": out["qid"],
-                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "rank": pa.array(ranks, pa.int64()),
                 "neighbor": out["neighbor"],
                 "score": out["score"],
             }
         )
 
+    def add_qbkt(batch: pa.Table) -> pa.Table:
+        from pkd_tree_ray.pairjoin import _bucket_of
+
+        return batch.append_column(
+            "qbkt", pa.array(_bucket_of(batch["qid"].to_numpy()))
+        )
+
     pdf = (
         embeddings.map_batches(partial, batch_format="pyarrow")
-        .groupby("qid")
-        .map_groups(topk, batch_format="pyarrow")
+        .map_batches(add_qbkt, batch_format="pyarrow")
+        .groupby("qbkt")
+        .map_groups(topk_bucket, batch_format="pyarrow")
         .to_pandas()
     )
     pdf = pdf.sort_values(["qid", "rank"])

@@ -1211,7 +1211,10 @@ def knn_nd(index: PkdIndex, Q: np.ndarray, k: int, config=None):
             lambda t: _shrink_partials(t, k), batch_format="pyarrow"
         )
 
-        def topk(group: pa.Table) -> pa.Table:
+        def topk_bucket(group: pa.Table) -> pa.Table:
+            # one Python call per qid HASH bucket, the vectorized cut
+            # over every qid inside (per-raw-qid map_groups is one
+            # Python call per QUERY — O(m) calls at serving scale)
             qid = group["qid"].to_numpy()
             d2 = group["dist2"].to_numpy()
             nb = group["neighbor"].to_numpy(zero_copy_only=False)
@@ -1226,7 +1229,18 @@ def knn_nd(index: PkdIndex, Q: np.ndarray, k: int, config=None):
                 }
             )
 
-        return partials.groupby("qid").map_groups(topk, batch_format="pyarrow")
+        def add_qbkt(t: pa.Table) -> pa.Table:
+            from pkd_tree_ray.pairjoin import _bucket_of
+
+            return t.append_column(
+                "qbkt", pa.array(_bucket_of(t["qid"].to_numpy()))
+            )
+
+        return (
+            partials.map_batches(add_qbkt, batch_format="pyarrow")
+            .groupby("qbkt")
+            .map_groups(topk_bucket, batch_format="pyarrow")
+        )
 
     k_eff_pool = min(k, index.total_rows)
     pool = getattr(index, "pool", None)
