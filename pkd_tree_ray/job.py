@@ -40,6 +40,9 @@ def main(argv=None) -> int:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="only used when this process owns ray.init")
+    ap.add_argument("--target-cell-rows", type=int, default=None,
+                    help="override EngineConfig.target_cell_rows (cell "
+                    "granularity = resume/checkpoint granularity)")
     args = ap.parse_args(argv)
 
     import ray
@@ -112,6 +115,10 @@ def main(argv=None) -> int:
 
     pts = geotag_images(images).map_batches(to_points, batch_format="pyarrow")
     cfg = EngineConfig()
+    if args.target_cell_rows:
+        from dataclasses import replace
+
+        cfg = replace(cfg, target_cell_rows=args.target_cell_rows)
     with stage("build"):
         idx = PkdIndex.build(
             pts, os.path.join(args.workdir, "index"), cfg,
