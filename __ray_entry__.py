@@ -942,7 +942,12 @@ def oracle_sql() -> dict[str, str]:
         for i, v in enumerate(polys)
     )
     from pkd_tree_ray.geometry import sql_point_in_polygon
-    from pkd_tree_ray.text import sql_lang_id
+    from pkd_tree_ray.text import (
+        sql_fingerprints,
+        sql_lang_id,
+        sql_minhash_neardup,
+        sql_simhash,
+    )
 
     pip_concave_sql = "\nUNION ALL\n".join(
         f"SELECT {i} AS poly_id, count(*) AS cnt FROM pts WHERE "
@@ -1084,4 +1089,7 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
         "image_knn": _image_knn_sql(10),
         "image_decode_stats": _image_decode_stats_sql(),
         "lang_id": sql_lang_id(),
+        "fingerprints": sql_fingerprints(),
+        "simhash": sql_simhash(),
+        "minhash_neardup": sql_minhash_neardup(threshold=0.5),
     }

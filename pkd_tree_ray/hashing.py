@@ -111,6 +111,128 @@ def sql_splitmix64(x_expr: str, seed: int = 0) -> str:
     return _sql_xorshift(z, 31)
 
 
+def sql_mulmod64_vars(z: str, a: str) -> str:
+    """HUGEINT expr for ``(z * a) mod 2**64`` where BOTH operands are
+    HUGEINT expressions in [0, 2**64) (the constant-multiplier form is
+    :func:`_sql_mulmod64`).  Splits ``z`` into 32-bit halves so every
+    partial product stays below 2**96."""
+    zh = f"CAST(({z}) AS HUGEINT)"
+    ah = f"CAST(({a}) AS HUGEINT)"
+    return (
+        f"((({zh} % 4294967296) * {ah} + "
+        f"((({zh} // 4294967296) * {ah}) % 4294967296) * 4294967296) % {_SQL_M})"
+    )
+
+
+def sql_xor64(a: str, b: str) -> str:
+    """HUGEINT expr for ``a ^ b`` over two uint64-valued expressions
+    (xor is only defined on UBIGINT in DuckDB)."""
+    return (
+        f"CAST(xor(CAST(({a}) AS UBIGINT), CAST(({b}) AS UBIGINT)) AS HUGEINT)"
+    )
+
+
+def sql_u64_to_i64(v: str) -> str:
+    """BIGINT expr reinterpreting a HUGEINT uint64 value as a SIGNED
+    64-bit integer (numpy's ``.view(np.int64)``)."""
+    return (
+        f"CAST(CASE WHEN ({v}) >= {1 << 63} THEN ({v}) - {_SQL_M} "
+        f"ELSE ({v}) END AS BIGINT)"
+    )
+
+
+# SQL-expressible token hashing --------------------------------------------
+# The text operators (fingerprints / simhash / MinHash-LSH) hash TOKENS.
+# pandas' hash_array (siphash) is not SQL-reproducible, so token identity
+# uses a codepoint polynomial fold finalised by splitmix64:
+#
+#     poly(t) = fold_{c in codepoints(t)} acc -> (acc * POLY_P + c) mod 2**64
+#     token_hash(t, seed) = splitmix64(poly(t), seed)
+#
+# The fold is exact in DuckDB (HUGEINT carry + the 32-bit-half multiply);
+# the splitmix64 finaliser restores full 64-bit mixing quality on top of
+# the weak-but-exact polynomial.
+
+POLY_P = 0x9E3779B97F4A7C15  # splitmix64 increment (public domain), odd
+_POLY_P_U = _U(POLY_P)
+
+
+def poly64(tokens) -> np.ndarray:
+    """Vectorized codepoint polynomial fold of a string sequence ->
+    uint64 array.  ASCII content takes a zero-copy Arrow-buffer path
+    (bytes == codepoints); any non-ASCII token falls back to an exact
+    per-token UTF-32 decode of the same codepoint fold."""
+    import pyarrow as pa
+
+    if isinstance(tokens, (pa.Array, pa.ChunkedArray)):
+        arr = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+        arr = arr.cast(pa.string())
+    else:
+        arr = pa.array(list(tokens), type=pa.string())
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if arr.null_count:
+        arr = arr.fill_null("")
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset: arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lo, hi = int(off[0]), int(off[-1])
+    flat = data[lo:hi]
+    if flat.size and int(flat.max()) >= 128:
+        return _poly64_codepoints_slow(arr)
+    starts = off[:-1] - lo
+    ends = off[1:] - lo
+    lens = ends - starts
+    maxlen = int(lens.max(initial=0))
+    pw = np.ones(max(maxlen, 1), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(1, maxlen):
+            pw[i] = pw[i - 1] * _POLY_P_U
+        exp = (np.repeat(ends, lens) - 1) - np.arange(hi - lo, dtype=np.int64)
+        terms = flat.astype(np.uint64) * pw[exp]
+        csum = np.zeros(flat.size + 1, dtype=np.uint64)
+        np.cumsum(terms, out=csum[1:])
+        return csum[ends] - csum[starts]  # wraparound subtraction == mod 2**64
+
+
+def _poly64_codepoints_slow(arr) -> np.ndarray:
+    out = np.zeros(len(arr), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, tok in enumerate(arr.to_pylist()):
+            if not tok:
+                continue
+            cps = np.frombuffer(tok.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+            h = _U(0)
+            for c in cps:
+                h = h * _POLY_P_U + c
+            out[i] = h
+    return out
+
+
+def token_hash64(tokens, seed: int = 0) -> np.ndarray:
+    """SQL-reproducible 64-bit token hash: splitmix64(poly64(t), seed)."""
+    return splitmix64(poly64(tokens), seed)
+
+
+def sql_poly64(tok_expr: str) -> str:
+    """DuckDB HUGEINT expression computing :func:`poly64` of a VARCHAR
+    expression bit-exactly (list_reduce codepoint fold)."""
+    fold = _sql_mulmod64("acc", POLY_P)
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+        f"list_transform(range(1, length({tok_expr}) + 1), "
+        f"i -> CAST(unicode(substr({tok_expr}, CAST(i AS INTEGER), 1)) AS HUGEINT))), "
+        f"(acc, c) -> ({fold} + c) % {_SQL_M})"
+    )
+
+
+def sql_token_hash64(tok_expr: str, seed: int = 0) -> str:
+    """DuckDB expr for :func:`token_hash64` (HUGEINT in [0, 2**64))."""
+    return sql_splitmix64(sql_poly64(tok_expr), seed)
+
+
 def sql_phash_xy(h_expr: str) -> tuple[str, str]:
     """SQL (x, y) exprs matching :func:`pkd_tree_ray.fixtures.phash_to_xy`
     for a HUGEINT uint64-valued hash expression: low 32 bits mod

@@ -18,9 +18,17 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from pkd_tree_ray.hashing import splitmix64
+from pkd_tree_ray.hashing import splitmix64, token_hash64
 
 _TOKEN_RE = r"\S+"  # token = maximal run of non-whitespace (SQL: regexp_extract_all)
+
+# token-hash seeds per operator (distinct lanes of the SQL-reproducible
+# splitmix64(poly64) token hash, pkd_tree_ray.hashing.token_hash64 —
+# exactly re-derivable in DuckDB, which is what turns the fingerprint /
+# SimHash / MinHash pipelines into exact-oracle queries)
+_SEED_FP = 11
+_SEED_SIM = 12
+_SEED_MH = 13
 
 
 # ----------------------------------------------------------------------
@@ -254,6 +262,25 @@ _PRIME = (1 << 61) - 1
 _ROLL_P = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _roll_windows(th: np.ndarray, w: int) -> np.ndarray:
+    """Rolling multiply-xor window hashes of one doc's token-hash
+    sequence; docs shorter than the window collapse to one whole-doc
+    fold (empty docs: the hash of the empty token)."""
+    n = len(th)
+    if n == 0:
+        return token_hash64([""], _SEED_MH)
+    with np.errstate(over="ignore"):  # wraparound intended
+        if n < w:
+            h = th[0]
+            for v in th[1:]:
+                h = h * _ROLL_P ^ v
+            return np.array([h], dtype=np.uint64)
+        wh = th[: n - w + 1].copy()
+        for j in range(1, w):
+            wh = wh * _ROLL_P ^ th[j: n - w + 1 + j]
+    return wh
+
+
 class MinHasher:
     """Actor: word-shingle MinHash signatures + LSH band keys.
 
@@ -278,41 +305,17 @@ class MinHasher:
         self.b = splitmix64(idx, seed + 1).astype(np.uint64)
 
     def _empty_hash(self) -> np.ndarray:
-        from pandas.util import hash_array
-
-        return hash_array(
-            np.array([""], dtype=object), hash_key="pkd_shingle_0000"
-        ).astype(np.uint64)
+        return token_hash64([""], _SEED_MH)
 
     def _window_hashes(self, th: np.ndarray) -> np.ndarray:
-        """Rolling multiply-xor window hashes of one doc's token-hash
-        sequence; docs shorter than the window collapse to one
-        whole-doc window (empty docs: the hash of "")."""
-        w = self.shingle
-        n = len(th)
-        if n == 0:
-            return self._empty_hash()
-        with np.errstate(over="ignore"):  # wraparound intended
-            if n < w:
-                h = th[0]
-                for v in th[1:]:
-                    h = h * _ROLL_P ^ v
-                return np.array([h], dtype=np.uint64)
-            wh = th[: n - w + 1].copy()
-            for j in range(1, w):
-                wh = wh * _ROLL_P ^ th[j: n - w + 1 + j]
-        return wh
+        return _roll_windows(th, self.shingle)
 
     def signature(self, text: str) -> np.ndarray:
         """Scalar reference path (one doc) — bit-identical to one row
         of :meth:`signatures_batch`."""
-        from pandas.util import hash_array
-
         toks = self.token.findall(text or "")
         th = (
-            hash_array(
-                np.array(toks, dtype=object), hash_key="pkd_shingle_0000"
-            ).astype(np.uint64)
+            token_hash64(toks, _SEED_MH)
             if toks
             else np.zeros(0, dtype=np.uint64)
         )
@@ -329,8 +332,6 @@ class MinHasher:
         per-permutation segmented min (``np.minimum.reduceat`` over the
         owner-sorted window stream).  Only sub-window docs (< shingle
         tokens) take a scalar path."""
-        from pandas.util import hash_array
-
         w = self.shingle
         n = len(texts)
         toks_per = texts.fillna("").map(self.token.findall)
@@ -346,7 +347,7 @@ class MinHasher:
             pos += len(lst)
         owner = np.repeat(np.arange(n, dtype=np.int64), counts)
         th = (
-            hash_array(flat, hash_key="pkd_shingle_0000").astype(np.uint64)
+            token_hash64(flat, _SEED_MH)
             if total
             else np.zeros(0, dtype=np.uint64)
         )
@@ -457,13 +458,13 @@ def minhash_candidates(docs):
 
 def _shingle_hashes(text: str, token, shingle: int = 3) -> np.ndarray:
     """Sorted distinct 64-bit hashes of the word shingles — the
-    compact, joinable form of the shingle set."""
-    from pandas.util import hash_array
-
+    compact, joinable form of the shingle set.  Shingle identity is
+    the rolling window hash over :func:`token_hash64` values (the
+    exact stream MinHash signs), so the verification stage and the
+    DuckDB oracle re-derive one identical set per doc."""
     toks = token.findall(text or "")
-    sh = [" ".join(toks[i: i + shingle]) for i in range(max(1, len(toks) - shingle + 1))]
-    hv = hash_array(np.array(sh, dtype=object), hash_key="pkd_shingle_0000")
-    return np.unique(hv.view(np.int64))
+    th = token_hash64(toks, _SEED_MH) if toks else np.zeros(0, np.uint64)
+    return np.unique(_roll_windows(th, shingle).view(np.int64))
 
 
 def minhash_neardup(docs, threshold: float = 0.5, candidates=None):
@@ -535,15 +536,18 @@ def minhash_neardup(docs, threshold: float = 0.5, candidates=None):
         docs.select_columns(["doc_id", "text"]), "doc_id", cand_ids
     ).map_batches(ShingleSets, batch_format="pyarrow", concurrency=(1, 8))
 
-    thr = threshold
+    # threshold as exact permille so keep/score use INTEGER arithmetic
+    # only — float (inter/union)*1000 can land one ulp below an exact
+    # integer and truncate differently than the DuckDB oracle's
+    # (inter*1000)//union
+    thr_pm = round(threshold * 1000)
 
     def verify_fn(ha: np.ndarray, hb: np.ndarray):
         ha = ha.astype(np.int64)
         hb = hb.astype(np.int64)
         inter = len(np.intersect1d(ha, hb, assume_unique=True))
-        union = len(ha) + len(hb) - inter
-        j = inter / max(1, union)
-        return int(j * 1000) if j >= thr else None
+        union = max(1, len(ha) + len(hb) - inter)
+        return (inter * 1000) // union if inter * 1000 >= thr_pm * union else None
 
     def verify_batch_fn(col_a, col_b):
         # vectorized exact Jaccard over the whole batch of pairs: both
@@ -565,8 +569,7 @@ def minhash_neardup(docs, threshold: float = 0.5, candidates=None):
         dup = (pi_s[1:] == pi_s[:-1]) & (tok_s[1:] == tok_s[:-1])
         inter = np.bincount(pi_s[1:][dup], minlength=n)
         union = np.maximum(la + lb - inter, 1)
-        j = inter / union
-        return (j * 1000).astype(np.int64), j >= thr
+        return (inter * 1000) // union, inter * 1000 >= thr_pm * union
 
     return pairwise_join_verify(
         payload, cand, "doc_id", "doc_a", "doc_b", "hashes", pa.int64(),
@@ -608,8 +611,6 @@ class SimHasher:
         self.token = re.compile(_TOKEN_RE)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        from pandas.util import hash_array
-
         # one flat token stream for the whole batch, bit-expanded in
         # bounded chunks and segment-summed per doc (no per-doc loop)
         toks_per = batch["text"].fillna("").map(self.token.findall)
@@ -623,7 +624,7 @@ class SimHasher:
                 flat[pos: pos + len(lst)] = lst
                 pos += len(lst)
             owner = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
-            hv = hash_array(flat, hash_key="pkd_simhash_0000")
+            hv = token_hash64(flat, _SEED_SIM)
             shifts = np.arange(64, dtype=np.uint64)
             ones = np.zeros((len(batch), 64), dtype=np.int64)
             chunk = 1 << 18
@@ -669,8 +670,6 @@ def fingerprints(docs, window: int = 4):
     P = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 increment (public domain)
 
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
-        from pandas.util import hash_array
-
         toks_per = batch["text"].fillna("").map(token.findall)
         counts = toks_per.map(len).to_numpy(dtype=np.int64)
         out = np.zeros(len(batch), dtype=np.int64)
@@ -682,7 +681,7 @@ def fingerprints(docs, window: int = 4):
                 flat[pos: pos + len(lst)] = lst
                 pos += len(lst)
             owner = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
-            th = hash_array(flat, hash_key="pkd_fingerpr0000")
+            th = token_hash64(flat, _SEED_FP)
             w = window
             # full windows: positions whose w tokens share one owner
             if total >= w:
@@ -712,3 +711,170 @@ def fingerprints(docs, window: int = 4):
     return docs.select_columns(["doc_id", "text"]).map_batches(
         fp, batch_format="pandas"
     )
+
+
+# ----------------------------------------------------------------------
+# DuckDB oracle SQL for the hash pipelines
+# ----------------------------------------------------------------------
+# Every hash above is splitmix64(poly64(token)) + wraparound-uint64
+# arithmetic, all of which hashing.py re-derives as exact HUGEINT SQL —
+# so the fingerprint / SimHash / full MinHash-LSH near-dup pipelines
+# are bit-exact DuckDB queries (the driver's strongest check).
+
+def _sql_roll(acc: str, nxt: str) -> str:
+    """SQL for one rolling step ``acc * _ROLL_P ^ nxt`` (uint64)."""
+    from pkd_tree_ray.hashing import _sql_mulmod64, sql_xor64
+
+    return sql_xor64(_sql_mulmod64(acc, int(_ROLL_P)), nxt)
+
+
+def _sql_token_cte(seed: int) -> str:
+    """Shared CTE prefix: per-doc ordered token-hash lists ``hs``
+    (docs with zero tokens are absent from ``hl``)."""
+    from pkd_tree_ray.hashing import sql_token_hash64
+
+    th = sql_token_hash64("tok", seed)
+    return f"""
+docs0 AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE}') AS l
+          FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM docs0),
+th AS (SELECT doc_id, pos, {th} AS h FROM toks),
+hl AS (SELECT doc_id, list(h ORDER BY pos) AS hs FROM th GROUP BY doc_id)"""
+
+
+def _sql_fold_hs() -> str:
+    """SQL folding a whole token-hash list with the rolling step (the
+    sub-window whole-doc path of :func:`_roll_windows`)."""
+    return f"list_reduce(hs, (acc, nxt) -> {_sql_roll('acc', 'nxt')})"
+
+
+def _sql_windows_list(w: int) -> str:
+    """SQL list of the w-token rolling window hashes of ``hs`` (the
+    full-window path of :func:`_roll_windows`; requires len(hs) >= w)."""
+    expr = "hs[i]"
+    for j in range(1, w):
+        expr = _sql_roll(expr, f"hs[i+{j}]")
+    return f"list_transform(range(1, len(hs) - {w - 2}), i -> {expr})"
+
+
+def sql_fingerprints(window: int = 4) -> str:
+    """DuckDB SQL bit-exact vs :func:`fingerprints` over ``documents``."""
+    from pkd_tree_ray.hashing import sql_u64_to_i64
+
+    wins = f"list_aggregate({_sql_windows_list(window)}, 'min')"
+    return f"""
+WITH {_sql_token_cte(_SEED_FP)}
+SELECT d.doc_id,
+  CASE WHEN h.hs IS NULL THEN 0
+       WHEN len(h.hs) < {window} THEN {sql_u64_to_i64(_sql_fold_hs())}
+       ELSE {sql_u64_to_i64(wins)}
+  END AS fingerprint
+FROM docs0 d LEFT JOIN hl h USING (doc_id)
+"""
+
+
+def sql_simhash() -> str:
+    """DuckDB SQL bit-exact vs :func:`simhash` over ``documents``."""
+    from pkd_tree_ray.hashing import sql_u64_to_i64
+
+    pw_rows = ", ".join(f"({b}, CAST({1 << b} AS HUGEINT))" for b in range(64))
+    return f"""
+WITH {_sql_token_cte(_SEED_SIM)},
+cnt AS (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id),
+pw AS (SELECT * FROM (VALUES {pw_rows}) v(b, p2)),
+bits AS (
+  SELECT t.doc_id, p.b, p.p2,
+         sum(CASE WHEN (t.h // p.p2) % 2 = 1 THEN 1 ELSE 0 END) AS ones
+  FROM th t CROSS JOIN pw p GROUP BY t.doc_id, p.b, p.p2),
+sim AS (
+  SELECT b.doc_id,
+         sum(CASE WHEN b.ones * 2 > c.n THEN b.p2 ELSE CAST(0 AS HUGEINT) END) AS s
+  FROM bits b JOIN cnt c USING (doc_id) GROUP BY b.doc_id)
+SELECT d.doc_id,
+       coalesce({sql_u64_to_i64('m.s')}, 0) AS simhash,
+       coalesce(CAST(m.s // {1 << 48} AS BIGINT), 0) AS bucket16
+FROM documents d LEFT JOIN sim m USING (doc_id)
+"""
+
+
+def sql_minhash_neardup(threshold: float = 0.5, shingle: int = 3, cap: int = 64) -> str:
+    """DuckDB SQL bit-exact vs :func:`minhash_neardup` over
+    ``documents`` — the FULL pipeline: window hashes, the 64
+    splitmix64-derived permutations, band keys, LSH buckets (including
+    the capped star+chain pair generation of
+    :func:`pairjoin.bucket_pairs_capped_runs`, re-expressed with window
+    functions), and exact integer Jaccard verification."""
+    from pkd_tree_ray.hashing import (
+        sql_mulmod64_vars,
+        sql_splitmix64,
+        sql_u64_to_i64,
+        sql_xor64,
+    )
+
+    mh = MinHasher(shingle=shingle)
+    thr_pm = round(threshold * 1000)
+    empty_h = int(token_hash64([""], _SEED_MH)[0])
+    perm_rows = ", ".join(
+        f"({p}, CAST({int(mh.a[p])} AS HUGEINT), CAST({int(mh.b[p])} AS HUGEINT))"
+        for p in range(N_HASHES)
+    )
+    band_val = sql_xor64(sql_xor64("ssum", "s0"), "band_id")
+    band_hash = sql_u64_to_i64(sql_splitmix64(band_val, 7))
+    sig_step = f"({sql_mulmod64_vars('w.wh', 'p.a')} + p.b) % {1 << 64}"
+    return f"""
+WITH {_sql_token_cte(_SEED_MH)},
+whl AS (
+  SELECT d.doc_id,
+    CASE WHEN h.hs IS NULL THEN [CAST({empty_h} AS HUGEINT)]
+         WHEN len(h.hs) < {shingle} THEN [{_sql_fold_hs().replace('hs', 'h.hs')}]
+         ELSE {_sql_windows_list(shingle).replace('hs', 'h.hs')}
+    END AS ws
+  FROM docs0 d LEFT JOIN hl h USING (doc_id)),
+wh AS (SELECT doc_id, unnest(ws) AS wh FROM whl),
+perms AS (SELECT * FROM (VALUES {perm_rows}) v(p, a, b)),
+sigv AS (
+  SELECT w.doc_id, p.p, min({sig_step}) AS s
+  FROM wh w CROSS JOIN perms p GROUP BY w.doc_id, p.p),
+bandsraw AS (
+  SELECT doc_id, CAST(p // 4 AS BIGINT) AS band_id,
+         sum(s) % {1 << 64} AS ssum,
+         max(CASE WHEN p % 4 = 0 THEN s END) AS s0
+  FROM sigv GROUP BY doc_id, p // 4),
+bands AS (SELECT doc_id, band_id, {band_hash} AS band_hash FROM bandsraw),
+ordered AS (
+  SELECT band_id, band_hash, doc_id,
+         row_number() OVER (PARTITION BY band_id, band_hash ORDER BY doc_id) - 1 AS pos,
+         count(*) OVER (PARTITION BY band_id, band_hash) AS bn
+  FROM bands),
+small AS (
+  SELECT o1.doc_id AS a, o2.doc_id AS b
+  FROM ordered o1 JOIN ordered o2 USING (band_id, band_hash)
+  WHERE o1.bn <= {cap} AND o1.pos < o2.pos),
+centers AS (SELECT band_id, band_hash, pos AS cpos, doc_id AS cid
+            FROM ordered WHERE bn > {cap} AND pos % {cap} = 0),
+spokes AS (
+  SELECT c.cid AS a, o.doc_id AS b
+  FROM ordered o JOIN centers c USING (band_id, band_hash)
+  WHERE o.bn > {cap} AND o.pos % {cap} <> 0 AND c.cpos = (o.pos // {cap}) * {cap}),
+chain AS (
+  SELECT a, b FROM (
+    SELECT lag(doc_id) OVER (PARTITION BY band_id, band_hash ORDER BY pos) AS a,
+           doc_id AS b, pos
+    FROM ordered WHERE bn > {cap})
+  WHERE pos >= 1 AND pos % {cap} <> 1),
+cand AS (SELECT DISTINCT a AS doc_a, b AS doc_b FROM (
+  SELECT * FROM small UNION ALL SELECT * FROM spokes UNION ALL SELECT * FROM chain)),
+sets AS (SELECT DISTINCT doc_id, wh FROM wh),
+sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ic
+  FROM cand c JOIN sets sa ON sa.doc_id = c.doc_a
+              JOIN sets sb ON sb.doc_id = c.doc_b AND sb.wh = sa.wh
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       CAST((i.ic * 1000) // (za.sz + zb.sz - i.ic) AS BIGINT) AS jaccard_permille
+FROM inter i JOIN sz za ON za.doc_id = i.doc_a
+             JOIN sz zb ON zb.doc_id = i.doc_b
+WHERE i.ic * 1000 >= {thr_pm} * (za.sz + zb.sz - i.ic)
+ORDER BY doc_a, doc_b
+"""
