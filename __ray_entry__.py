@@ -448,19 +448,24 @@ def _q_ann_l2q(sf_dir: str):
     )
 
 
+_EMB_DIM = 64
+_PLANT_SEED = 123
+
+
 def _q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs (random-hyperplane LSH ->
-    bucket groupby -> exact cosine verify); rows-only (LSH recall < 1
-    and float cosine; recall vs brute force asserted in tests).
+    bucket groupby -> integer-exact quantized-cosine verify; DuckDB
+    oracle re-derives the whole pipeline including the planted dups).
 
     The synthetic embeddings table has no natural near-dups (max
     pairwise cosine ~0.51), so the pipeline input is the table UNION a
     deterministic perturbed copy of every 50th vector (dup_id =
-    vec_id + 10^7) — the dedup workload shape with known planted
-    duplicates."""
+    vec_id + 10^7, splitmix64 integer noise * 0.001) — the dedup
+    workload shape with known planted duplicates."""
     import ray.data as rd
 
     from pkd_tree_ray.ann import embedding_neardup
+    from pkd_tree_ray.hashing import splitmix64
 
     emb = sources.read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
@@ -471,18 +476,50 @@ def _q_embedding_neardup(sf_dir: str):
         if sub.num_rows == 0:
             return sub
         col = sub["embedding"].combine_chunks()
-        mats = np.stack([np.asarray(v, dtype=np.float32) for v in col.to_pylist()])
-        rng = np.random.RandomState(123)
-        mats = mats + rng.standard_normal(mats.shape).astype(np.float32) * 0.005
+        mats = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in col.to_pylist()]
+        ).astype(np.float64)
+        svid = sub["vec_id"].to_numpy()
+        idx = (
+            svid[:, None].astype(np.uint64) * np.uint64(_EMB_DIM)
+            + np.arange(_EMB_DIM, dtype=np.uint64)[None, :]
+        )
+        eps = (
+            (splitmix64(idx.ravel(), _PLANT_SEED) % np.uint64(11)).astype(np.int64)
+            - 5
+        ).reshape(mats.shape) * 0.001
+        mats = (mats + eps).astype(np.float32)
         return pa.table(
             {
-                "vec_id": pa.array(sub["vec_id"].to_numpy() + 10_000_000, pa.int64()),
+                "vec_id": pa.array(svid + 10_000_000, pa.int64()),
                 "embedding": pa.array(list(mats), pa.list_(pa.float32())),
             }
         )
 
     dups = emb.map_batches(planted, batch_format="pyarrow")
     return embedding_neardup(emb.union(dups), threshold=0.95)
+
+
+def _embedding_neardup_sql() -> str:
+    """Oracle for :func:`_q_embedding_neardup`: quantized base table
+    UNION the splitmix64-perturbed planted dups, fed to the exact
+    pipeline SQL (pkd_tree_ray.ann.sql_embedding_neardup)."""
+    from pkd_tree_ray.ann import sql_embedding_neardup, sql_quantized_embeddings
+    from pkd_tree_ray.hashing import sql_splitmix64
+
+    sm = sql_splitmix64(f"vec_id * {_EMB_DIM} + (j - 1)", _PLANT_SEED)
+    dup_qv = (
+        f"list_transform(range(1, {_EMB_DIM} + 1), j -> "
+        f"CAST(floor(CAST(CAST(CAST(embedding[CAST(j AS INTEGER)] AS DOUBLE) + "
+        f"(CAST({sm} % 11 AS DOUBLE) - 5) * 0.001 AS FLOAT) AS DOUBLE) * 1000) "
+        f"AS BIGINT))"
+    )
+    src = (
+        f"{sql_quantized_embeddings()} UNION ALL "
+        f"SELECT vec_id + 10000000 AS vec_id, {dup_qv} AS qv "
+        f"FROM embeddings WHERE vec_id % 50 = 0"
+    )
+    return sql_embedding_neardup(src, _EMB_DIM, threshold=0.95)
 
 
 def _q_ann_ivf(sf_dir: str):
@@ -1092,4 +1129,5 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
         "fingerprints": sql_fingerprints(),
         "simhash": sql_simhash(),
         "minhash_neardup": sql_minhash_neardup(threshold=0.5),
+        "embedding_neardup": _embedding_neardup_sql(),
     }

@@ -50,6 +50,22 @@ def _quantize(m: np.ndarray) -> np.ndarray:
     return np.floor(m.astype(np.float64) * QUANT).astype(np.int64)
 
 
+#: hyperplane component range: uniform ints in [-2**20, 2**20)
+_PLANE_BITS = 21
+
+
+def plane_matrix(rows: int, d: int, seed: int) -> np.ndarray:
+    """(rows, d) int64 random-hyperplane matrix from splitmix64 —
+    integer components so signature bits are signs of EXACT integer
+    dot products (reproducible in SQL; a float-gaussian plane's sign
+    can flip across summation orders for near-orthogonal vectors)."""
+    from pkd_tree_ray.hashing import splitmix64
+
+    idx = np.arange(rows * d, dtype=np.uint64)
+    vals = (splitmix64(idx, seed) % np.uint64(1 << _PLANE_BITS)).astype(np.int64)
+    return (vals - (1 << (_PLANE_BITS - 1))).reshape(rows, d)
+
+
 def _nearest_centroid(pm: np.ndarray, cent: np.ndarray) -> np.ndarray:
     """argmin_c ||p - c||^2 via the matmul expansion — O(n*C*d) flops
     with O(n*C) memory, vs the O(n*C*d) MEMORY of the naive
@@ -173,31 +189,39 @@ def embedding_neardup(
     signatures (``bands`` bands of ``bits`` sign bits each, planes
     broadcast once) -> ``groupby(band, key)`` bucket shuffle of (id,
     key) pairs only -> within-bucket candidate pairs (oversized
-    buckets capped star+chain) -> DISTRIBUTED exact-cosine
-    verification: candidate vectors and pair edges meet in a groupby
-    join (:func:`pairjoin.pairwise_join_verify`) — nothing but the
+    buckets capped star+chain) -> DISTRIBUTED exact verification:
+    candidate vectors and pair edges meet in a groupby join
+    (:func:`pairjoin.pairwise_join_verify`) — nothing but the
     candidate id list ever lands on the driver (r1 weak item).
     Recall < 1 by LSH design; precision exact.
+
+    All arithmetic past the ``floor(v * 1000)`` quantization (the
+    ``ann_l2q`` convention) is INTEGER-exact: hyperplanes are
+    splitmix64-derived ints, signature bits are signs of integer dot
+    products, and the cosine test compares ``dot^2 * 10^6`` against
+    ``thr_pm^2 * |a|^2 * |b|^2`` in arbitrary precision — so the whole
+    pipeline, LSH included, is re-derivable bit-exactly in DuckDB SQL
+    (:func:`sql_embedding_neardup`).
     -> pa.Table (vec_a, vec_b, cos_permille)
     """
     import pandas as pd
 
+    from pkd_tree_ray.hashing import splitmix64
     from pkd_tree_ray.pairjoin import (
         pairwise_join_verify,
         semi_filter_ids,
     )
 
-    rng = np.random.RandomState(seed)
     first = embeddings.limit(1).to_pandas()
     d = len(first["embedding"][0])
-    planes = rng.standard_normal((bands * bits, d)).astype(np.float32)
+    planes = plane_matrix(bands * bits, d, seed)
     pref = ray.put(planes)
     pow2 = (1 << np.arange(bits, dtype=np.int64))
 
     def signatures(batch: pa.Table) -> pa.Table:
         pl = ray.get(pref)
-        m = _emb_matrix(batch)
-        signs = (m @ pl.T) >= 0  # (n, bands*bits)
+        m = _quantize(_emb_matrix(batch))
+        signs = (m @ pl.T) >= 0  # (n, bands*bits); exact int64 dots
         out_band, out_key, out_id = [], [], []
         vid = batch["vec_id"].to_numpy()
         for b in range(bands):
@@ -276,25 +300,49 @@ def embedding_neardup(
         idf["vec_id"].to_numpy(dtype=np.int64),
     )
 
-    thr = threshold
+    # integer-exact quantized cosine: keep iff dot > 0 and
+    # dot^2 * 1000^2 >= thr_pm^2 * |a|^2 * |b|^2 (arbitrary-precision
+    # products — no float rounding anywhere past quantization);
+    # score = isqrt((dot*1000)^2 // (|a|^2 |b|^2)) = floor(1000*cos_q)
+    thr_pm2 = round(threshold * 1000) ** 2
+
+    def _verify_ints(dot: int, na: int, nb: int):
+        import math
+
+        if dot <= 0 or na == 0 or nb == 0:
+            return None
+        if dot * dot * 1_000_000 < thr_pm2 * na * nb:
+            return None
+        return math.isqrt((dot * 1000) ** 2 // (na * nb))
 
     def verify_fn(va: np.ndarray, vb: np.ndarray):
-        va = va.astype(np.float64)
-        vb = vb.astype(np.float64)
-        cos = float(va @ vb / max(np.linalg.norm(va) * np.linalg.norm(vb), 1e-30))
-        return int(cos * 1000) if cos >= thr else None
+        qa = np.floor(va.astype(np.float64) * QUANT).astype(np.int64)
+        qb = np.floor(vb.astype(np.float64) * QUANT).astype(np.int64)
+        return _verify_ints(
+            int(qa @ qb), int(qa @ qa), int(qb @ qb)
+        )
 
     def verify_batch_fn(col_a, col_b):
         from pkd_tree_ray.pairjoin import list_to_matrix
 
-        A = list_to_matrix(col_a)
-        B = list_to_matrix(col_b)
-        num = np.einsum("ij,ij->i", A, B)
-        den = np.maximum(
-            np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1), 1e-30
-        )
-        cos = num / den
-        return (cos * 1000).astype(np.int64), cos >= thr
+        A = _quantize(list_to_matrix(col_a))
+        B = _quantize(list_to_matrix(col_b))
+        import math
+
+        dot = np.einsum("ij,ij->i", A, B)
+        na = np.einsum("ij,ij->i", A, A)
+        nb = np.einsum("ij,ij->i", B, B)
+        # arbitrary-precision products via object dtype (vectorized
+        # elementwise); the exact isqrt runs only over survivors
+        dot_o = dot.astype(object)
+        nn = na.astype(object) * nb.astype(object)
+        keep = (dot > 0) & (na > 0) & (nb > 0) & (
+            dot_o * dot_o * 1_000_000 >= thr_pm2 * nn
+        ).astype(bool)
+        vals = np.zeros(len(dot), dtype=np.int64)
+        for i in np.nonzero(keep)[0]:
+            vals[i] = math.isqrt((int(dot[i]) * 1000) ** 2 // int(nn[i]))
+        return vals, keep
 
     out = pairwise_join_verify(
         payload, cand, "vec_id", "vec_a", "vec_b", "embedding", pa.float32(),
@@ -317,6 +365,72 @@ def embedding_neardup(
             "cos_permille": pa.array(out["cos_permille"].to_numpy(dtype=np.int64), pa.int64()),
         }
     )
+
+
+def sql_quantized_embeddings() -> str:
+    """CTE body: the ``embeddings`` view quantized to int64 lists
+    (the ``ann_l2q`` convention: floor(float64(v) * 1000))."""
+    return (
+        "SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv "
+        "FROM embeddings"
+    )
+
+
+def sql_embedding_neardup(
+    src: str,
+    d: int,
+    threshold: float = 0.9,
+    bits: int = 12,
+    bands: int = 4,
+    seed: int = 42,
+    cap: int = 64,
+) -> str:
+    """DuckDB SQL bit-exact vs :func:`embedding_neardup` over any
+    source CTE ``src`` yielding ``(vec_id, qv: BIGINT list)`` quantized
+    embeddings of dimension ``d`` — hyperplane signs, band keys, the
+    capped LSH pair generation and the integer cosine verification are
+    all exact HUGEINT arithmetic."""
+    from pkd_tree_ray.hashing import sql_isqrt, sql_splitmix64
+    from pkd_tree_ray.pairjoin import sql_capped_pairs_ctes
+
+    thr_pm2 = round(threshold * 1000) ** 2
+    plane = (
+        f"CAST({sql_splitmix64(f'r.r * {d} + j.j', seed)} % {1 << _PLANE_BITS}"
+        f" AS HUGEINT) - {1 << (_PLANE_BITS - 1)}"
+    )
+    pow2_rows = ", ".join(f"({i}, CAST({1 << i} AS BIGINT))" for i in range(bits))
+    return f"""
+WITH e AS ({src}),
+comp AS (SELECT vec_id, unnest(qv) AS ev, generate_subscripts(qv, 1) AS j FROM e),
+planes AS (
+  SELECT r.r, j.j, {plane} AS pv
+  FROM range({bands * bits}) r(r) CROSS JOIN range({d}) j(j)),
+proj AS (
+  SELECT c.vec_id, p.r, sum(c.ev * p.pv) AS dot
+  FROM comp c JOIN planes p ON p.j = c.j - 1
+  GROUP BY c.vec_id, p.r),
+pow2 AS (SELECT * FROM (VALUES {pow2_rows}) v(i, p)),
+keys AS (
+  SELECT p.vec_id, CAST(p.r // {bits} AS BIGINT) AS band,
+         sum(CASE WHEN p.dot >= 0 THEN w.p ELSE 0 END) AS key
+  FROM proj p JOIN pow2 w ON w.i = p.r % {bits}
+  GROUP BY p.vec_id, p.r // {bits}),
+{sql_capped_pairs_ctes('keys', ('band', 'key'), 'vec_id', cap)},
+nrm AS (SELECT vec_id, sum(CAST(ev AS HUGEINT) * ev) AS nn FROM comp GROUP BY vec_id),
+dots AS (
+  SELECT c.a, c.b, sum(CAST(ca.ev AS HUGEINT) * cb.ev) AS dot
+  FROM cand c JOIN comp ca ON ca.vec_id = c.a
+              JOIN comp cb ON cb.vec_id = c.b AND cb.j = ca.j
+  GROUP BY c.a, c.b),
+vals AS (
+  SELECT d.a, d.b, ((d.dot * 1000) * (d.dot * 1000)) // (za.nn * zb.nn) AS v
+  FROM dots d JOIN nrm za ON za.vec_id = d.a JOIN nrm zb ON zb.vec_id = d.b
+  WHERE d.dot > 0 AND za.nn > 0 AND zb.nn > 0
+    AND d.dot * d.dot * 1000000 >= {thr_pm2} * za.nn * zb.nn)
+SELECT a AS vec_a, b AS vec_b, CAST({sql_isqrt('v')} AS BIGINT) AS cos_permille
+FROM vals ORDER BY vec_a, vec_b
+"""
 
 
 class IvfIndex:

@@ -216,6 +216,18 @@ def token_hash64(tokens, seed: int = 0) -> np.ndarray:
     return splitmix64(poly64(tokens), seed)
 
 
+def sql_isqrt(v: str) -> str:
+    """HUGEINT expr for ``math.isqrt(v)`` (floor integer square root of
+    a non-negative HUGEINT expression): float sqrt seeds the answer,
+    a +-1 correction removes the float rounding (for v < 2**90 the
+    double-precision seed is within 1 of the true root)."""
+    m = f"CAST(floor(sqrt(CAST(({v}) AS DOUBLE))) AS HUGEINT)"
+    return (
+        f"(CASE WHEN ({m} + 1) * ({m} + 1) <= ({v}) THEN {m} + 1 "
+        f"WHEN {m} * {m} > ({v}) THEN {m} - 1 ELSE {m} END)"
+    )
+
+
 def sql_poly64(tok_expr: str) -> str:
     """DuckDB HUGEINT expression computing :func:`poly64` of a VARCHAR
     expression bit-exactly (list_reduce codepoint fold)."""

@@ -338,6 +338,42 @@ def bucket_pairs_runs_table(
     return bucket_pairs_capped_runs(runs, ids_s, cap)
 
 
+def sql_capped_pairs_ctes(
+    bucket_rel: str, part_cols: tuple[str, str], id_col: str, cap: int = 64
+) -> str:
+    """DuckDB CTE chain reproducing :func:`bucket_pairs_capped_runs`
+    exactly over a relation ``bucket_rel(part_cols..., id_col)`` —
+    small buckets emit all pairs, oversized ones the segmented
+    star+chain — ending in ``cand(a, b)`` (distinct, a < b).  Used by
+    the near-dup oracle SQL so the LSH candidate SET matches the Ray
+    engine bit-for-bit even past the cap."""
+    p1, p2 = part_cols
+    return f"""
+ordered AS (
+  SELECT {p1}, {p2}, {id_col},
+         row_number() OVER (PARTITION BY {p1}, {p2} ORDER BY {id_col}) - 1 AS pos,
+         count(*) OVER (PARTITION BY {p1}, {p2}) AS bn
+  FROM {bucket_rel}),
+small AS (
+  SELECT o1.{id_col} AS a, o2.{id_col} AS b
+  FROM ordered o1 JOIN ordered o2 USING ({p1}, {p2})
+  WHERE o1.bn <= {cap} AND o1.pos < o2.pos),
+centers AS (SELECT {p1}, {p2}, pos AS cpos, {id_col} AS cid
+            FROM ordered WHERE bn > {cap} AND pos % {cap} = 0),
+spokes AS (
+  SELECT c.cid AS a, o.{id_col} AS b
+  FROM ordered o JOIN centers c USING ({p1}, {p2})
+  WHERE o.bn > {cap} AND o.pos % {cap} <> 0 AND c.cpos = (o.pos // {cap}) * {cap}),
+chain AS (
+  SELECT a, b FROM (
+    SELECT lag({id_col}) OVER (PARTITION BY {p1}, {p2} ORDER BY pos) AS a,
+           {id_col} AS b, pos
+    FROM ordered WHERE bn > {cap})
+  WHERE pos >= 1 AND pos % {cap} <> 1),
+cand AS (SELECT DISTINCT a, b FROM (
+  SELECT * FROM small UNION ALL SELECT * FROM spokes UNION ALL SELECT * FROM chain))"""
+
+
 def bucket_pairs_capped(ids: np.ndarray, cap: int = 64) -> tuple[np.ndarray, np.ndarray]:
     """Candidate pairs within one LSH bucket, bounded ~O(B) edges and
     O(cap) PER-DOC degree.

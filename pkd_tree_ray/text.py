@@ -810,6 +810,7 @@ def sql_minhash_neardup(threshold: float = 0.5, shingle: int = 3, cap: int = 64)
         sql_u64_to_i64,
         sql_xor64,
     )
+    from pkd_tree_ray.pairjoin import sql_capped_pairs_ctes
 
     mh = MinHasher(shingle=shingle)
     thr_pm = round(threshold * 1000)
@@ -841,36 +842,14 @@ bandsraw AS (
          max(CASE WHEN p % 4 = 0 THEN s END) AS s0
   FROM sigv GROUP BY doc_id, p // 4),
 bands AS (SELECT doc_id, band_id, {band_hash} AS band_hash FROM bandsraw),
-ordered AS (
-  SELECT band_id, band_hash, doc_id,
-         row_number() OVER (PARTITION BY band_id, band_hash ORDER BY doc_id) - 1 AS pos,
-         count(*) OVER (PARTITION BY band_id, band_hash) AS bn
-  FROM bands),
-small AS (
-  SELECT o1.doc_id AS a, o2.doc_id AS b
-  FROM ordered o1 JOIN ordered o2 USING (band_id, band_hash)
-  WHERE o1.bn <= {cap} AND o1.pos < o2.pos),
-centers AS (SELECT band_id, band_hash, pos AS cpos, doc_id AS cid
-            FROM ordered WHERE bn > {cap} AND pos % {cap} = 0),
-spokes AS (
-  SELECT c.cid AS a, o.doc_id AS b
-  FROM ordered o JOIN centers c USING (band_id, band_hash)
-  WHERE o.bn > {cap} AND o.pos % {cap} <> 0 AND c.cpos = (o.pos // {cap}) * {cap}),
-chain AS (
-  SELECT a, b FROM (
-    SELECT lag(doc_id) OVER (PARTITION BY band_id, band_hash ORDER BY pos) AS a,
-           doc_id AS b, pos
-    FROM ordered WHERE bn > {cap})
-  WHERE pos >= 1 AND pos % {cap} <> 1),
-cand AS (SELECT DISTINCT a AS doc_a, b AS doc_b FROM (
-  SELECT * FROM small UNION ALL SELECT * FROM spokes UNION ALL SELECT * FROM chain)),
+{sql_capped_pairs_ctes('bands', ('band_id', 'band_hash'), 'doc_id', cap)},
 sets AS (SELECT DISTINCT doc_id, wh FROM wh),
 sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
 inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS ic
-  FROM cand c JOIN sets sa ON sa.doc_id = c.doc_a
-              JOIN sets sb ON sb.doc_id = c.doc_b AND sb.wh = sa.wh
-  GROUP BY c.doc_a, c.doc_b)
+  SELECT c.a AS doc_a, c.b AS doc_b, count(*) AS ic
+  FROM cand c JOIN sets sa ON sa.doc_id = c.a
+              JOIN sets sb ON sb.doc_id = c.b AND sb.wh = sa.wh
+  GROUP BY c.a, c.b)
 SELECT i.doc_a, i.doc_b,
        CAST((i.ic * 1000) // (za.sz + zb.sz - i.ic) AS BIGINT) AS jaccard_permille
 FROM inter i JOIN sz za ON za.doc_id = i.doc_a

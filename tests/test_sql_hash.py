@@ -135,3 +135,61 @@ class TestSqlTextOracles:
         got = minhash_neardup(_docs_ds(texts), threshold=0.5).to_pandas()
         assert len(got) > 150  # star+chain of the 150-cluster
         self._cmp(got, con, sql_minhash_neardup(0.5), ["doc_a", "doc_b"])
+
+
+class TestSqlEmbeddingNeardup:
+    def _emb_table(self, m, ids=None):
+        n = len(m)
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    np.arange(n, dtype=np.int64) if ids is None else ids,
+                    pa.int64(),
+                ),
+                "embedding": pa.array(
+                    [row.astype(np.float32) for row in m], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+    def _cmp(self, tbl, threshold):
+        import duckdb
+        import ray.data as rd
+
+        from pkd_tree_ray.ann import (
+            embedding_neardup,
+            sql_embedding_neardup,
+            sql_quantized_embeddings,
+        )
+
+        d = len(tbl["embedding"][0])
+        got = embedding_neardup(rd.from_arrow(tbl), threshold=threshold).to_pandas()
+        con = duckdb.connect()
+        con.register("embeddings", tbl)
+        exp = con.sql(
+            sql_embedding_neardup(sql_quantized_embeddings(), d, threshold=threshold)
+        ).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+        )
+        return got
+
+    def test_parity_random_vectors(self, ray_session):
+        rng = np.random.RandomState(7)
+        base = rng.standard_normal((60, 16))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        # plant 10 near-dups of the first 10 vectors
+        dups = base[:10] + rng.standard_normal((10, 16)) * 0.003
+        m = np.vstack([base, dups])
+        got = self._cmp(self._emb_table(m), 0.95)
+        assert len(got) >= 8  # LSH recall on the planted pairs
+
+    def test_parity_oversized_bucket(self, ray_session):
+        """150 identical vectors overflow the 64-doc bucket cap — the
+        SQL star+chain must match the Ray pair set exactly."""
+        rng = np.random.RandomState(8)
+        v = rng.standard_normal(16)
+        v /= np.linalg.norm(v)
+        m = np.vstack([np.tile(v, (150, 1)), rng.standard_normal((10, 16))])
+        got = self._cmp(self._emb_table(m), 0.9)
+        assert len(got) > 150
