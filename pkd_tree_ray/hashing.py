@@ -159,21 +159,33 @@ _POLY_P_U = _U(POLY_P)
 
 def poly64(tokens) -> np.ndarray:
     """Vectorized codepoint polynomial fold of a string sequence ->
-    uint64 array.  ASCII content takes a zero-copy Arrow-buffer path
-    (bytes == codepoints); any non-ASCII token falls back to an exact
-    per-token UTF-32 decode of the same codepoint fold."""
+    uint64 array.  The input is dictionary-encoded first (natural text
+    is Zipfian — a batch's distinct-token count is far below its token
+    count), then the distinct tokens take a zero-copy Arrow-buffer
+    ASCII path (bytes == codepoints); any non-ASCII token falls back
+    to an exact per-token UTF-32 decode of the same codepoint fold."""
     import pyarrow as pa
 
     if isinstance(tokens, (pa.Array, pa.ChunkedArray)):
         arr = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
         arr = arr.cast(pa.string())
+    elif isinstance(tokens, np.ndarray) and tokens.dtype == object:
+        arr = pa.array(tokens, type=pa.string())
     else:
         arr = pa.array(list(tokens), type=pa.string())
-    n = len(arr)
-    if n == 0:
+    if len(arr) == 0:
         return np.zeros(0, dtype=np.uint64)
     if arr.null_count:
         arr = arr.fill_null("")
+    enc = arr.dictionary_encode()
+    hu = _poly64_flat(enc.dictionary)
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return hu[idx]
+
+
+def _poly64_flat(arr) -> np.ndarray:
+    """The fold kernel over a null-free Arrow StringArray."""
+    n = len(arr)
     off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
         arr.offset: arr.offset + n + 1
     ].astype(np.int64)
