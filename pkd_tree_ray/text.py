@@ -262,6 +262,90 @@ _PRIME = (1 << 61) - 1
 _ROLL_P = np.uint64(0x9E3779B97F4A7C15)
 
 
+def tokenize_flat(texts) -> tuple[pa.Array, np.ndarray]:
+    """Whitespace tokenization of a whole batch in one Arrow C pass ->
+    (flat token array, per-doc token counts).
+
+    ``pc.utf8_split_whitespace`` keeps empty strings at run edges;
+    they are dropped vectorized via the value-buffer offsets.  Token
+    semantics match ``re.findall(r'\\S+')`` for ASCII and ordinary
+    Unicode whitespace (the documents fixture and the RE2 oracle's
+    domain); only exotic control separators (U+001C..1F) differ."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pd.Series):
+        arr = pa.Array.from_pandas(texts.astype(object), type=pa.string())
+    elif isinstance(texts, (pa.ChunkedArray, pa.Array)):
+        arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+        arr = arr.cast(pa.string())
+    else:
+        arr = pa.array(list(texts), pa.string())
+    if arr.null_count:
+        arr = arr.fill_null("")
+    sp = pc.utf8_split_whitespace(arr)
+    if isinstance(sp, pa.ChunkedArray):
+        sp = sp.combine_chunks()
+    vals = sp.values if sp.offset == 0 else sp.flatten()
+    doc_lens = np.diff(
+        np.frombuffer(sp.buffers()[1], dtype=np.int32)[
+            sp.offset: sp.offset + len(sp) + 1
+        ].astype(np.int64)
+    )
+    voff = np.frombuffer(vals.buffers()[1], dtype=np.int32)[
+        vals.offset: vals.offset + len(vals) + 1
+    ].astype(np.int64)
+    keep = np.diff(voff) > 0
+    if keep.all():
+        return vals, doc_lens
+    bounds = np.concatenate([[0], np.cumsum(doc_lens)])
+    counts = np.add.reduceat(
+        np.concatenate([keep.astype(np.int64), [0]]), bounds[:-1]
+    )
+    counts[doc_lens == 0] = 0
+    return vals.filter(pa.array(keep)), counts
+
+
+def window_hash_stream(
+    texts, w: int, seed: int, empty_docs: str = "skip"
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Flat rolling-window hash stream for a whole batch -> (wh,
+    owner, n_docs), owner ascending — each doc contributes exactly its
+    :func:`_roll_windows` output with no per-doc Python on the >=w
+    path (sub-window docs fold in a short loop; zero-token docs are
+    skipped or emit the empty-token hash per ``empty_docs``)."""
+    flat, counts = tokenize_flat(texts)
+    n = len(counts)
+    total = int(counts.sum())
+    th = token_hash64(flat, seed) if total else np.zeros(0, np.uint64)
+    owner_tok = np.repeat(np.arange(n, dtype=np.int64), counts)
+    parts_v: list[np.ndarray] = []
+    parts_o: list[np.ndarray] = []
+    if total >= w:
+        with np.errstate(over="ignore"):  # wraparound intended
+            wh = th[: total - w + 1].copy()
+            for j in range(1, w):
+                wh = wh * _ROLL_P ^ th[j: total - w + 1 + j]
+        ok = owner_tok[: total - w + 1] == owner_tok[w - 1:]
+        parts_v.append(wh[ok])
+        parts_o.append(owner_tok[: total - w + 1][ok])
+    lo = 1 if empty_docs == "skip" else 0
+    special = np.nonzero((counts >= lo) & (counts < w))[0]
+    if len(special):
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        parts_v.append(
+            np.concatenate(
+                [_roll_windows(th[starts[i]: starts[i + 1]], w) for i in special]
+            )
+        )
+        parts_o.append(special.astype(np.int64))
+    if not parts_v:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64), n
+    v = np.concatenate(parts_v)
+    o = np.concatenate(parts_o)
+    order = np.argsort(o, kind="stable")
+    return v[order], o[order], n
+
+
 def _roll_windows(th: np.ndarray, w: int) -> np.ndarray:
     """Rolling multiply-xor window hashes of one doc's token-hash
     sequence; docs shorter than the window collapse to one whole-doc
@@ -299,91 +383,40 @@ class MinHasher:
 
     def __init__(self, shingle: int = 3, seed: int = 42):
         self.shingle = shingle
-        self.token = re.compile(_TOKEN_RE)
         idx = np.arange(N_HASHES, dtype=np.uint64)
         self.a = (splitmix64(idx, seed) | np.uint64(1)).astype(np.uint64)
         self.b = splitmix64(idx, seed + 1).astype(np.uint64)
 
-    def _empty_hash(self) -> np.ndarray:
-        return token_hash64([""], _SEED_MH)
-
-    def _window_hashes(self, th: np.ndarray) -> np.ndarray:
-        return _roll_windows(th, self.shingle)
-
     def signature(self, text: str) -> np.ndarray:
         """Scalar reference path (one doc) — bit-identical to one row
         of :meth:`signatures_batch`."""
-        toks = self.token.findall(text or "")
-        th = (
-            token_hash64(toks, _SEED_MH)
-            if toks
-            else np.zeros(0, dtype=np.uint64)
-        )
-        hv = self._window_hashes(th)
-        with np.errstate(over="ignore"):
-            vals = self.a[None, :] * hv[:, None] + self.b[None, :]
-        return vals.min(axis=0)
+        return self.signatures_batch(pd.Series([text]))[0]
 
     def signatures_batch(self, texts: pd.Series) -> np.ndarray:
         """(n_docs, N_HASHES) signature matrix for a whole batch with
-        NO per-doc Python loop on the main path: one flat token stream
-        (the :func:`fingerprints` kernel shape), ONE ``hash_array``
-        call over the tokens, rolling-kernel window hashes, then a
-        per-permutation segmented min (``np.minimum.reduceat`` over the
-        owner-sorted window stream).  Only sub-window docs (< shingle
-        tokens) take a scalar path."""
-        w = self.shingle
-        n = len(texts)
-        toks_per = texts.fillna("").map(self.token.findall)
-        counts = toks_per.map(len).to_numpy(dtype=np.int64)
-        total = int(counts.sum())
+        NO per-doc Python loop on the main path: one Arrow tokenize
+        pass, ONE dictionary-encoded :func:`token_hash64` call,
+        rolling-kernel window hashes (:func:`window_hash_stream`),
+        then a per-permutation segmented min (``np.minimum.reduceat``
+        over the owner-sorted window stream)."""
+        hv, own, n = window_hash_stream(
+            texts, self.shingle, _SEED_MH, empty_docs="empty-hash"
+        )
         sig = np.full(
             (n, N_HASHES), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64
         )
-        flat = np.empty(total, dtype=object)
-        pos = 0
-        for lst in toks_per:
-            flat[pos: pos + len(lst)] = lst
-            pos += len(lst)
-        owner = np.repeat(np.arange(n, dtype=np.int64), counts)
-        th = (
-            token_hash64(flat, _SEED_MH)
-            if total
-            else np.zeros(0, dtype=np.uint64)
-        )
-        with np.errstate(over="ignore"):  # a*h + b / rolling wrap by design
-            # full windows: positions whose w tokens share one owner
-            if total >= w:
-                wh = th[: total - w + 1].copy()
-                for j in range(1, w):
-                    wh = wh * _ROLL_P ^ th[j: total - w + 1 + j]
-                ok = owner[: total - w + 1] == owner[w - 1:]
-                hv = wh[ok]
-                own = owner[: total - w + 1][ok]  # ascending (doc order)
-                if len(hv):
-                    starts = np.flatnonzero(
-                        np.concatenate([[True], own[1:] != own[:-1]])
+        if len(hv):
+            starts = np.flatnonzero(
+                np.concatenate([[True], own[1:] != own[:-1]])
+            )
+            seg_own = own[starts]
+            mins = np.empty((N_HASHES, len(starts)), dtype=np.uint64)
+            with np.errstate(over="ignore"):  # a*h + b wraps by design
+                for p in range(N_HASHES):
+                    mins[p] = np.minimum.reduceat(
+                        self.a[p] * hv + self.b[p], starts
                     )
-                    seg_own = own[starts]
-                    mins = np.empty((N_HASHES, len(starts)), dtype=np.uint64)
-                    for p in range(N_HASHES):
-                        mins[p] = np.minimum.reduceat(
-                            self.a[p] * hv + self.b[p], starts
-                        )
-                    sig[seg_own] = mins.T
-            # sub-window docs: ONE whole-doc window (or "" when empty)
-            special = np.nonzero(counts < w)[0]
-            if len(special):
-                starts_f = np.concatenate([[0], np.cumsum(counts)])
-                hv_s = np.concatenate(
-                    [
-                        self._window_hashes(th[starts_f[i]: starts_f[i + 1]])
-                        for i in special
-                    ]
-                )
-                sig[special] = (
-                    self.a[None, :] * hv_s[:, None] + self.b[None, :]
-                )
+            sig[seg_own] = mins.T
         return sig
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -456,14 +489,15 @@ def minhash_candidates(docs):
     )
 
 
-def _shingle_hashes(text: str, token, shingle: int = 3) -> np.ndarray:
-    """Sorted distinct 64-bit hashes of the word shingles — the
-    compact, joinable form of the shingle set.  Shingle identity is
-    the rolling window hash over :func:`token_hash64` values (the
-    exact stream MinHash signs), so the verification stage and the
-    DuckDB oracle re-derive one identical set per doc."""
-    toks = token.findall(text or "")
-    th = token_hash64(toks, _SEED_MH) if toks else np.zeros(0, np.uint64)
+def _shingle_hashes(text: str, shingle: int = 3) -> np.ndarray:
+    """Sorted distinct 64-bit hashes of one doc's word shingles — the
+    scalar reference for :class:`ShingleSets` inside
+    :func:`minhash_neardup` (shingle identity = the rolling window
+    hash over :func:`token_hash64` values, the exact stream MinHash
+    signs, so verification and the DuckDB oracle re-derive one
+    identical set per doc)."""
+    flat, _ = tokenize_flat([text])
+    th = token_hash64(flat, _SEED_MH) if len(flat) else np.zeros(0, np.uint64)
     return np.unique(_roll_windows(th, shingle).view(np.int64))
 
 
@@ -520,17 +554,28 @@ def minhash_neardup(docs, threshold: float = 0.5, candidates=None):
         )
 
     class ShingleSets:
-        def __init__(self):
-            self.token = re.compile(_TOKEN_RE)
+        """Per-doc DISTINCT window-hash sets, fully vectorized: one
+        window-hash stream for the batch, one lexsort dedupe, one
+        ListArray assembly — no per-doc Python (r3 note: the old path
+        called :func:`_shingle_hashes` per candidate doc)."""
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            hashes = [_shingle_hashes(t, self.token) for t in batch["text"].to_pylist()]
-            return pa.table(
-                {
-                    "doc_id": batch["doc_id"],
-                    "hashes": pa.array(hashes, pa.list_(pa.int64())),
-                }
+            hv, own, n = window_hash_stream(
+                batch["text"], 3, _SEED_MH, empty_docs="empty-hash"
             )
+            iv = hv.view(np.int64)
+            order = np.lexsort((iv, own))
+            own_s = own[order]
+            iv_s = iv[order]
+            keep = np.concatenate(
+                [[True], (own_s[1:] != own_s[:-1]) | (iv_s[1:] != iv_s[:-1])]
+            )
+            lens = np.bincount(own_s[keep], minlength=n)
+            offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+            arr = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(iv_s[keep], pa.int64())
+            )
+            return pa.table({"doc_id": batch["doc_id"], "hashes": arr})
 
     payload = semi_filter_ids(
         docs.select_columns(["doc_id", "text"]), "doc_id", cand_ids
@@ -607,22 +652,13 @@ class SimHasher:
     """Actor: 64-bit SimHash over word hashes -> (doc_id, simhash,
     bucket16) where bucket16 is the top-16-bit LSH bucket."""
 
-    def __init__(self):
-        self.token = re.compile(_TOKEN_RE)
-
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        # one flat token stream for the whole batch, bit-expanded in
+        # one Arrow tokenize pass for the whole batch, bit-expanded in
         # bounded chunks and segment-summed per doc (no per-doc loop)
-        toks_per = batch["text"].fillna("").map(self.token.findall)
-        counts = toks_per.map(len).to_numpy(dtype=np.int64)
+        flat, counts = tokenize_flat(batch["text"])
         sims = np.zeros(len(batch), dtype=np.int64)
         total = int(counts.sum())
         if total:
-            flat = np.empty(total, dtype=object)
-            pos = 0
-            for lst in toks_per:
-                flat[pos: pos + len(lst)] = lst
-                pos += len(lst)
             owner = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
             hv = token_hash64(flat, _SEED_SIM)
             shifts = np.arange(64, dtype=np.uint64)
@@ -666,46 +702,16 @@ def fingerprints(docs, window: int = 4):
     doc — no per-doc loop in the hot path (docs shorter than the
     window collapse to one whole-doc window)."""
 
-    token = re.compile(_TOKEN_RE)
-    P = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 increment (public domain)
-
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
-        toks_per = batch["text"].fillna("").map(token.findall)
-        counts = toks_per.map(len).to_numpy(dtype=np.int64)
-        out = np.zeros(len(batch), dtype=np.int64)
-        total = int(counts.sum())
-        if total:
-            flat = np.empty(total, dtype=object)
-            pos = 0
-            for lst in toks_per:
-                flat[pos: pos + len(lst)] = lst
-                pos += len(lst)
-            owner = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
-            th = token_hash64(flat, _SEED_FP)
-            w = window
-            # full windows: positions whose w tokens share one owner
-            if total >= w:
-                wh = th[: total - w + 1].copy()
-                for j in range(1, w):
-                    wh = wh * P ^ th[j: total - w + 1 + j]
-                ok = owner[: total - w + 1] == owner[w - 1:]
-                big = np.full(len(batch), np.uint64(0xFFFFFFFFFFFFFFFF))
-                np.minimum.at(big, owner[: total - w + 1][ok], wh[ok])
-            else:
-                big = np.full(len(batch), np.uint64(0xFFFFFFFFFFFFFFFF))
-            # short docs (< w tokens): ONE whole-doc window
-            short = (counts > 0) & (counts < w)
-            if short.any():
-                starts = np.concatenate([[0], np.cumsum(counts)])
-                with np.errstate(over="ignore"):  # wraparound intended
-                    for i in np.nonzero(short)[0]:
-                        seg = th[starts[i]: starts[i + 1]]
-                        h = seg[0]
-                        for v in seg[1:]:
-                            h = h * P ^ v
-                        big[i] = h
-            nz = counts > 0
-            out[nz] = big[nz].view(np.int64)
+        hv, own, n = window_hash_stream(
+            batch["text"], window, _SEED_FP, empty_docs="skip"
+        )
+        out = np.zeros(n, dtype=np.int64)
+        if len(hv):
+            starts = np.flatnonzero(
+                np.concatenate([[True], own[1:] != own[:-1]])
+            )
+            out[own[starts]] = np.minimum.reduceat(hv, starts).view(np.int64)
         return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": out})
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
