@@ -414,6 +414,20 @@ def _q_minhash_neardup(sf_dir: str):
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_simhash_neardup(sf_dir: str):
+    from pkd_tree_ray.text import simhash_neardup
+
+    out = simhash_neardup(_docs(sf_dir), max_hamming=3).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _q_ngram_jaccard_neardup(sf_dir: str):
+    from pkd_tree_ray.text import ngram_jaccard_neardup
+
+    out = ngram_jaccard_neardup(_docs(sf_dir), threshold=0.5).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def _ann_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """Self-query set: embedding rows with vec_id % 50 == 0 (driver-side;
     the query side of an ANN batch is small by definition)."""
@@ -733,6 +747,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "fingerprints": _q_fingerprints,
         "minhash_neardup": _q_minhash_neardup,
+        "simhash_neardup": _q_simhash_neardup,
+        "ngram_jaccard_neardup": _q_ngram_jaccard_neardup,
         "ann_l2q": _q_ann_l2q,
         "ann_ivf": _q_ann_ivf,
         "embedding_neardup": _q_embedding_neardup,
@@ -983,7 +999,9 @@ def oracle_sql() -> dict[str, str]:
         sql_fingerprints,
         sql_lang_id,
         sql_minhash_neardup,
+        sql_ngram_jaccard_neardup,
         sql_simhash,
+        sql_simhash_neardup,
     )
 
     pip_concave_sql = "\nUNION ALL\n".join(
@@ -1129,5 +1147,7 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
         "fingerprints": sql_fingerprints(),
         "simhash": sql_simhash(),
         "minhash_neardup": sql_minhash_neardup(threshold=0.5),
+        "simhash_neardup": sql_simhash_neardup(max_hamming=3),
+        "ngram_jaccard_neardup": sql_ngram_jaccard_neardup(threshold=0.5),
         "embedding_neardup": _embedding_neardup_sql(),
     }

@@ -863,3 +863,280 @@ FROM inter i JOIN sz za ON za.doc_id = i.doc_a
 WHERE i.ic * 1000 >= {thr_pm} * (za.sz + zb.sz - i.ic)
 ORDER BY doc_a, doc_b
 """
+
+
+# ----------------------------------------------------------------------
+# SimHash near-dup (Hamming ball via pigeonhole block LSH)
+# ----------------------------------------------------------------------
+
+#: 4 x 16-bit blocks: any pair within Hamming distance <= 3 agrees
+#: EXACTLY on at least one block (pigeonhole), so block buckets are a
+#: recall-1 LSH for the default ``max_hamming=3`` (modulo the shared
+#: oversized-bucket cap, which the oracle SQL mirrors bit-for-bit).
+_SIM_BLOCKS = 4
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of an int64/uint64 array (numpy<2 lacks
+    ``bitwise_count``): unpack the raw little-endian bytes — popcount
+    is byte-order invariant."""
+    x = np.ascontiguousarray(x)
+    if not len(x):
+        return np.zeros(0, np.int64)
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(
+        axis=1, dtype=np.int64
+    )
+
+
+def simhash_blocks(docs, sims=None):
+    """-> Dataset (block_id, block_val, doc_id): the pigeonhole LSH
+    rows — 16-bit slices of each doc's 64-bit SimHash.  ``sims``: a
+    precomputed :func:`simhash` Dataset to reuse (so one tokenize pass
+    feeds both the LSH blocks and the verify payload)."""
+
+    def blocks(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        s = batch["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+        bval = np.empty((n, _SIM_BLOCKS), dtype=np.int64)
+        for i in range(_SIM_BLOCKS):
+            bval[:, i] = (
+                (s >> np.uint64(16 * i)) & np.uint64(0xFFFF)
+            ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "block_id": np.tile(np.arange(_SIM_BLOCKS, dtype=np.int64), n),
+                "block_val": bval.ravel(),
+                "doc_id": np.repeat(
+                    batch["doc_id"].to_numpy(dtype=np.int64), _SIM_BLOCKS
+                ),
+            }
+        )
+
+    return (simhash(docs) if sims is None else sims).map_batches(
+        blocks, batch_format="pandas"
+    )
+
+
+def simhash_candidates(docs, cap: int = 64, sims=None):
+    """-> Dataset of candidate pairs (doc_a, doc_b), distinct, a < b:
+    docs sharing at least one SimHash block value.  Same capped
+    star+chain bucket shape as :func:`minhash_candidates`."""
+    from ray.data.aggregate import Count
+
+    from pkd_tree_ray.pairjoin import _bucket_of, bucket_pairs_runs_table
+
+    def pairs_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        a, b = bucket_pairs_runs_table(
+            [group["block_id"].to_numpy(), group["block_val"].to_numpy()],
+            group["doc_id"].to_numpy(dtype=np.int64),
+            cap,
+        )
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    def add_gbkt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["gbkt"] = _bucket_of(
+            batch["block_val"].to_numpy()
+            ^ (batch["block_id"].to_numpy() * np.int64(0x9E3779B9))
+        )
+        return batch
+
+    cand = (
+        simhash_blocks(docs, sims=sims)
+        .map_batches(add_gbkt, batch_format="pandas")
+        .groupby("gbkt")
+        .map_groups(pairs_bucket, batch_format="pandas")
+    )
+    return (
+        cand.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="nb"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+
+
+def simhash_neardup(docs, max_hamming: int = 3, cap: int = 64):
+    """-> Dataset (doc_a, doc_b, hamming): pairs whose 64-bit SimHash
+    values differ in at most ``max_hamming`` bits.
+
+    The SimHash near-duplicate detector of the dedup suite: block LSH
+    (pigeonhole-exact for ``max_hamming <= _SIM_BLOCKS - 1``) +
+    distributed exact-Hamming verification — the same
+    candidates -> attach -> vectorized-verify shape as
+    :func:`minhash_neardup`, with a one-element payload list carrying
+    each doc's SimHash through the pair join."""
+    if max_hamming >= _SIM_BLOCKS * 16:
+        raise ValueError("max_hamming must be < 64")
+    from pkd_tree_ray.pairjoin import list_flat, pairwise_join_verify
+
+    # one tokenize pass over the corpus: the signature table is tiny
+    # (16 B/doc, no text) so it is the legitimate materialization
+    # point — both the LSH blocks and the verify payload read it
+    sims = simhash(docs).materialize()
+    cand = simhash_candidates(docs, cap, sims=sims)
+
+    def to_payload(batch: pd.DataFrame) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": pa.array(batch["doc_id"].to_numpy(dtype=np.int64)),
+                "sh": pa.ListArray.from_arrays(
+                    pa.array(np.arange(n + 1, dtype=np.int32)),
+                    pa.array(batch["simhash"].to_numpy(dtype=np.int64)),
+                ),
+            }
+        )
+
+    payload = sims.map_batches(to_payload, batch_format="pandas")
+
+    def verify_fn(ha: np.ndarray, hb: np.ndarray):
+        h = int(popcount64(np.asarray(ha, np.int64) ^ np.asarray(hb, np.int64))[0])
+        return h if h <= max_hamming else None
+
+    def verify_batch_fn(col_a, col_b):
+        va, _ = list_flat(col_a)
+        vb, _ = list_flat(col_b)
+        hm = popcount64(va.astype(np.int64) ^ vb.astype(np.int64))
+        return hm, hm <= max_hamming
+
+    return pairwise_join_verify(
+        payload, cand, "doc_id", "doc_a", "doc_b", "sh", pa.int64(),
+        verify_fn, "hamming", verify_batch_fn=verify_batch_fn,
+    )
+
+
+def sql_simhash_neardup(max_hamming: int = 3, cap: int = 64) -> str:
+    """DuckDB SQL bit-exact vs :func:`simhash_neardup` over
+    ``documents``: SimHash (the :func:`sql_simhash` chain), 16-bit
+    block buckets, the capped star+chain candidate set, and
+    ``bit_count(xor(...))`` Hamming verification."""
+    from pkd_tree_ray.pairjoin import sql_capped_pairs_ctes
+
+    div_rows = ", ".join(
+        f"({i}, CAST({1 << (16 * i)} AS HUGEINT))" for i in range(_SIM_BLOCKS)
+    )
+    return f"""
+WITH sims AS ({sql_simhash()}),
+uns AS (SELECT doc_id,
+        CASE WHEN simhash < 0 THEN CAST(simhash AS HUGEINT) + {1 << 64}
+             ELSE CAST(simhash AS HUGEINT) END AS u
+        FROM sims),
+dv AS (SELECT * FROM (VALUES {div_rows}) v(bi, d)),
+blocks AS (SELECT dv.bi AS block_id,
+                  CAST((uns.u // dv.d) % 65536 AS BIGINT) AS block_val,
+                  uns.doc_id
+           FROM uns CROSS JOIN dv),
+{sql_capped_pairs_ctes('blocks', ('block_id', 'block_val'), 'doc_id', cap)}
+SELECT c.a AS doc_a, c.b AS doc_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand c JOIN sims sa ON sa.doc_id = c.a
+            JOIN sims sb ON sb.doc_id = c.b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ----------------------------------------------------------------------
+# n-gram Jaccard near-dup (inverted shingle index, no MinHash approx)
+# ----------------------------------------------------------------------
+
+def ngram_jaccard_candidates(docs, shingle: int = 3, cap: int = 64):
+    """-> Dataset of candidate pairs (doc_a, doc_b), distinct, a < b:
+    docs sharing at least one DISTINCT word shingle — an inverted
+    index over the same rolling window hashes MinHash signs, so the
+    candidate set is recall-1 for any Jaccard > 0 (modulo the shared
+    hot-shingle cap).  Hot shingles (stopword n-grams) are the skew
+    case: the capped star+chain bounds them to ~2B edges per bucket at
+    any corpus size."""
+    from ray.data.aggregate import Count
+
+    from pkd_tree_ray.pairjoin import _bucket_of, bucket_pairs_runs_table
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        hv, own, n = window_hash_stream(
+            batch["text"], shingle, _SEED_MH, empty_docs="empty-hash"
+        )
+        if not len(hv):
+            return pa.table(
+                {"wh": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+            )
+        iv = hv.view(np.int64)
+        order = np.lexsort((iv, own))
+        own_s, iv_s = own[order], iv[order]
+        keep = np.concatenate(
+            [[True], (own_s[1:] != own_s[:-1]) | (iv_s[1:] != iv_s[:-1])]
+        )
+        doc = batch["doc_id"].to_numpy().astype(np.int64)[own_s[keep]]
+        return pa.table(
+            {"wh": pa.array(iv_s[keep], pa.int64()), "doc_id": pa.array(doc)}
+        )
+
+    def add_gbkt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["gbkt"] = _bucket_of(batch["wh"].to_numpy())
+        return batch
+
+    def pairs_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        a, b = bucket_pairs_runs_table(
+            [group["wh"].to_numpy()],
+            group["doc_id"].to_numpy(dtype=np.int64),
+            cap,
+        )
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    cand = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(shingle_rows, batch_format="pyarrow")
+        .map_batches(add_gbkt, batch_format="pandas")
+        .groupby("gbkt")
+        .map_groups(pairs_bucket, batch_format="pandas")
+    )
+    return (
+        cand.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="nb"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+
+
+def ngram_jaccard_neardup(docs, threshold: float = 0.5, cap: int = 64):
+    """-> Dataset (doc_a, doc_b, jaccard_permille): EXACT n-gram
+    Jaccard near-dup — inverted-index candidates (every pair sharing a
+    shingle) + the distributed exact-Jaccard verifier, no MinHash
+    approximation anywhere.  Higher candidate volume than LSH (the
+    price of exactness); same verification machinery."""
+    return minhash_neardup(
+        docs, threshold, candidates=ngram_jaccard_candidates(docs, 3, cap)
+    )
+
+
+def sql_ngram_jaccard_neardup(threshold: float = 0.5, shingle: int = 3, cap: int = 64) -> str:
+    """DuckDB SQL bit-exact vs :func:`ngram_jaccard_neardup` over
+    ``documents``: distinct shingle sets, per-shingle capped
+    star+chain candidates, exact integer Jaccard."""
+    from pkd_tree_ray.pairjoin import sql_capped_pairs_ctes
+
+    thr_pm = round(threshold * 1000)
+    empty_h = int(token_hash64([""], _SEED_MH)[0])
+    return f"""
+WITH {_sql_token_cte(_SEED_MH)},
+whl AS (
+  SELECT d.doc_id,
+    CASE WHEN h.hs IS NULL THEN [CAST({empty_h} AS HUGEINT)]
+         WHEN len(h.hs) < {shingle} THEN [{_sql_fold_hs().replace('hs', 'h.hs')}]
+         ELSE {_sql_windows_list(shingle).replace('hs', 'h.hs')}
+    END AS ws
+  FROM docs0 d LEFT JOIN hl h USING (doc_id)),
+wh AS (SELECT doc_id, unnest(ws) AS wh FROM whl),
+sets AS (SELECT DISTINCT doc_id, wh FROM wh),
+ibx AS (SELECT 0 AS z, wh, doc_id FROM sets),
+{sql_capped_pairs_ctes('ibx', ('z', 'wh'), 'doc_id', cap)},
+sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT c.a AS doc_a, c.b AS doc_b, count(*) AS ic
+  FROM cand c JOIN sets sa ON sa.doc_id = c.a
+              JOIN sets sb ON sb.doc_id = c.b AND sb.wh = sa.wh
+  GROUP BY c.a, c.b)
+SELECT i.doc_a, i.doc_b,
+       CAST((i.ic * 1000) // (za.sz + zb.sz - i.ic) AS BIGINT) AS jaccard_permille
+FROM inter i JOIN sz za ON za.doc_id = i.doc_a
+             JOIN sz zb ON zb.doc_id = i.doc_b
+WHERE i.ic * 1000 >= {thr_pm} * (za.sz + zb.sz - i.ic)
+ORDER BY doc_a, doc_b
+"""

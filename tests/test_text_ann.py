@@ -412,3 +412,97 @@ class TestIvfPersistence:
         re = IvfIndex.open(str(tmp_path))
         b = re.query(vecs[:3], k=5).to_pandas()
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestSimhashNearDup:
+    def test_popcount64(self):
+        from pkd_tree_ray.text import popcount64
+
+        rng = np.random.default_rng(7)
+        x = rng.integers(-(2**62), 2**62, size=1000, dtype=np.int64)
+        ref = np.array([bin(int(v) & 0xFFFFFFFFFFFFFFFF).count("1") for v in x])
+        assert np.array_equal(popcount64(x), ref)
+        assert popcount64(np.zeros(0, np.int64)).shape == (0,)
+
+    def test_finds_hamming_close_pairs(self, ray_session):
+        """Near-identical texts must land within the Hamming ball;
+        unrelated texts must not."""
+        from pkd_tree_ray.text import popcount64, simhash, simhash_neardup
+
+        rng = np.random.default_rng(3)
+        words = [f"tok{i}" for i in range(400)]
+        base = [
+            " ".join(rng.choice(words, size=60).tolist()) for _ in range(40)
+        ]
+        # doc 40+i = doc i with ONE word changed -> SimHash within a
+        # few bits of its source
+        mutated = []
+        for t in base:
+            parts = t.split()
+            parts[7] = "zzz" + parts[7]
+            mutated.append(" ".join(parts))
+        docs = _docs_ds(base + mutated, ray_session)
+        out = simhash_neardup(docs, max_hamming=3).to_pandas()
+        found = set(zip(out["doc_a"], out["doc_b"]))
+        # ground truth from the signatures themselves: every pair
+        # within hamming<=3 MUST be reported (pigeonhole = recall 1
+        # modulo the bucket cap, which this corpus stays far below)
+        sims = (
+            simhash(docs).to_pandas().sort_values("doc_id")["simhash"].to_numpy()
+        )
+        n = len(sims)
+        ii, jj = np.triu_indices(n, k=1)
+        hm = popcount64(sims[ii] ^ sims[jj])
+        truth = {(int(a), int(b)) for a, b in zip(ii[hm <= 3], jj[hm <= 3])}
+        assert found == truth
+        # a one-word edit usually (not always) stays within 3 bits
+        assert len(truth & {(i, 40 + i) for i in range(40)}) >= 15
+
+    def test_hamming_values_exact(self, ray_session):
+        from pkd_tree_ray.text import popcount64, simhash, simhash_neardup
+
+        texts = ["a b c d e f g h"] * 3 + ["a b c d e f g x", "q r s t u v w"]
+        docs = _docs_ds(texts, ray_session)
+        out = simhash_neardup(docs, max_hamming=8).to_pandas()
+        sims = (
+            simhash(docs).to_pandas().sort_values("doc_id")["simhash"].to_numpy()
+        )
+        for _, r in out.iterrows():
+            expect = int(popcount64(np.array([sims[r.doc_a] ^ sims[r.doc_b]]))[0])
+            assert r.hamming == expect <= 8
+        # identical texts: hamming 0 pairs all present
+        assert {(0, 1), (0, 2), (1, 2)} <= set(zip(out["doc_a"], out["doc_b"]))
+
+
+class TestNgramJaccardNearDup:
+    def test_exact_recall_vs_bruteforce(self, ray_session):
+        """No-MinHash exact dedup: output == brute-force all-pairs
+        Jaccard over the same shingle sets (corpus below the hot-
+        shingle cap)."""
+        from pkd_tree_ray.text import _shingle_hashes, ngram_jaccard_neardup
+
+        rng = np.random.default_rng(11)
+        words = [f"w{i}" for i in range(500)]
+        texts = []
+        for i in range(30):
+            t = rng.choice(words, size=40).tolist()
+            texts.append(" ".join(t))
+            # planted near-dup: drop 3 words
+            texts.append(" ".join(t[:-3]))
+        docs = _docs_ds(texts, ray_session)
+        out = ngram_jaccard_neardup(docs, threshold=0.5).to_pandas()
+        got = {
+            (int(r.doc_a), int(r.doc_b), int(r.jaccard_permille))
+            for _, r in out.iterrows()
+        }
+        sets = [_shingle_hashes(t, 3) for t in texts]
+        expect = set()
+        for a in range(len(texts)):
+            for b in range(a + 1, len(texts)):
+                inter = len(np.intersect1d(sets[a], sets[b], assume_unique=True))
+                union = max(1, len(sets[a]) + len(sets[b]) - inter)
+                if inter * 1000 >= 500 * union:
+                    expect.add((a, b, (inter * 1000) // union))
+        assert got == expect
+        # all 30 planted pairs found
+        assert len({(2 * i, 2 * i + 1) for i in range(30)} & {(a, b) for a, b, _ in got}) == 30
