@@ -553,6 +553,23 @@ def _q_ann_ivf(sf_dir: str):
     )
 
 
+def _q_ann_ivf_exact(sf_dir: str):
+    """IVF with exhaustive probes (nprobe = n_lists): must equal the
+    brute-force top-k bit-for-bit — the oracle-checked proof that the
+    IVF partition -> per-list scan -> merge machinery is lossless, so
+    recall < 1 in `ann_ivf` comes only from probe pruning."""
+    from pkd_tree_ray.ann import ann_ivf
+
+    qids, qv = _ann_queries(sf_dir)
+    emb = sources.read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = ann_ivf(emb, qv, k=5, n_lists=16, nprobe=16, path=_idx_path(sf_dir, "ivf"))
+    return out.set_column(
+        out.schema.get_field_index("qid"),
+        "qid",
+        pa.array(qids[out["qid"].to_numpy()], pa.int64()),
+    )
+
+
 def _q_knn_graph(sf_dir: str):
     """Self-kNN graph sink (generate_knn analog): every indexed point's
     5 nearest OTHER points as an edge table, written per-cell
@@ -751,6 +768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_neardup": _q_ngram_jaccard_neardup,
         "ann_l2q": _q_ann_l2q,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_exact": _q_ann_ivf_exact,
         "embedding_neardup": _q_embedding_neardup,
         "image_knn": _q_image_knn,
         "image_decode_stats": _q_image_decode_stats,
@@ -1009,7 +1027,7 @@ def oracle_sql() -> dict[str, str]:
         + sql_point_in_polygon("x", "y", v)
         for i, v in enumerate(workloads.concave_polygons())
     )
-    return {
+    out = {
         "selfcheck": """
 SELECT count(*) AS n_region, CAST(1 AS BIGINT) AS tmp_writable FROM region
 """,
@@ -1151,3 +1169,6 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
         "ngram_jaccard_neardup": sql_ngram_jaccard_neardup(threshold=0.5),
         "embedding_neardup": _embedding_neardup_sql(),
     }
+    # exhaustive-probe IVF must reproduce brute force bit-for-bit
+    out["ann_ivf_exact"] = out["ann_l2q"]
+    return out

@@ -640,10 +640,22 @@ class IvfIndex:
                     + (pq_ * pq_).sum(axis=1)[None, :]
                 )
                 kk = min(k, score.shape[1])
-                part = np.argpartition(score, kk - 1, axis=1)[:, :kk]
-                out_q.append(np.repeat(qs, kk))
-                out_n.append(vid[rows[part.ravel()]])
-                out_s.append(np.take_along_axis(score, part, axis=1).ravel())
+                # tie-safe cut under the merge's (score, neighbor)
+                # order (the ann_bruteforce partial's kernel): an
+                # argpartition cut picks an ARBITRARY subset of
+                # kth-score ties, which can drop the neighbor the
+                # global merge would keep
+                kth = np.partition(score, kk - 1, axis=1)[:, kk - 1][:, None]
+                qi, ni = np.nonzero(score <= kth)
+                sc_ = score[qi, ni]
+                nb_ = vid[rows[ni]]
+                order = np.lexsort((nb_, sc_, qi))
+                qi_s = qi[order]
+                first = np.searchsorted(qi_s, qi_s, side="left")
+                keep = order[(np.arange(len(qi_s)) - first) < kk]
+                out_q.append(qs[qi[keep]])
+                out_n.append(nb_[keep])
+                out_s.append(sc_[keep])
             if not out_q:
                 return pa.table(
                     {

@@ -235,6 +235,28 @@ class TestAnn:
             hits += len(e & a) / len(e)
         assert hits / 10 >= 0.6  # recall with 3/8 probes
 
+    def test_ivf_exhaustive_equals_bruteforce(self, emb_ds):
+        """nprobe = n_lists probes every list -> the IVF
+        partition/scan/merge must reproduce brute force bit-for-bit
+        (incl. (score, neighbor) tie-breaks at the kth boundary)."""
+        from pkd_tree_ray.ann import ann_bruteforce, ann_ivf
+
+        ds, vecs = emb_ds
+        q = vecs[:8]
+        exact = (
+            ann_bruteforce(ds, q, k=5)
+            .to_pandas()
+            .sort_values(["qid", "rank"])
+            .reset_index(drop=True)
+        )
+        full = (
+            ann_ivf(ds, q, k=5, n_lists=8, nprobe=8)
+            .to_pandas()
+            .sort_values(["qid", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(exact, full)
+
 
 class TestEmbeddingNearDup:
     def test_finds_planted_duplicates(self, ray_session):
