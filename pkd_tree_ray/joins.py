@@ -41,7 +41,7 @@ def _poly_mask(x: np.ndarray, y: np.ndarray, verts: np.ndarray, convex: bool) ->
     if convex:
         return points_in_convex_polygon(x, y, verts)
     return points_in_polygon(x, y, verts)
-from pkd_tree_ray.index import PkdIndex
+from pkd_tree_ray.index import PkdIndex, _in_sorted
 from pkd_tree_ray.queries import _Pairs, _csr, _iter_cell_runs, _live, _pool_size, _scan_stage, knn
 
 
@@ -426,7 +426,7 @@ def knn_graph(index: PkdIndex, out_path: str, k: int, config=None):
                     )
                 )
                 t = t.filter(
-                    pa.array(~np.isin(t[id_col].to_numpy(zero_copy_only=False), dead))
+                    pa.array(~_in_sorted(t[id_col].to_numpy(zero_copy_only=False), dead))
                 )
             ids = t[id_col].to_numpy(zero_copy_only=False)
             fx = t["x"].to_numpy()

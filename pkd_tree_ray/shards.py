@@ -35,7 +35,7 @@ import pyarrow as pa
 
 import ray
 
-from pkd_tree_ray.index import PkdIndex
+from pkd_tree_ray.index import PkdIndex, _in_sorted
 
 #: a foreign query ball overlapping more than this fraction of a cell's
 #: bbox volume takes the bounded top-k path instead of the sliver
@@ -121,7 +121,7 @@ class IndexShard:
                         ]
                     )
                 )
-                keep = ~np.isin(
+                keep = ~_in_sorted(
                     t[self.id_col].to_numpy(zero_copy_only=False), dead
                 )
                 t = t.filter(pa.array(keep))
@@ -387,7 +387,7 @@ class IndexShard:
         for cell, (key, ids, fc, bbox, blocks) in self.cells.items():
             if cell not in self.primary:
                 continue  # replicated hot cell: its primary answers
-            n = int(np.isin(ids, dead).sum())
+            n = int(_in_sorted(ids, dead).sum())
             if n:
                 out[cell] = n
         return out
@@ -755,7 +755,7 @@ class ShardedQueryPool:
     def count_matches(self, del_ids: np.ndarray) -> dict[int, int]:
         """Per-cell live-row matches of a delete id set, answered from
         resident shard memory (no storage reads)."""
-        ref = ray.put(del_ids)
+        ref = ray.put(np.unique(del_ids))  # sorted: actors use searchsorted
         out: dict[int, int] = {}
         for part in ray.get([a.count_matches.remote(ref) for a in self.actors]):
             for c, n in part.items():

@@ -573,3 +573,106 @@ class TestBranchedUpdates:
         files_after = set(glob.glob(str(tmp_path) + "/parts/*.parquet"))
         assert files_after == files_before  # no new files
         assert i2.total_rows == i1.total_rows == n + 40
+
+
+class TestDirectCompaction:
+    """The shuffle-free compaction path (``_compact_cells_direct``):
+    a directory-stable update rewrites each compacted cell from its
+    own files via raw per-cell tasks instead of a groupby exchange."""
+
+    def _spy(self, monkeypatch):
+        import pkd_tree_ray.index as mod
+
+        calls = []
+        orig = mod.PkdIndex._compact_cells_direct
+
+        def wrapper(self, cells, tbl, op, version, resume):
+            calls.append((list(cells), op))
+            return orig(self, cells, tbl, op, version, resume)
+
+        monkeypatch.setattr(mod.PkdIndex, "_compact_cells_direct", wrapper)
+        return calls
+
+    def test_delete_heavy_compacts_direct(self, ray_session, tmp_path, monkeypatch):
+        """A 40% delete exceeds tomb_compact_frac in every cell but
+        merges none (post-count >> merge threshold) -> the direct path
+        runs and results are exact vs brute force."""
+        import ray.data as rd
+        from pkd_tree_ray.index import _OP_DELETE
+        from pkd_tree_ray.queries import knn, range_count
+
+        calls = self._spy(monkeypatch)
+        idx, ids, x, y = _mk_index(tmp_path, n=4_000)
+        n = len(ids)
+        sel = np.arange(0, n, 5)  # every 5th then every other 5th: 40%
+        sel = np.union1d(sel, np.arange(1, n, 5))
+        idx2 = idx.delete(rd.from_arrow(_table(ids[sel], x[sel], y[sel])), strict=True)
+        assert calls and calls[0][1] == _OP_DELETE
+        keep = np.setdiff1d(np.arange(n), sel)
+        assert idx2.total_rows == len(keep)
+        # no tombstones survive a compaction
+        compacted = set(calls[0][0])
+        assert not any(idx2.tomb_files.get(c) for c in compacted)
+        ax, ay, aid = x[keep], y[keep], ids[keep]
+        boxes = point_pair_boxes(ax, ay, 16)
+        got = range_count(idx2, boxes).to_pandas()["cnt"].to_numpy()
+        for q, box in enumerate(boxes):
+            assert got[q] == range_count_oracle(ax, ay, box)
+        qx, qy = ax[:8], ay[:8]
+        df = knn(idx2, qx, qy, 10).to_pandas().sort_values(["qid", "rank"])
+        oracle = knn_oracle(ax, ay, aid, qx, qy, 10)
+        for q in range(len(qx)):
+            assert df[df["qid"] == q]["dist2"].tolist() == [e[0] for e in oracle[q]]
+
+    def test_insert_alpha_compacts_direct(self, ray_session, tmp_path, monkeypatch):
+        """A 40% insert violates imbalance_alpha (0.3) in every cell
+        without splitting any (counts stay under split_threshold) ->
+        the direct INSERT path runs; union results are exact."""
+        import ray.data as rd
+        from pkd_tree_ray.index import _OP_INSERT
+        from pkd_tree_ray.queries import range_count
+
+        calls = self._spy(monkeypatch)
+        idx, ids, x, y = _mk_index(tmp_path, n=4_000)
+        n = len(ids)
+        m = int(n * 0.4)
+        ix, iy = uniform_xy(np.arange(m, dtype=np.uint64), seed=91)
+        iids = np.arange(n, n + m, dtype=np.int64)
+        idx2 = idx.insert(rd.from_arrow(_table(iids, ix, iy)))
+        assert calls and calls[0][1] == _OP_INSERT
+        assert idx2.total_rows == n + m
+        ax, ay = np.concatenate([x, ix]), np.concatenate([y, iy])
+        boxes = point_pair_boxes(ax, ay, 16)
+        got = range_count(idx2, boxes).to_pandas()["cnt"].to_numpy()
+        for q, box in enumerate(boxes):
+            assert got[q] == range_count_oracle(ax, ay, box)
+
+    def test_direct_resume_reuses_files(self, ray_session, tmp_path):
+        """Re-running the SAME heavy delete reuses the compacted files
+        (content-token resume through the direct path)."""
+        import glob
+        import ray.data as rd
+
+        idx, ids, x, y = _mk_index(tmp_path, n=4_000)
+        n = len(ids)
+        sel = np.union1d(np.arange(0, n, 5), np.arange(1, n, 5))
+        t = _table(ids[sel], x[sel], y[sel])
+        d1 = idx.delete(rd.from_arrow(t), strict=True)
+        files_before = set(glob.glob(str(tmp_path) + "/parts/*.parquet"))
+        d2 = idx.delete(rd.from_arrow(t), strict=True)
+        files_after = set(glob.glob(str(tmp_path) + "/parts/*.parquet"))
+        assert files_after == files_before
+        assert d2.total_rows == d1.total_rows == n - len(sel)
+
+    def test_strict_violation_still_raises(self, ray_session, tmp_path):
+        """FullCovered semantics survive the direct path: deleting a
+        nonexistent id through a compacting delete raises."""
+        import ray.data as rd
+
+        idx, ids, x, y = _mk_index(tmp_path, n=4_000)
+        n = len(ids)
+        sel = np.union1d(np.arange(0, n, 5), np.arange(1, n, 5))
+        bad_ids = ids[sel].copy()
+        bad_ids[0] = n + 999  # not in the index
+        with pytest.raises(ValueError, match="strict"):
+            idx.delete(rd.from_arrow(_table(bad_ids, x[sel], y[sel])), strict=True)
