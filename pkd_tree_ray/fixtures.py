@@ -291,3 +291,105 @@ def self_query_sample(
         m = min(m, max_queries)
     idx = (splitmix64(np.arange(m, dtype=np.uint64), seed + 5) % np.uint64(n)).astype(np.int64)
     return x[idx], y[idx]
+
+
+def amplified_documents(sf_dir: str, rep: int, neardup_every: int = 100):
+    """``documents.parquet`` amplified ``rep``x into UNIQUE documents
+    (the text analog of :func:`~pkd_tree_ray.sources.lineitem_points_amplified`):
+    replica ``j > 0`` deterministically permutes the base doc's word
+    order (argsort of splitmix64 keyed by (doc, j, word position)),
+    which rewrites its n-gram shingle set — replicas are NOT
+    near-duplicates of each other or of the base.  Every
+    ``neardup_every``-th base doc's replica 1 instead appends one
+    token to the base text: a planted near-dup pair per cluster, so a
+    near-dup pipeline over the amplified corpus has known signal.
+
+    ``doc_id' = doc_id * rep + j`` (disjoint, reversible).  Returns a
+    Ray Dataset with the base table's columns."""
+    import ray.data as rd
+
+    base = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+
+    def amplify(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        out_id, out_tx, out_lg, out_sc = [], [], [], []
+        for i, t in enumerate(texts):
+            words = t.split()
+            nw = len(words)
+            warr = np.array(words, dtype=object)
+            for j in range(rep):
+                did = int(ids[i]) * rep + j
+                if j == 0:
+                    tx = t
+                elif j == 1 and int(ids[i]) % neardup_every == 0:
+                    tx = t + " pkdnear"  # planted near-dup of replica 0
+                else:
+                    keys = splitmix64(
+                        np.arange(nw, dtype=np.uint64), seed=did & 0x7FFFFFFF
+                    )
+                    tx = " ".join(warr[np.argsort(keys)])
+                out_id.append(did)
+                out_tx.append(tx)
+                out_lg.append(langs[i])
+                out_sc.append(srcs[i])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "text": pa.array(out_tx, pa.string()),
+                "lang": pa.array(out_lg, pa.string()),
+                "source": pa.array(out_sc, pa.string()),
+            }
+        )
+
+    return base.map_batches(amplify, batch_format="pyarrow", batch_size=256)
+
+
+def amplified_embeddings(sf_dir: str, rep: int, noise: float = 0.05):
+    """``embeddings.parquet`` amplified ``rep``x: replica ``j`` adds
+    deterministic splitmix64 uniform noise (``+- noise``) per
+    coordinate, so replicas are distinct vectors clustered around
+    their base — a realistic ANN corpus shape (near-neighbor structure
+    survives, exact duplicates don't).  ``vec_id' = vec_id * rep + j``."""
+    import ray.data as rd
+
+    base = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def amplify(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        emb = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in batch["embedding"].to_pylist()]
+        )
+        lab = batch["label"].to_numpy()
+        n, d = emb.shape
+        out = []
+        for j in range(rep):
+            did = ids * rep + j
+            if j == 0:
+                pert = emb
+            else:
+                du = did.astype(np.uint64)
+                flat = splitmix64(
+                    (du[:, None] * np.uint64(d) + np.arange(d, dtype=np.uint64)).ravel(),
+                    seed=j,
+                )
+                u = flat.astype(np.float64) / float(2**64) - 0.5
+                pert = emb + (2.0 * noise * u.reshape(n, d)).astype(np.float32)
+            out.append(
+                pa.table(
+                    {
+                        "vec_id": pa.array(did, pa.int64()),
+                        "embedding": pa.array(list(pert), pa.list_(pa.float32())),
+                        "label": pa.array(lab, pa.int32()),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    return base.map_batches(amplify, batch_format="pyarrow", batch_size=512)

@@ -29,6 +29,7 @@ distributed index that ``map_batches`` cannot hold across pipelines.
 from __future__ import annotations
 
 import os
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -77,6 +78,10 @@ class IndexShard:
         self.primary: set[int] = set()
         #: role[cell] = (rank, n_holders) for every resident cell
         self.role: dict[int, tuple[int, int]] = {}
+        #: measured serving work since the last drain: per resident
+        #: cell, sum over kNN batches of (admitted queries x resident
+        #: rows) — the pool's load-adaptive rebalance signal
+        self.load: dict[int, float] = {}
 
     def sync(self, cell_files: dict[int, tuple]) -> int:
         """Load added/changed cells, drop removed ones.  Values are
@@ -205,6 +210,7 @@ class IndexShard:
                 qs = qs[qs % n_holders == rank]
             if not len(qs):
                 continue
+            t_cell = time.perf_counter()
             # cell bboxes are disjoint, so bd2 == 0 identifies a query's
             # HOME cell: it answers with a full local top-k.  A foreign
             # cell usually overlaps the query ball only in a sliver —
@@ -253,16 +259,15 @@ class IndexShard:
                     out_q.append(np.repeat(hq, k_eff))
                     out_n.append(ids[idx.ravel()])
                     out_d.append(d2.ravel())
-            if len(fq):
-                if blocks is not None:
-                    q3, n3, d3 = block_range_triplets(
-                        fc, ids, *blocks, [c[fq] for c in Qc], bounds[fq], k_cap=k
-                    )
-                    if len(q3):
-                        out_q.append(fq[q3])
-                        out_n.append(n3)
-                        out_d.append(d3)
-                    continue
+            if len(fq) and blocks is not None:
+                q3, n3, d3 = block_range_triplets(
+                    fc, ids, *blocks, [c[fq] for c in Qc], bounds[fq], k_cap=k
+                )
+                if len(q3):
+                    out_q.append(fq[q3])
+                    out_n.append(n3)
+                    out_d.append(d3)
+            elif len(fq):
                 qi, pi, d2f = brute_range_filter_nd(
                     fc, [c[fq] for c in Qc], bounds[fq]
                 )
@@ -276,6 +281,12 @@ class IndexShard:
                     out_q.append(fq[qi])
                     out_n.append(ids[pi])
                     out_d.append(d2f)
+            # serving-work telemetry (MEASURED kernel seconds — the
+            # quantity wall time actually rides on) for
+            # ShardedQueryPool.rebalance
+            self.load[cell] = self.load.get(cell, 0.0) + (
+                time.perf_counter() - t_cell
+            )
         if not out_q:
             return pa.table(
                 {
@@ -377,6 +388,12 @@ class IndexShard:
                 "cell": pa.array(np.concatenate(out_c), pa.int64()),
             }
         )
+
+    def drain_load(self) -> dict:
+        """Return and reset the measured per-cell serving work."""
+        out = self.load
+        self.load = {}
+        return out
 
     def count_matches(self, dead_ref) -> dict:
         """Per-cell count of resident LIVE rows whose id is in the
@@ -547,7 +564,7 @@ class ShardedQueryPool:
 
     # -- membership -----------------------------------------------------
 
-    def refresh(self, index: PkdIndex) -> None:
+    def refresh(self, index: PkdIndex, measured: dict[int, float] | None = None) -> None:
         """(Re)assign cells to shards — greedy balance by directory
         count, deterministic — and sync each shard (only changed cells
         move any data).  Attaches the pool to ``index``.
@@ -557,53 +574,106 @@ class ShardedQueryPool:
         cell ∝ its bbox volume, and each routed query costs ∝ the
         cell's rows — r3 profiling saw ONE shard do 164M of 663M
         brute-kernel point-distances on the varden OOD phase).  A cell
-        whose expected traffic share ``area_frac × rows`` exceeds one
-        shard's fair slice is synced to extra shards as a NON-primary
-        replica; every holder answers a deterministic
-        ``qid % n_holders`` slice of the cell's in-bound queries inside
-        ``knn_auto``, flattening the serving-load skew the same way
-        hot-key salting flattens a shuffle."""
+        whose expected traffic share exceeds one shard's fair slice is
+        synced to extra shards as a NON-primary replica; every holder
+        answers a deterministic ``qid % n_holders`` slice of the
+        cell's in-bound queries inside ``knn_auto``, flattening the
+        serving-load skew the same way hot-key salting flattens a
+        shuffle.
+
+        ``measured``: per-cell serving work observed by the shards
+        (see :meth:`rebalance`).  When given, it replaces BOTH the
+        assignment weight (blended with rows, which still governs
+        memory/sync balance) and the static ``area_frac x rows``
+        replication proxy — r4 profiling showed the static proxy
+        ranks the hottest cells poorly (log-corr 0.22 with measured
+        work; 0 of 871 cells crossed the replication threshold while
+        the max/mean shard-work skew was 3x)."""
         d = index.directory
         cells = [int(c) for c in index.cell_files]
         idx_of = {int(c): i for i, c in enumerate(d.starts)}
         rows_of = np.array([int(d.counts[idx_of[c]]) for c in cells], dtype=np.int64)
-        order = np.argsort(-rows_of, kind="stable")
-        load = np.zeros(self.n_shards, dtype=np.int64)
-        owner: dict[int, int] = {}
-        for i in order:
-            s = int(np.argmin(load))
-            owner[cells[i]] = s
-            load[s] += rows_of[i]
-        self.owner = owner
-        # traffic weight: fraction of total bbox volume x resident rows
-        nd = len(index.config.dims)
-        bb = d.bboxes[np.array([idx_of[c] for c in cells], dtype=np.int64)]
-        ext = np.maximum(
-            (bb[:, nd:] - bb[:, :nd] + 1).astype(np.float64), 0.0
-        )
-        vol = np.prod(ext, axis=1)
-        tot_vol = float(vol.sum()) or 1.0
-        traffic = vol / tot_vol * rows_of.astype(np.float64)
-        fair = float(traffic.sum()) / self.n_shards or 1.0
-        n_rep = np.minimum(
-            np.maximum(
-                np.ceil(traffic / fair).astype(np.int64), self.min_replicas
-            ),
-            self.n_shards,
-        )
-        replicas: dict[int, list[int]] = {}
-        rep_load = load.astype(np.float64)
-        for i in np.argsort(-traffic, kind="stable"):
-            cell = cells[i]
-            holders = [owner[cell]]
-            for _ in range(int(n_rep[i]) - 1):
-                cand = [s for s in range(self.n_shards) if s not in holders]
+        meas = None
+        if measured:
+            meas = np.array([float(measured.get(c, 0.0)) for c in cells])
+            if meas.sum() <= 0:
+                meas = None
+        if meas is not None:
+            # MEASURED layout: one unified fractional-replica LPT.
+            # A cell whose observed kernel seconds exceed half a fair
+            # shard slice splits into n_rep equal-work holder items;
+            # all items greedy-pack largest-first onto the least-loaded
+            # shard not already holding that cell.  This balances what
+            # wall time actually rides on — the two-stage (assign by
+            # rows, then replicate by a static proxy) layout left a 3x
+            # max/mean kernel-seconds skew on the varden OOD phase.
+            fair = float(meas.sum()) / self.n_shards or 1.0
+            n_rep = np.clip(
+                np.ceil(meas / max(fair / 2.0, 1e-12)).astype(np.int64),
+                self.min_replicas,
+                min(8, self.n_shards),
+            )
+            rn = rows_of / max(float(rows_of.sum()), 1.0)
+            mn = meas / meas.sum()
+            items: list[tuple[float, int]] = []
+            for i in range(len(cells)):
+                # small rows term: never-observed cells still spread
+                # for memory/sync balance
+                w = (mn[i] + 0.05 * rn[i]) / float(n_rep[i])
+                items.extend([(w, i)] * int(n_rep[i]))
+            items.sort(key=lambda t: -t[0])
+            shard_load = np.zeros(self.n_shards, dtype=np.float64)
+            holders_of: dict[int, list[int]] = {i: [] for i in range(len(cells))}
+            for w, i in items:
+                held = holders_of[i]
+                cand = [s for s in range(self.n_shards) if s not in held]
                 if not cand:
-                    break
-                s = min(cand, key=lambda s: rep_load[s])
-                holders.append(s)
-                rep_load[s] += traffic[i] / n_rep[i]
-            replicas[cell] = holders
+                    continue
+                s = min(cand, key=lambda s: shard_load[s])
+                held.append(s)
+                shard_load[s] += w
+            owner = {cells[i]: hs[0] for i, hs in holders_of.items()}
+            replicas = {cells[i]: list(hs) for i, hs in holders_of.items()}
+        else:
+            # STATIC layout (no workload observed yet): assign by rows,
+            # replicate by the area_frac x rows traffic proxy
+            aw = rows_of.astype(np.float64)
+            order = np.argsort(-aw, kind="stable")
+            load = np.zeros(self.n_shards, dtype=np.float64)
+            owner = {}
+            for i in order:
+                s = int(np.argmin(load))
+                owner[cells[i]] = s
+                load[s] += aw[i]
+            nd = len(index.config.dims)
+            bb = d.bboxes[np.array([idx_of[c] for c in cells], dtype=np.int64)]
+            ext = np.maximum(
+                (bb[:, nd:] - bb[:, :nd] + 1).astype(np.float64), 0.0
+            )
+            vol = np.prod(ext, axis=1)
+            tot_vol = float(vol.sum()) or 1.0
+            traffic = vol / tot_vol * rows_of.astype(np.float64)
+            fair = float(traffic.sum()) / self.n_shards or 1.0
+            n_rep = np.minimum(
+                np.maximum(
+                    np.ceil(traffic / fair).astype(np.int64), self.min_replicas
+                ),
+                self.n_shards,
+            )
+            replicas = {}
+            rep_load = load.astype(np.float64)
+            for i in np.argsort(-traffic, kind="stable"):
+                cell = cells[i]
+                holders = [owner[cell]]
+                for _ in range(int(n_rep[i]) - 1):
+                    cand = [s for s in range(self.n_shards) if s not in holders]
+                    if not cand:
+                        break
+                    s = min(cand, key=lambda s: rep_load[s])
+                    holders.append(s)
+                    rep_load[s] += traffic[i] / n_rep[i]
+                replicas[cell] = holders
+        self.owner = owner
         self.replicas = replicas
         per_shard: list[dict[int, tuple]] = [{} for _ in range(self.n_shards)]
         for cell in cells:
@@ -617,6 +687,30 @@ class ShardedQueryPool:
             self.index.pool = None  # old handle no longer served
         self.index = index
         index.pool = self
+
+    def rebalance(self) -> dict:
+        """Load-adaptive re-shard: drain the per-cell serving work the
+        shards measured since the last drain (kernel seconds per
+        resident cell) and re-run assignment +
+        replication with those MEASURED weights.  The distributed
+        analog of a serving system promoting hot partitions to extra
+        replicas after a warmup window; static proxies cannot rank
+        out-of-distribution hot cells (uniform queries against
+        clustered data concentrate on cluster-face cells the driver
+        cannot identify without the workload).  Incremental: sync only
+        moves cells whose holder set changed.  Returns
+        {rebalanced, cells_observed}."""
+        parts = ray.get([a.drain_load.remote() for a in self.actors])
+        merged: dict[int, float] = {}
+        for p in parts:
+            for c, w in p.items():
+                merged[c] = merged.get(c, 0.0) + w
+        if self.index is not None:
+            merged = {c: w for c, w in merged.items() if c in self.index.cell_files}
+        if not merged or self.index is None:
+            return {"rebalanced": False, "cells_observed": len(merged)}
+        self.refresh(self.index, measured=merged)
+        return {"rebalanced": True, "cells_observed": len(merged)}
 
     # -- scans ----------------------------------------------------------
 

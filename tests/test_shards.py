@@ -449,3 +449,55 @@ class TestPoolOODRepair:
         oracle = knn_oracle(x, y, pid, qx, qy, 10)
         for q in range(len(qx)):
             assert df[df["qid"] == q]["dist2"].tolist() == [e[0] for e in oracle[q]]
+
+
+class TestLoadAdaptiveRebalance:
+    """rebalance(): measured-load fractional-replica LPT must keep
+    every query family bit-identical (each query answered exactly once
+    across holders) while re-homing/replicating cells."""
+
+    def test_rebalance_keeps_knn_exact(self, built):
+        from pkd_tree_ray.queries import knn, range_count
+        from pkd_tree_ray.shards import ShardedQueryPool
+
+        idx, x, y = built
+        pool = ShardedQueryPool(idx, n_shards=4)
+        # OOD workload: uniform queries over the varden build
+        rng = np.random.RandomState(3)
+        qx = rng.randint(0, 1_000_000, 500).astype(np.int64)
+        qy = rng.randint(0, 1_000_000, 500).astype(np.int64)
+        before = knn(idx, qx, qy, 10).to_pandas()
+        r = pool.rebalance()
+        assert r["rebalanced"] and r["cells_observed"] > 0
+        # some cell must have moved or replicated into a new layout
+        after = knn(idx, qx, qy, 10).to_pandas()
+        pd.testing.assert_frame_equal(
+            before.sort_values(["qid", "rank"]).reset_index(drop=True),
+            after.sort_values(["qid", "rank"]).reset_index(drop=True),
+        )
+        boxes = point_pair_boxes(x, y, 12)
+        got = range_count(idx, boxes).to_pandas()["cnt"].to_numpy()
+        pool2 = None
+        try:
+            # compare against a fresh pool with the static layout
+            pool.shutdown()
+            idx.pool = None
+            pool2 = ShardedQueryPool(idx, n_shards=4)
+            got2 = range_count(idx, boxes).to_pandas()["cnt"].to_numpy()
+            assert np.array_equal(got, got2)
+        finally:
+            if pool2 is not None:
+                pool2.shutdown()
+
+    def test_rebalance_without_load_is_noop(self, built):
+        from pkd_tree_ray.shards import ShardedQueryPool
+
+        idx, x, y = built
+        idx.pool = None
+        pool = ShardedQueryPool(idx, n_shards=2)
+        try:
+            r = pool.rebalance()  # no kNN batch ran -> no telemetry
+            assert r["rebalanced"] is False
+        finally:
+            pool.shutdown()
+            idx.pool = None

@@ -528,3 +528,52 @@ class TestNgramJaccardNearDup:
         assert got == expect
         # all 30 planted pairs found
         assert len({(2 * i, 2 * i + 1) for i in range(30)} & {(a, b) for a, b, _ in got}) == 30
+
+
+class TestAmplifiedFixtures:
+    """The bench-scale corpus amplifiers: deterministic, unique docs,
+    planted near-dup signal."""
+
+    def test_amplified_documents_shape_and_signal(self, ray_session):
+        from pkd_tree_ray.fixtures import amplified_documents
+
+        docs = amplified_documents("/root/testdata/sf0.001", rep=4).materialize()
+        import pyarrow as pa
+
+        t = pa.concat_tables(
+            [pa.table(b) for b in docs.iter_batches(batch_format="pyarrow", batch_size=None)]
+        )
+        base_n = 50  # sf0.001 documents rows
+        assert t.num_rows == base_n * 4
+        ids = np.sort(t["doc_id"].to_numpy())
+        assert ids[0] == 0 and len(np.unique(ids)) == len(ids)
+        texts = dict(zip(t["doc_id"].to_numpy(), t["text"].to_pylist()))
+        # replica 0 is the base text; doc 0's replica 1 is the planted
+        # near-dup (doc_id % 100 == 0 at neardup_every=100); other
+        # replicas are word-permutations (same multiset, different order)
+        assert texts[1] == texts[0] + " pkdnear"
+        for j in (2, 3):
+            assert texts[j] != texts[0]
+            assert sorted(texts[j].split()) == sorted(texts[0].split())
+        # determinism
+        docs2 = amplified_documents("/root/testdata/sf0.001", rep=4)
+        t2 = pa.concat_tables(
+            [pa.table(b) for b in docs2.iter_batches(batch_format="pyarrow", batch_size=None)]
+        )
+        assert sorted(t2["text"].to_pylist()) == sorted(t["text"].to_pylist())
+
+    def test_amplified_embeddings_noise_bounded(self, ray_session):
+        from pkd_tree_ray.fixtures import amplified_embeddings
+
+        emb = amplified_embeddings("/root/testdata/sf0.001", rep=3, noise=0.05).materialize()
+        import pyarrow as pa
+
+        t = pa.concat_tables(
+            [pa.table(b) for b in emb.iter_batches(batch_format="pyarrow", batch_size=None)]
+        )
+        ids = t["vec_id"].to_numpy()
+        mats = {i: np.asarray(v, dtype=np.float32) for i, v in zip(ids, t["embedding"].to_pylist())}
+        base = mats[0]  # vec 0 replica 0
+        for j in (1, 2):
+            d = np.abs(mats[j] - base)
+            assert d.max() <= 0.05 + 1e-6 and d.max() > 0
