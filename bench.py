@@ -333,6 +333,49 @@ def run_suite() -> dict:
                 "cells": len(cur.cell_files),
             }
 
+    # 11. LLM-data-pipeline phases (the dedup / text-analysis / ANN
+    # operator families over the documents+embeddings tables, amplified
+    # to bench scale — fixtures.amplified_documents permutes word order
+    # per replica so replicas are unique docs with planted near-dup
+    # signal).  Off in the scaling pairs (the pass metric stays the
+    # spatial suite).
+    n_docs = n_vecs = 0
+    if os.environ.get("GRAFT_BENCH_TEXT", "1") != "0":
+        from pkd_tree_ray.ann import ann_bruteforce, ann_ivf
+        from pkd_tree_ray.fixtures import amplified_documents, amplified_embeddings
+        from pkd_tree_ray.text import (
+            exact_dedup,
+            minhash_neardup,
+            simhash,
+            token_stats,
+        )
+
+        docs = amplified_documents(SF_DIR, rep=40).materialize()  # untimed setup
+        n_docs = docs.count()
+        timed("text_exact_dedup", lambda: exact_dedup(docs).count())
+        timed("text_token_stats", lambda: token_stats(docs).count())
+        timed("text_simhash", lambda: simhash(docs).count())
+        timed("text_minhash_neardup", lambda: minhash_neardup(docs).count())
+        emb = amplified_embeddings(SF_DIR, rep=100).materialize()
+        n_vecs = emb.count()
+        import pyarrow.parquet as _pq
+
+        qv = np.stack(
+            [
+                np.asarray(v, dtype=np.float32)
+                for v in _pq.read_table(f"{SF_DIR}/embeddings.parquet")[
+                    "embedding"
+                ].to_pylist()[:100]
+            ]
+        )
+        timed("ann_bruteforce", lambda: ann_bruteforce(emb, qv, 10).num_rows)
+        ivf_path = f"/tmp/pkd_bench_ivf/{NUM_CPUS}"
+        shutil.rmtree(ivf_path, ignore_errors=True)
+        timed(
+            "ann_ivf_build_query",
+            lambda: ann_ivf(emb, qv, 10, n_lists=64, nprobe=8, path=ivf_path).num_rows,
+        )
+
     total = round(sum(timings.values()), 4)
     knn_qps = round(3 * len(qx) / (timings["knn_k1"] + timings["knn_k10"] + timings["knn_k100"]), 1)
     result = {
@@ -349,6 +392,10 @@ def run_suite() -> dict:
         "concurrent_queries_per_sec": round(n_queries_total / concurrent_sec, 1),
         "n_cells": len(idx.directory),
     }
+    if n_docs:
+        result["n_docs"] = n_docs
+        result["text_docs_per_sec"] = round(n_docs / timings["text_token_stats"], 1)
+        result["n_vecs"] = n_vecs
     if alpha_sweep:
         result["alpha_sweep"] = alpha_sweep
     ray.shutdown()
@@ -363,7 +410,12 @@ def run_scaling(rounds: int | None = None) -> None:
     rounds = rounds or int(os.environ.get("GRAFT_SCALING_ROUNDS", "5"))
 
     def run_at(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_SWEEP="0")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_SWEEP="0",
+            GRAFT_BENCH_TEXT="0",
+        )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,

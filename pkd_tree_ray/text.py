@@ -125,8 +125,21 @@ class TextStats:
 
 def token_stats(docs):
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        TextStats, batch_format="pandas", concurrency=(1, 8)
+        TextStats, batch_format="pandas", concurrency=_pool_width()
     )
+
+
+def _pool_width() -> tuple[int, int]:
+    """Actor-pool bounds for the stateless text kernels: scale to the
+    cluster's CPUs (a hard cap of 8 left 3/4 of a 32-CPU node idle on
+    bench-amplified corpora; autoscaling keeps small corpora at 1)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover — uninitialized session
+        cpus = 8
+    return (1, max(8, cpus))
 
 
 _STOPWORDS = ("the", "a", "and", "of", "to")
@@ -158,7 +171,7 @@ class QualityScore:
 
 def quality_scores(docs):
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        QualityScore, batch_format="pandas", concurrency=(1, 8)
+        QualityScore, batch_format="pandas", concurrency=_pool_width()
     )
 
 
@@ -209,7 +222,7 @@ class LangId:
 
 def lang_id(docs):
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        LangId, batch_format="pandas", concurrency=(1, 8)
+        LangId, batch_format="pandas", concurrency=_pool_width()
     )
 
 
@@ -471,7 +484,7 @@ def minhash_candidates(docs):
         return batch
 
     bands = docs.select_columns(["doc_id", "text"]).map_batches(
-        MinHasher, batch_format="pandas", concurrency=(1, 8)
+        MinHasher, batch_format="pandas", concurrency=_pool_width()
     )
     cand = (
         bands.map_batches(add_gbkt, batch_format="pandas")
@@ -579,7 +592,7 @@ def minhash_neardup(docs, threshold: float = 0.5, candidates=None):
 
     payload = semi_filter_ids(
         docs.select_columns(["doc_id", "text"]), "doc_id", cand_ids
-    ).map_batches(ShingleSets, batch_format="pyarrow", concurrency=(1, 8))
+    ).map_batches(ShingleSets, batch_format="pyarrow", concurrency=_pool_width())
 
     # threshold as exact permille so keep/score use INTEGER arithmetic
     # only — float (inter/union)*1000 can land one ulp below an exact
@@ -659,15 +672,23 @@ class SimHasher:
         sims = np.zeros(len(batch), dtype=np.int64)
         total = int(counts.sum())
         if total:
-            owner = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
             hv = token_hash64(flat, _SEED_SIM)
             shifts = np.arange(64, dtype=np.uint64)
-            ones = np.zeros((len(batch), 64), dtype=np.int64)
-            chunk = 1 << 18
-            for s in range(0, total, chunk):
-                e = min(s + chunk, total)
-                bits = ((hv[s:e, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
-                np.add.at(ones, owner[s:e], bits)
+            # bit matrix via unpackbits (little bit-order on the
+            # little-endian byte view puts bit b in column b) — ~30x
+            # faster than a 64-lane shift broadcast — then per-doc bit
+            # counts as 64 weighted bincounts over the owner vector
+            # (measured: ~15x faster than np.add.reduceat on this
+            # shape, ~30x faster than the old unbuffered np.add.at)
+            bits = np.unpackbits(
+                hv.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            owner = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+            ones = np.empty((len(batch), 64), dtype=np.int64)
+            for b in range(64):
+                ones[:, b] = np.bincount(
+                    owner, weights=bits[:, b], minlength=len(batch)
+                ).astype(np.int64)
             majority = (ones * 2 > counts[:, None]).astype(np.uint64)
             nz = counts > 0
             sims[nz] = (
@@ -684,7 +705,7 @@ class SimHasher:
 
 def simhash(docs):
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        SimHasher, batch_format="pandas", concurrency=(1, 8)
+        SimHasher, batch_format="pandas", concurrency=_pool_width()
     )
 
 

@@ -543,7 +543,7 @@ class TestAmplifiedFixtures:
         t = pa.concat_tables(
             [pa.table(b) for b in docs.iter_batches(batch_format="pyarrow", batch_size=None)]
         )
-        base_n = 50  # sf0.001 documents rows
+        base_n = 500  # sf0.001 documents rows
         assert t.num_rows == base_n * 4
         ids = np.sort(t["doc_id"].to_numpy())
         assert ids[0] == 0 and len(np.unique(ids)) == len(ids)
