@@ -324,6 +324,35 @@ def _q_delete_range_count(sf_dir: str) -> pa.Table:
     return range_count(_deleted_index(sf_dir), workloads.range_boxes())
 
 
+def _compacted_index(sf_dir: str) -> PkdIndex:
+    """Base index minus 40% of rows (point_id % 5 <= 1) — past
+    ``tomb_compact_frac`` in every cell but above the sibling-merge
+    threshold, so the delete exercises the DIRECTORY-STABLE
+    shuffle-free compaction path (``index._compact_cells_task``:
+    per-cell rewrite tasks, no groupby exchange)."""
+    key = (sf_dir, "compacted")
+    if key not in _INDEX_CACHE:
+        import shutil
+
+        path = _idx_path(sf_dir, "compacted")
+        shutil.rmtree(path, ignore_errors=True)
+        base = PkdIndex.build(
+            sources.lineitem_points(sf_dir), path, _CFG, id_col="point_id"
+        )
+        victims = sources.lineitem_points(sf_dir).map_batches(
+            lambda t: t.filter(pa.array(t["point_id"].to_numpy() % 5 <= 1)),
+            batch_format="pyarrow",
+        )
+        _INDEX_CACHE[key] = base.delete(victims, strict=True)
+    return _INDEX_CACHE[key]
+
+
+def _q_delete_compact_range_count(sf_dir: str) -> pa.Table:
+    from pkd_tree_ray.queries import range_count
+
+    return range_count(_compacted_index(sf_dir), workloads.range_boxes())
+
+
 def _q_tile_counts(sf_dir: str):
     from pkd_tree_ray.joins import tile_stats
 
@@ -751,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_count_float_native": _q_range_count_float_native,
         "insert_range_count": _q_insert_range_count,
         "delete_range_count": _q_delete_range_count,
+        "delete_compact_range_count": _q_delete_compact_range_count,
         "tile_counts": _q_tile_counts,
         "pip_count": _q_pip_count,
         "pip_join": _q_pip_join,
@@ -1068,6 +1098,9 @@ FROM q
         ),
         "delete_range_count": _range_count_sql(
             f"SELECT * FROM ({sources.sql_lineitem_points()}) WHERE point_id % 10 <> 0"
+        ),
+        "delete_compact_range_count": _range_count_sql(
+            f"SELECT * FROM ({sources.sql_lineitem_points()}) WHERE point_id % 5 > 1"
         ),
         "tile_counts": f"""
 WITH pts AS ({sources.sql_lineitem_points()})

@@ -375,6 +375,17 @@ def run_suite() -> dict:
             "ann_ivf_build_query",
             lambda: ann_ivf(emb, qv, 10, n_lists=64, nprobe=8, path=ivf_path).num_rows,
         )
+        # image payload: decode + feature-extract 100k synthetic PNGs
+        # through the actor-pool stage (the north-rule image+caption
+        # table shape; lazy generation, no driver materialization)
+        from pkd_tree_ray.fixtures import image_table_dataset
+        from pkd_tree_ray.multimodal import decode_features
+
+        imgs = image_table_dataset(100_000, parallelism=NUM_CPUS * 4)
+        timed(
+            "image_decode_features",
+            lambda: decode_features(imgs, concurrency=(1, NUM_CPUS)).count(),
+        )
 
     total = round(sum(timings.values()), 4)
     knn_qps = round(3 * len(qx) / (timings["knn_k1"] + timings["knn_k10"] + timings["knn_k100"]), 1)
