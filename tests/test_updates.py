@@ -676,3 +676,42 @@ class TestDirectCompaction:
         bad_ids[0] = n + 999  # not in the index
         with pytest.raises(ValueError, match="strict"):
             idx.delete(rd.from_arrow(_table(bad_ids, x[sel], y[sel])), strict=True)
+
+
+class TestStringIds:
+    def test_build_delete_with_string_ids(self, ray_session, tmp_path):
+        """String id column through build, tombstone delete AND
+        compacting delete — exercises the sorted-membership kernels
+        (_in_sorted) on object arrays and the id-stats pruning
+        fallback for non-numeric ids."""
+        import ray.data as rd
+        from pkd_tree_ray.queries import range_count
+
+        n = 2_000
+        x, y = uniform_xy(np.arange(n, dtype=np.uint64), 7)
+        ids = np.array([f"doc-{i:06d}" for i in range(n)], dtype=object)
+        t = pa.table({"point_id": pa.array(ids, pa.string()), "x": x, "y": y})
+        idx = PkdIndex.build(
+            rd.from_arrow(t), str(tmp_path), CFG, id_col="point_id"
+        )
+        assert idx.id_type in ("string", "large_string")
+        # small tombstone delete (1%)
+        sel = np.arange(0, n, 100)
+        d1 = pa.table(
+            {"point_id": pa.array(ids[sel], pa.string()), "x": x[sel], "y": y[sel]}
+        )
+        idx2 = idx.delete(rd.from_arrow(d1), strict=True)
+        assert idx2.total_rows == n - len(sel)
+        # heavy compacting delete (40%)
+        sel2 = np.union1d(np.arange(1, n, 5), np.arange(2, n, 5))
+        sel2 = np.setdiff1d(sel2, sel)
+        d2 = pa.table(
+            {"point_id": pa.array(ids[sel2], pa.string()), "x": x[sel2], "y": y[sel2]}
+        )
+        idx3 = idx2.delete(rd.from_arrow(d2), strict=True)
+        keep = np.setdiff1d(np.arange(n), np.union1d(sel, sel2))
+        assert idx3.total_rows == len(keep)
+        boxes = point_pair_boxes(x[keep], y[keep], 10)
+        got = range_count(idx3, boxes).to_pandas()["cnt"].to_numpy()
+        for q, box in enumerate(boxes):
+            assert got[q] == range_count_oracle(x[keep], y[keep], box)
