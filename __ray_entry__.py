@@ -755,6 +755,24 @@ def _q_image_decode_stats(sf_dir: str):
     )
 
 
+def _q_image_ahash_neardup(sf_dir: str):
+    """Image near-duplicate detection: PNG decode (actor pool) ->
+    64-bit average-hash -> pigeonhole 16-bit block LSH -> distributed
+    exact-Hamming verify — the image arm of the dedup suite, over the
+    fixture table with planted near-dups (``dup_every=16``: every 16th
+    image copies its predecessor's pixels with one byte's high bit
+    flipped).  Oracle-checked: the pixel stream, the perturbation and
+    the integer-exact aHash are all splitmix64-derived and re-derived
+    bit-exactly in DuckDB."""
+    from pkd_tree_ray.fixtures import image_table_dataset
+    from pkd_tree_ray.multimodal import image_ahash_neardup
+
+    n = _image_n(sf_dir)
+    images = image_table_dataset(n, dup_every=16)
+    out = image_ahash_neardup(images, max_hamming=3).to_pandas()
+    return out.sort_values(["img_a", "img_b"]).reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship: build the spatial index over sf0.001 lineitem-derived
     points, run the k=10 kNN batch, return the result Dataset."""
@@ -802,6 +820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "image_knn": _q_image_knn,
         "image_decode_stats": _q_image_decode_stats,
+        "image_ahash_neardup": _q_image_ahash_neardup,
         "knn_graph": _q_knn_graph,
         "knn_visit_stats": _q_knn_visit_stats,
     }
@@ -1028,6 +1047,77 @@ FROM b
 """
 
 
+def _image_ahash_neardup_sql(
+    max_hamming: int = 3, cap: int = 64, dup_every: int = 16
+) -> str:
+    """Bit-exact DuckDB mirror of :func:`_q_image_ahash_neardup`:
+    re-derive each image's pixel stream (splitmix64 words, planted-dup
+    rows reuse the predecessor's stream with one byte's high bit
+    flipped), compute the integer-exact 64-bit average-hash
+    (bit p set iff gray_p * 64 > sum(gray)), then the SAME pigeonhole
+    16-bit block LSH + capped candidate pairs + Hamming verify as the
+    engine (``pairjoin.sql_capped_pairs_ctes``)."""
+    from pkd_tree_ray.hashing import sql_splitmix64, sql_u64_to_i64
+    from pkd_tree_ray.pairjoin import sql_capped_pairs_ctes
+
+    qv = sql_splitmix64("ids.i", 55)  # byte-perturbation position, seed 42+13
+    wv = sql_splitmix64("imgs.base * 1000 + wj.j", 49)  # pixel words, seed 42+7
+    shifts = ", ".join(f"({kk}, {1 << (8 * kk)})" for kk in range(8))
+    pw_rows = ", ".join(f"({p}, CAST({1 << p} AS HUGEINT))" for p in range(64))
+    dv_rows = ", ".join(
+        f"({bi}, CAST({1 << (16 * bi)} AS HUGEINT))" for bi in range(4)
+    )
+    de = int(dup_every)
+    return f"""
+WITH {_image_ids_ctes()},
+imgs AS (
+  SELECT ids.i AS i,
+         CASE WHEN ids.i > 0 AND ids.i % {de} = {de - 1}
+              THEN ids.i - 1 ELSE ids.i END AS base,
+         CASE WHEN ids.i > 0 AND ids.i % {de} = {de - 1}
+              THEN CAST(({qv}) % 192 AS BIGINT) ELSE -1 END AS q
+  FROM ids
+),
+words AS (
+  SELECT imgs.i AS img, imgs.q AS q, wj.j AS j, {wv} AS wvv
+  FROM imgs CROSS JOIN range(0, 24) wj(j)
+),
+bytes_v AS (
+  SELECT img, (8 * j + bk.k) // 3 AS px,
+         CASE WHEN 8 * j + bk.k = q
+              THEN CASE WHEN (wvv // bk.dv) % 256 >= 128
+                        THEN (wvv // bk.dv) % 256 - 128
+                        ELSE (wvv // bk.dv) % 256 + 128 END
+              ELSE (wvv // bk.dv) % 256 END AS v
+  FROM words CROSS JOIN (VALUES {shifts}) AS bk(k, dv)
+),
+gray AS (SELECT img, px, sum(v) AS g FROM bytes_v GROUP BY img, px),
+tot AS (SELECT img, sum(g) AS t FROM gray GROUP BY img),
+ah AS (
+  SELECT gray.img AS img_id,
+         sum(CASE WHEN gray.g * 64 > tot.t THEN pw.w
+                  ELSE CAST(0 AS HUGEINT) END) AS hu
+  FROM gray JOIN tot USING (img)
+       JOIN (VALUES {pw_rows}) pw(px, w) ON pw.px = gray.px
+  GROUP BY gray.img
+),
+sigs AS (SELECT img_id, {sql_u64_to_i64('hu')} AS ahash FROM ah),
+blocks AS (
+  SELECT dv.bi AS block_id,
+         CAST((ah.hu // dv.d) % 65536 AS BIGINT) AS block_val,
+         ah.img_id
+  FROM ah CROSS JOIN (VALUES {dv_rows}) dv(bi, d)
+),
+{sql_capped_pairs_ctes('blocks', ('block_id', 'block_val'), 'img_id', cap)}
+SELECT c.a AS img_a, c.b AS img_b,
+       CAST(bit_count(xor(sa.ahash, sb.ahash)) AS BIGINT) AS hamming
+FROM cand c JOIN sigs sa ON sa.img_id = c.a
+            JOIN sigs sb ON sb.img_id = c.b
+WHERE bit_count(xor(sa.ahash, sb.ahash)) <= {int(max_hamming)}
+ORDER BY img_a, img_b
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     boxes_rep = workloads.report_boxes()
     circ = workloads.circles()
@@ -1194,6 +1284,7 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
 """,
         "image_knn": _image_knn_sql(10),
         "image_decode_stats": _image_decode_stats_sql(),
+        "image_ahash_neardup": _image_ahash_neardup_sql(max_hamming=3, cap=64),
         "lang_id": sql_lang_id(),
         "fingerprints": sql_fingerprints(),
         "simhash": sql_simhash(),

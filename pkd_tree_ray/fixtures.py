@@ -149,15 +149,40 @@ IMAGE_SCHEMA = pa.schema(
 )
 
 
-def image_pixels(i: int, seed: int = 42, w: int = 8, h: int = 8) -> np.ndarray:
-    """Deterministic (h, w, 3) uint8 pixels for row i."""
+def image_pixels(
+    i: int, seed: int = 42, w: int = 8, h: int = 8, dup_every: int = 0
+) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 pixels for row i.
+
+    ``dup_every > 0`` plants NEAR-DUPLICATES: every row with
+    ``i % dup_every == dup_every - 1`` (i > 0) reuses row ``i-1``'s
+    pixel stream with ONE byte perturbed (position
+    ``splitmix64(i, seed+13) % (w*h*3)``, high bit flipped) — a
+    deterministic corpus for the perceptual-hash near-dup operator
+    that DuckDB can re-derive bit-exactly.  ``dup_every = 0`` (the
+    default) is byte-identical to the original generator.
+    """
+    base = i
+    dup = dup_every > 0 and i > 0 and i % dup_every == dup_every - 1
+    if dup:
+        base = i - 1
+    nbytes = w * h * 3
     words = splitmix64(
-        np.arange(i * 1000, i * 1000 + (w * h * 3 + 7) // 8, dtype=np.uint64), seed + 7
+        np.arange(base * 1000, base * 1000 + (nbytes + 7) // 8, dtype=np.uint64),
+        seed + 7,
     )
-    return words.view(np.uint8)[: w * h * 3].reshape(h, w, 3).copy()
+    flat = words.view(np.uint8)[:nbytes].copy()
+    if dup:
+        # int() BEFORE the modulo: np.uint64 % python-int promotes to
+        # float64 and silently loses low bits
+        q = int(splitmix64(np.array([i], dtype=np.uint64), seed + 13)[0]) % nbytes
+        flat[q] ^= 0x80
+    return flat.reshape(h, w, 3)
 
 
-def image_batch(start: int, n: int, seed: int = 42, w: int = 8, h: int = 8) -> pa.Table:
+def image_batch(
+    start: int, n: int, seed: int = 42, w: int = 8, h: int = 8, dup_every: int = 0
+) -> pa.Table:
     """Rows [start, start+n) of the synthetic image table."""
     idx = np.arange(start, start + n, dtype=np.uint64)
     phash = splitmix64(idx, seed).view(np.int64)
@@ -166,7 +191,10 @@ def image_batch(start: int, n: int, seed: int = 42, w: int = 8, h: int = 8) -> p
         {
             "image_id": pa.array([f"img{i:012d}" for i in range(start, start + n)], pa.string()),
             "bytes": pa.array(
-                [encode_png_rgb(image_pixels(i, seed, w, h)) for i in range(start, start + n)],
+                [
+                    encode_png_rgb(image_pixels(i, seed, w, h, dup_every))
+                    for i in range(start, start + n)
+                ],
                 pa.binary(),
             ),
             "w": pa.array(np.full(n, w, dtype=np.int32)),
@@ -182,7 +210,9 @@ def image_batch(start: int, n: int, seed: int = 42, w: int = 8, h: int = 8) -> p
     )
 
 
-def image_table_dataset(n: int, seed: int = 42, parallelism: int = 8):
+def image_table_dataset(
+    n: int, seed: int = 42, parallelism: int = 8, dup_every: int = 0
+):
     """The image table as a lazily-generated ray.data.Dataset —
     ``ray.data.range(n)`` fanned through a batch generator, so no
     driver-side materialization (the 1e12-scale generation path)."""
@@ -190,7 +220,7 @@ def image_table_dataset(n: int, seed: int = 42, parallelism: int = 8):
 
     def gen(batch: pa.Table) -> pa.Table:
         ids = batch["id"].to_numpy()
-        return image_batch(int(ids[0]), len(ids), seed)
+        return image_batch(int(ids[0]), len(ids), seed, dup_every=dup_every)
 
     return (
         rd.range(n, override_num_blocks=parallelism)

@@ -71,6 +71,87 @@ class DecodeImage:
         return pa.table(cols)
 
 
+def ahash64(px: np.ndarray) -> int:
+    """64-bit average-hash of an (h, w, 3) uint8 image with h*w == 64
+    pixels: bit p (LSB order, row-major pixel p) is set iff pixel p's
+    gray value exceeds the image mean.  Integer-exact — the comparison
+    is ``gray_p * 64 > sum(gray)``, no float division — so DuckDB
+    re-derives it bit-for-bit from the generator stream."""
+    gray = px.reshape(-1, 3).astype(np.int64).sum(axis=1)
+    n = gray.shape[0]
+    bits = gray * n > gray.sum()
+    weights = np.left_shift(np.uint64(1), np.arange(n, dtype=np.uint64))
+    h = np.bitwise_or.reduce(np.where(bits, weights, np.uint64(0)))
+    return int(np.asarray([h], dtype=np.uint64).view(np.int64)[0])
+
+
+class ImageAHash:
+    """Actor: PNG bytes -> (img_id:int64, ahash:int64).
+
+    The perceptual-hash stage of the image near-dup pipeline: decode
+    (real PNG via the stdlib codec), 8x8 grayscale average-hash.  The
+    numeric id is parsed from the ``imgNNN`` image_id once per batch
+    with Arrow kernels; decoding is necessarily per-row (PNG framing),
+    the hash kernel is numpy.
+    """
+
+    def __init__(self) -> None:
+        self.decoders = {"png": decode_png_rgb}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+        )
+        hashes = np.empty(batch.num_rows, dtype=np.int64)
+        fmts = batch["fmt"].to_pylist()
+        data = batch["bytes"].to_pylist()
+        for i in range(batch.num_rows):
+            dec = self.decoders.get(fmts[i])
+            if dec is None:
+                raise NotImplementedError(
+                    f"decoder for format {fmts[i]!r} not available"
+                )
+            hashes[i] = ahash64(dec(data[i]))
+        return pa.table({"img_id": ids, "ahash": pa.array(hashes, pa.int64())})
+
+
+def image_ahashes(images_ds, concurrency=(1, 8)):
+    """images table -> (img_id, ahash) rows (actor pool, small batches
+    for the binary payload column)."""
+    return images_ds.map_batches(
+        ImageAHash,
+        batch_format="pyarrow",
+        batch_size=MM_BATCH,
+        concurrency=concurrency,
+    )
+
+
+def image_ahash_neardup(images_ds, max_hamming: int = 3, cap: int = 64):
+    """-> Dataset (img_a, img_b, hamming): image pairs whose 64-bit
+    average-hash differs in at most ``max_hamming`` bits.
+
+    The image arm of the near-duplicate suite: actor-pool decode +
+    aHash (this module) feeding the SAME pigeonhole block-LSH +
+    distributed exact-Hamming verify as the text SimHash path
+    (:func:`pkd_tree_ray.text.hamming64_neardup_sigs`) — signatures are
+    the only materialized table (16 B/image), payload bytes never
+    transit a shuffle."""
+    from pkd_tree_ray.text import hamming64_neardup_sigs
+
+    sigs = image_ahashes(images_ds).materialize()
+    return hamming64_neardup_sigs(
+        sigs,
+        id_col="img_id",
+        hash_col="ahash",
+        a_col="img_a",
+        b_col="img_b",
+        max_hamming=max_hamming,
+        cap=cap,
+    )
+
+
 class ResizeImage:
     """Actor: nearest-neighbor resize, re-encoded as PNG.  Output keeps
     the input schema (image_id, bytes, w, h, fmt, caption, phash)."""

@@ -909,15 +909,15 @@ def popcount64(x: np.ndarray) -> np.ndarray:
     )
 
 
-def simhash_blocks(docs, sims=None):
-    """-> Dataset (block_id, block_val, doc_id): the pigeonhole LSH
-    rows — 16-bit slices of each doc's 64-bit SimHash.  ``sims``: a
-    precomputed :func:`simhash` Dataset to reuse (so one tokenize pass
-    feeds both the LSH blocks and the verify payload)."""
+def hamming64_blocks(sigs, id_col: str = "doc_id", hash_col: str = "simhash"):
+    """-> Dataset (block_id, block_val, <id_col>): the pigeonhole LSH
+    rows — 16-bit slices of each row's 64-bit hash.  Generic over the
+    signature column names so SimHash (text) and aHash (images) share
+    one kernel."""
 
     def blocks(batch: pd.DataFrame) -> pd.DataFrame:
         n = len(batch)
-        s = batch["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+        s = batch[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
         bval = np.empty((n, _SIM_BLOCKS), dtype=np.int64)
         for i in range(_SIM_BLOCKS):
             bval[:, i] = (
@@ -927,21 +927,26 @@ def simhash_blocks(docs, sims=None):
             {
                 "block_id": np.tile(np.arange(_SIM_BLOCKS, dtype=np.int64), n),
                 "block_val": bval.ravel(),
-                "doc_id": np.repeat(
-                    batch["doc_id"].to_numpy(dtype=np.int64), _SIM_BLOCKS
+                id_col: np.repeat(
+                    batch[id_col].to_numpy(dtype=np.int64), _SIM_BLOCKS
                 ),
             }
         )
 
-    return (simhash(docs) if sims is None else sims).map_batches(
-        blocks, batch_format="pandas"
-    )
+    return sigs.map_batches(blocks, batch_format="pandas")
 
 
-def simhash_candidates(docs, cap: int = 64, sims=None):
-    """-> Dataset of candidate pairs (doc_a, doc_b), distinct, a < b:
-    docs sharing at least one SimHash block value.  Same capped
-    star+chain bucket shape as :func:`minhash_candidates`."""
+def hamming64_candidates(
+    sigs,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    cap: int = 64,
+):
+    """-> Dataset of candidate pairs (<a_col>, <b_col>), distinct,
+    a < b: rows sharing at least one 16-bit hash block value.  Same
+    capped star+chain bucket shape as :func:`minhash_candidates`."""
     from ray.data.aggregate import Count
 
     from pkd_tree_ray.pairjoin import _bucket_of, bucket_pairs_runs_table
@@ -949,10 +954,10 @@ def simhash_candidates(docs, cap: int = 64, sims=None):
     def pairs_bucket(group: pd.DataFrame) -> pd.DataFrame:
         a, b = bucket_pairs_runs_table(
             [group["block_id"].to_numpy(), group["block_val"].to_numpy()],
-            group["doc_id"].to_numpy(dtype=np.int64),
+            group[id_col].to_numpy(dtype=np.int64),
             cap,
         )
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+        return pd.DataFrame({a_col: a, b_col: b})
 
     def add_gbkt(batch: pd.DataFrame) -> pd.DataFrame:
         batch["gbkt"] = _bucket_of(
@@ -962,15 +967,85 @@ def simhash_candidates(docs, cap: int = 64, sims=None):
         return batch
 
     cand = (
-        simhash_blocks(docs, sims=sims)
+        hamming64_blocks(sigs, id_col, hash_col)
         .map_batches(add_gbkt, batch_format="pandas")
         .groupby("gbkt")
         .map_groups(pairs_bucket, batch_format="pandas")
     )
     return (
-        cand.groupby(["doc_a", "doc_b"])
+        cand.groupby([a_col, b_col])
         .aggregate(Count(alias_name="nb"))
-        .select_columns(["doc_a", "doc_b"])
+        .select_columns([a_col, b_col])
+    )
+
+
+def hamming64_neardup_sigs(
+    sigs,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_hamming: int = 3,
+    cap: int = 64,
+):
+    """Generic 64-bit Hamming near-dup over a signature Dataset
+    (<id_col> int64, <hash_col> int64): pigeonhole 16-bit block LSH
+    (exact for ``max_hamming <= _SIM_BLOCKS - 1``) + capped candidate
+    pairs + distributed exact-Hamming verify.  :func:`simhash_neardup`
+    (text) and the image aHash near-dup both route through this.
+
+    ``sigs`` should be a materialized signature table (16 B/row); both
+    the LSH blocks and the verify payload read it."""
+    if max_hamming >= _SIM_BLOCKS * 16:
+        raise ValueError("max_hamming must be < 64")
+    from pkd_tree_ray.pairjoin import list_flat, pairwise_join_verify
+
+    cand = hamming64_candidates(sigs, id_col, hash_col, a_col, b_col, cap)
+
+    def to_payload(batch: pd.DataFrame) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                id_col: pa.array(batch[id_col].to_numpy(dtype=np.int64)),
+                "sh": pa.ListArray.from_arrays(
+                    pa.array(np.arange(n + 1, dtype=np.int32)),
+                    pa.array(batch[hash_col].to_numpy(dtype=np.int64)),
+                ),
+            }
+        )
+
+    payload = sigs.map_batches(to_payload, batch_format="pandas")
+
+    def verify_fn(ha: np.ndarray, hb: np.ndarray):
+        h = int(popcount64(np.asarray(ha, np.int64) ^ np.asarray(hb, np.int64))[0])
+        return h if h <= max_hamming else None
+
+    def verify_batch_fn(col_a, col_b):
+        va, _ = list_flat(col_a)
+        vb, _ = list_flat(col_b)
+        hm = popcount64(va.astype(np.int64) ^ vb.astype(np.int64))
+        return hm, hm <= max_hamming
+
+    return pairwise_join_verify(
+        payload, cand, id_col, a_col, b_col, "sh", pa.int64(),
+        verify_fn, "hamming", verify_batch_fn=verify_batch_fn,
+    )
+
+
+def simhash_blocks(docs, sims=None):
+    """-> Dataset (block_id, block_val, doc_id): the pigeonhole LSH
+    rows — 16-bit slices of each doc's 64-bit SimHash.  ``sims``: a
+    precomputed :func:`simhash` Dataset to reuse (so one tokenize pass
+    feeds both the LSH blocks and the verify payload)."""
+    return hamming64_blocks(simhash(docs) if sims is None else sims)
+
+
+def simhash_candidates(docs, cap: int = 64, sims=None):
+    """-> Dataset of candidate pairs (doc_a, doc_b), distinct, a < b:
+    docs sharing at least one SimHash block value.  Same capped
+    star+chain bucket shape as :func:`minhash_candidates`."""
+    return hamming64_candidates(
+        simhash(docs) if sims is None else sims, cap=cap
     )
 
 
@@ -984,43 +1059,12 @@ def simhash_neardup(docs, max_hamming: int = 3, cap: int = 64):
     candidates -> attach -> vectorized-verify shape as
     :func:`minhash_neardup`, with a one-element payload list carrying
     each doc's SimHash through the pair join."""
-    if max_hamming >= _SIM_BLOCKS * 16:
-        raise ValueError("max_hamming must be < 64")
-    from pkd_tree_ray.pairjoin import list_flat, pairwise_join_verify
-
     # one tokenize pass over the corpus: the signature table is tiny
     # (16 B/doc, no text) so it is the legitimate materialization
     # point — both the LSH blocks and the verify payload read it
     sims = simhash(docs).materialize()
-    cand = simhash_candidates(docs, cap, sims=sims)
-
-    def to_payload(batch: pd.DataFrame) -> pa.Table:
-        n = len(batch)
-        return pa.table(
-            {
-                "doc_id": pa.array(batch["doc_id"].to_numpy(dtype=np.int64)),
-                "sh": pa.ListArray.from_arrays(
-                    pa.array(np.arange(n + 1, dtype=np.int32)),
-                    pa.array(batch["simhash"].to_numpy(dtype=np.int64)),
-                ),
-            }
-        )
-
-    payload = sims.map_batches(to_payload, batch_format="pandas")
-
-    def verify_fn(ha: np.ndarray, hb: np.ndarray):
-        h = int(popcount64(np.asarray(ha, np.int64) ^ np.asarray(hb, np.int64))[0])
-        return h if h <= max_hamming else None
-
-    def verify_batch_fn(col_a, col_b):
-        va, _ = list_flat(col_a)
-        vb, _ = list_flat(col_b)
-        hm = popcount64(va.astype(np.int64) ^ vb.astype(np.int64))
-        return hm, hm <= max_hamming
-
-    return pairwise_join_verify(
-        payload, cand, "doc_id", "doc_a", "doc_b", "sh", pa.int64(),
-        verify_fn, "hamming", verify_batch_fn=verify_batch_fn,
+    return hamming64_neardup_sigs(
+        sims, max_hamming=max_hamming, cap=cap
     )
 
 

@@ -149,3 +149,54 @@ class TestImagePipeline:
         qx, qy = phash_to_xy(src["phash"].to_numpy())
         res = knn(idx, qx[:40].copy(), qy[:40].copy(), 1).to_pandas()
         assert (res["dist2"] == 0).all()
+
+
+class TestImageAHashNearDup:
+    def test_ahash_kernel_properties(self):
+        """aHash: deterministic, bit p tracks pixel p's gray vs mean,
+        planted single-byte perturbation stays within a few bits."""
+        from pkd_tree_ray.fixtures import image_pixels
+        from pkd_tree_ray.multimodal import ahash64
+
+        px = image_pixels(7)
+        h = ahash64(px)
+        assert h == ahash64(px.copy())
+        gray = px.reshape(-1, 3).astype(np.int64).sum(axis=1)
+        bits = gray * 64 > gray.sum()
+        for p in (0, 13, 63):
+            assert bool((np.uint64(h) >> np.uint64(p)) & np.uint64(1)) == bool(bits[p])
+        # planted dup: one byte's high bit flipped -> small hamming
+        base = ahash64(image_pixels(14, dup_every=16))
+        dup = ahash64(image_pixels(15, dup_every=16))
+        ham = bin(np.uint64(base) ^ np.uint64(dup)).count("1")
+        assert ham <= 8
+
+    def test_dup_every_zero_is_original(self):
+        """dup_every=0 (the default) leaves the fixture byte-identical —
+        the existing image oracles depend on it."""
+        from pkd_tree_ray.fixtures import image_batch
+
+        a = image_batch(0, 64)
+        b = image_batch(0, 64, dup_every=0)
+        assert a.equals(b)
+        c = image_batch(0, 64, dup_every=16)
+        diff = [
+            i
+            for i in range(64)
+            if a["bytes"][i].as_py() != c["bytes"][i].as_py()
+        ]
+        assert diff == [15, 31, 47, 63]
+
+    def test_planted_pairs_exact(self, ray_session):
+        """image_ahash_neardup over a planted-dup corpus finds exactly
+        the planted consecutive pairs, no false positives."""
+        from pkd_tree_ray.multimodal import image_ahash_neardup
+
+        n = 512
+        ds = image_table_dataset(n, parallelism=4, dup_every=16)
+        out = image_ahash_neardup(ds, max_hamming=3).to_pandas()
+        got = set(zip(out["img_a"], out["img_b"]))
+        planted = {(i - 1, i) for i in range(15, n, 16)}
+        assert got <= planted
+        assert len(got) >= 0.9 * len(planted)
+        assert (out["hamming"] <= 3).all()
