@@ -386,6 +386,19 @@ def run_suite() -> dict:
             "image_decode_features",
             lambda: decode_features(imgs, concurrency=(1, NUM_CPUS)).count(),
         )
+        # image near-dup: decode -> aHash -> block-LSH -> Hamming verify
+        # over a planted-dup corpus (every 16th image a near-copy)
+        from pkd_tree_ray.multimodal import image_ahash_neardup
+
+        imgs_dup = image_table_dataset(
+            100_000, parallelism=NUM_CPUS * 4, dup_every=16
+        )
+        timed(
+            "image_ahash_neardup",
+            lambda: image_ahash_neardup(
+                imgs_dup, max_hamming=3, concurrency=(1, NUM_CPUS)
+            ).count(),
+        )
 
     total = round(sum(timings.values()), 4)
     knn_qps = round(3 * len(qx) / (timings["knn_k1"] + timings["knn_k10"] + timings["knn_k100"]), 1)

@@ -256,18 +256,17 @@ def embedding_neardup(
         )
         return batch
 
-    from ray.data.aggregate import Count
+    from pkd_tree_ray.pairjoin import distinct_ids, distinct_pairs
 
-    cand = (
+    cand = distinct_pairs(
         embeddings.select_columns(["vec_id", "embedding"])
         .map_batches(signatures, batch_format="pyarrow")
         .map_batches(add_gbkt, batch_format="pandas")
         .groupby("gbkt")
-        .map_groups(pairs_bucket, batch_format="pandas")
-        .groupby(["vec_a", "vec_b"])
-        .aggregate(Count(alias_name="nb"))
-        .select_columns(["vec_a", "vec_b"])
-    )
+        .map_groups(pairs_bucket, batch_format="pandas"),
+        "vec_a",
+        "vec_b",
+    ).select_columns(["vec_a", "vec_b"])
 
     def both_ids(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -280,12 +279,9 @@ def embedding_neardup(
             }
         )
 
-    idf = (
-        cand.map_batches(both_ids, batch_format="pyarrow")
-        .groupby("vec_id")
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
-    )
+    idf = distinct_ids(
+        cand.map_batches(both_ids, batch_format="pyarrow"), "vec_id"
+    ).to_pandas()
     if not len(idf):
         return pa.table(
             {

@@ -128,7 +128,9 @@ def image_ahashes(images_ds, concurrency=(1, 8)):
     )
 
 
-def image_ahash_neardup(images_ds, max_hamming: int = 3, cap: int = 64):
+def image_ahash_neardup(
+    images_ds, max_hamming: int = 3, cap: int = 64, concurrency=(1, 8)
+):
     """-> Dataset (img_a, img_b, hamming): image pairs whose 64-bit
     average-hash differs in at most ``max_hamming`` bits.
 
@@ -138,9 +140,11 @@ def image_ahash_neardup(images_ds, max_hamming: int = 3, cap: int = 64):
     (:func:`pkd_tree_ray.text.hamming64_neardup_sigs`) — signatures are
     the only materialized table (16 B/image), payload bytes never
     transit a shuffle."""
-    from pkd_tree_ray.text import hamming64_neardup_sigs
+    from pkd_tree_ray.text import coalesce_sigs, hamming64_neardup_sigs
 
-    sigs = image_ahashes(images_ds).materialize()
+    sigs = coalesce_sigs(
+        image_ahashes(images_ds, concurrency=concurrency).materialize()
+    )
     return hamming64_neardup_sigs(
         sigs,
         id_col="img_id",

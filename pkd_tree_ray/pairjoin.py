@@ -261,6 +261,61 @@ def pairwise_join_verify(
     return full.map_batches(verify_batch, batch_format="pyarrow")
 
 
+def distinct_pairs(cand, a_col: str, b_col: str):
+    """Distinct (a, b) int64 pair rows via a :data:`_ATTACH_BUCKETS`-way
+    hash shuffle + per-bucket vectorized lexsort-unique.
+
+    Replaces ``groupby([a, b]).aggregate(Count)`` for pair dedup: the
+    global two-key aggregate pays per-GROUP Python overhead, which at
+    >1e5 distinct pairs dominates the whole near-dup pipeline (~50 s
+    for 315k pairs); the bucketed unique is one bounded shuffle plus
+    numpy (~2 s same input)."""
+    import pandas as pd
+
+    def add_pbkt(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[a_col].to_numpy(dtype=np.int64)
+        b = batch[b_col].to_numpy(dtype=np.int64)
+        batch["pbkt"] = _bucket_of(a * np.int64(0x9E3779B9) ^ b)
+        return batch
+
+    def uniq(group: pd.DataFrame) -> pd.DataFrame:
+        a = group[a_col].to_numpy(dtype=np.int64)
+        b = group[b_col].to_numpy(dtype=np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.concatenate(
+            [[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        ) if len(a) else np.zeros(0, bool)
+        return pd.DataFrame({a_col: a[keep], b_col: b[keep]})
+
+    return (
+        cand.map_batches(add_pbkt, batch_format="pandas")
+        .groupby("pbkt")
+        .map_groups(uniq, batch_format="pandas")
+    )
+
+
+def distinct_ids(ds, id_col: str):
+    """Distinct int64 id rows, same bucketed-unique shape as
+    :func:`distinct_pairs` (replaces ``groupby(id).aggregate(Count)``
+    whose per-group overhead dominates past ~1e5 distinct ids)."""
+    import pandas as pd
+
+    def add_pbkt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["pbkt"] = _bucket_of(batch[id_col].to_numpy(dtype=np.int64))
+        return batch
+
+    def uniq(group: pd.DataFrame) -> pd.DataFrame:
+        v = np.unique(group[id_col].to_numpy(dtype=np.int64))
+        return pd.DataFrame({id_col: v})
+
+    return (
+        ds.map_batches(add_pbkt, batch_format="pandas")
+        .groupby("pbkt")
+        .map_groups(uniq, batch_format="pandas")
+    )
+
+
 def semi_filter_ids(ds, id_col: str, ids: np.ndarray):
     """Broadcast semi-join: keep rows whose id is in ``ids`` (the id
     set ships once via ray.put; the table streams through a filter)."""

@@ -491,14 +491,11 @@ def minhash_candidates(docs):
         .groupby("gbkt")
         .map_groups(pairs_bucket, batch_format="pandas")
     )
-    # dedup pairs found by multiple bands: aggregate (vectorized hash
-    # shuffle) rather than per-group Python calls
-    from ray.data.aggregate import Count
+    # dedup pairs found by multiple bands: bucketed vectorized unique
+    from pkd_tree_ray.pairjoin import distinct_pairs
 
-    return (
-        cand.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="nb"))
-        .select_columns(["doc_a", "doc_b"])
+    return distinct_pairs(cand, "doc_a", "doc_b").select_columns(
+        ["doc_a", "doc_b"]
     )
 
 
@@ -527,14 +524,16 @@ def minhash_neardup(docs, threshold: float = 0.5, candidates=None):
     :func:`pairjoin.pairwise_join_verify`.  Texts transit the shuffles
     only for candidate docs.
     """
-    from ray.data.aggregate import Count
-
-    from pkd_tree_ray.pairjoin import pairwise_join_verify, semi_filter_ids
+    from pkd_tree_ray.pairjoin import (
+        distinct_ids,
+        pairwise_join_verify,
+        semi_filter_ids,
+    )
 
     cand = candidates if candidates is not None else minhash_candidates(docs)
 
-    # distinct candidate ids via a distributed aggregate — only the id
-    # list (one int per candidate doc) reaches the driver
+    # distinct candidate ids via a bucketed distributed unique — only
+    # the id list (one int per candidate doc) reaches the driver
     def both_ids(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -546,12 +545,9 @@ def minhash_neardup(docs, threshold: float = 0.5, candidates=None):
             }
         )
 
-    idf = (
-        cand.map_batches(both_ids, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
-    )
+    idf = distinct_ids(
+        cand.map_batches(both_ids, batch_format="pyarrow"), "doc_id"
+    ).to_pandas()
     cand_ids = idf["doc_id"].to_numpy(dtype=np.int64)
     if not len(cand_ids):
         import ray.data as rd
@@ -947,9 +943,11 @@ def hamming64_candidates(
     """-> Dataset of candidate pairs (<a_col>, <b_col>), distinct,
     a < b: rows sharing at least one 16-bit hash block value.  Same
     capped star+chain bucket shape as :func:`minhash_candidates`."""
-    from ray.data.aggregate import Count
-
-    from pkd_tree_ray.pairjoin import _bucket_of, bucket_pairs_runs_table
+    from pkd_tree_ray.pairjoin import (
+        _bucket_of,
+        bucket_pairs_runs_table,
+        distinct_pairs,
+    )
 
     def pairs_bucket(group: pd.DataFrame) -> pd.DataFrame:
         a, b = bucket_pairs_runs_table(
@@ -972,11 +970,19 @@ def hamming64_candidates(
         .groupby("gbkt")
         .map_groups(pairs_bucket, batch_format="pandas")
     )
-    return (
-        cand.groupby([a_col, b_col])
-        .aggregate(Count(alias_name="nb"))
-        .select_columns([a_col, b_col])
-    )
+    # dedup pairs found by multiple blocks: bucketed vectorized unique
+    return distinct_pairs(cand, a_col, b_col).select_columns([a_col, b_col])
+
+
+def coalesce_sigs(sigs, rows_per_block: int = 1_000_000):
+    """Repartition a materialized signature table (16 B/row) into
+    ~``rows_per_block``-row blocks (min 8).  Signature tables inherit
+    the UPSTREAM block count (e.g. one per decode task), and the
+    near-dup pipeline's sort shuffles pay per-block scheduling
+    overhead that dwarfs the data at 16 B/row — coalescing 128 tiny
+    blocks to 8 cut the 100k-image verify from 21 s to 2.6 s."""
+    n_blocks = max(8, sigs.count() // rows_per_block)
+    return sigs.repartition(n_blocks).materialize()
 
 
 def hamming64_neardup_sigs(
@@ -1062,7 +1068,7 @@ def simhash_neardup(docs, max_hamming: int = 3, cap: int = 64):
     # one tokenize pass over the corpus: the signature table is tiny
     # (16 B/doc, no text) so it is the legitimate materialization
     # point — both the LSH blocks and the verify payload read it
-    sims = simhash(docs).materialize()
+    sims = coalesce_sigs(simhash(docs).materialize())
     return hamming64_neardup_sigs(
         sims, max_hamming=max_hamming, cap=cap
     )
@@ -1111,8 +1117,6 @@ def ngram_jaccard_candidates(docs, shingle: int = 3, cap: int = 64):
     hot-shingle cap).  Hot shingles (stopword n-grams) are the skew
     case: the capped star+chain bounds them to ~2B edges per bucket at
     any corpus size."""
-    from ray.data.aggregate import Count
-
     from pkd_tree_ray.pairjoin import _bucket_of, bucket_pairs_runs_table
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
@@ -1153,10 +1157,10 @@ def ngram_jaccard_candidates(docs, shingle: int = 3, cap: int = 64):
         .groupby("gbkt")
         .map_groups(pairs_bucket, batch_format="pandas")
     )
-    return (
-        cand.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="nb"))
-        .select_columns(["doc_a", "doc_b"])
+    from pkd_tree_ray.pairjoin import distinct_pairs
+
+    return distinct_pairs(cand, "doc_a", "doc_b").select_columns(
+        ["doc_a", "doc_b"]
     )
 
 
