@@ -336,9 +336,9 @@ def amplified_documents(sf_dir: str, rep: int, neardup_every: int = 100):
 
     ``doc_id' = doc_id * rep + j`` (disjoint, reversible).  Returns a
     Ray Dataset with the base table's columns."""
-    import ray.data as rd
+    from pkd_tree_ray.sources import read_parquet_clean
 
-    base = rd.read_parquet(
+    base = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
     )
 
@@ -385,9 +385,9 @@ def amplified_embeddings(sf_dir: str, rep: int, noise: float = 0.05):
     coordinate, so replicas are distinct vectors clustered around
     their base — a realistic ANN corpus shape (near-neighbor structure
     survives, exact duplicates don't).  ``vec_id' = vec_id * rep + j``."""
-    import ray.data as rd
+    from pkd_tree_ray.sources import read_parquet_clean
 
-    base = rd.read_parquet(
+    base = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
     )
 
