@@ -755,6 +755,25 @@ def _q_image_decode_stats(sf_dir: str):
     )
 
 
+def _q_sample_per_lang(sf_dir: str):
+    """Deterministic stratified sample: 20 docs per language by seeded
+    hash-rank — the curation operator (per-stratum caps) every
+    training-data pipeline runs before training.  Re-runs reproduce
+    the identical sample; DuckDB re-derives it via row_number() over
+    the same splitmix64 rank."""
+    from pkd_tree_ray.sampling import sample_per_key
+
+    docs = sources.read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+    out = sample_per_key(docs, "lang", "doc_id", 20, seed=7).to_pandas()
+    return (
+        out[["lang", "doc_id", "source"]]
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_image_ahash_neardup(sf_dir: str):
     """Image near-duplicate detection: PNG decode (actor pool) ->
     64-bit average-hash -> pigeonhole 16-bit block LSH -> distributed
@@ -821,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_knn": _q_image_knn,
         "image_decode_stats": _q_image_decode_stats,
         "image_ahash_neardup": _q_image_ahash_neardup,
+        "sample_per_lang": _q_sample_per_lang,
         "knn_graph": _q_knn_graph,
         "knn_visit_stats": _q_knn_visit_stats,
     }
@@ -1119,6 +1139,8 @@ ORDER BY img_a, img_b
 
 
 def oracle_sql() -> dict[str, str]:
+    from pkd_tree_ray.sampling import sql_sample_per_key
+
     boxes_rep = workloads.report_boxes()
     circ = workloads.circles()
     polys = workloads.polygons()
@@ -1285,6 +1307,10 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
         "image_knn": _image_knn_sql(10),
         "image_decode_stats": _image_decode_stats_sql(),
         "image_ahash_neardup": _image_ahash_neardup_sql(max_hamming=3, cap=64),
+        "sample_per_lang": sql_sample_per_key(
+            "documents", "lang", "doc_id", 20, seed=7,
+            cols="lang, doc_id, source",
+        ) + " ORDER BY lang, doc_id",
         "lang_id": sql_lang_id(),
         "fingerprints": sql_fingerprints(),
         "simhash": sql_simhash(),
