@@ -774,6 +774,18 @@ def _q_sample_per_lang(sf_dir: str):
     )
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing into 2048-token budgets —
+    doc -> (seq_id, tok_offset) via a distributed prefix sum (bucketed
+    token totals + broadcast offsets), the final stage of a
+    pretraining-data pipeline.  Exact: one DuckDB window cumsum
+    reproduces it."""
+    from pkd_tree_ray.packing import pack_sequences
+
+    out = pack_sequences(_docs(sf_dir), budget=2048).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_image_ahash_neardup(sf_dir: str):
     """Image near-duplicate detection: PNG decode (actor pool) ->
     64-bit average-hash -> pigeonhole 16-bit block LSH -> distributed
@@ -841,6 +853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_stats": _q_image_decode_stats,
         "image_ahash_neardup": _q_image_ahash_neardup,
         "sample_per_lang": _q_sample_per_lang,
+        "pack_sequences": _q_pack_sequences,
         "knn_graph": _q_knn_graph,
         "knn_visit_stats": _q_knn_visit_stats,
     }
@@ -1139,6 +1152,7 @@ ORDER BY img_a, img_b
 
 
 def oracle_sql() -> dict[str, str]:
+    from pkd_tree_ray.packing import sql_pack_sequences
     from pkd_tree_ray.sampling import sql_sample_per_key
 
     boxes_rep = workloads.report_boxes()
@@ -1311,6 +1325,7 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
             "documents", "lang", "doc_id", 20, seed=7,
             cols="lang, doc_id, source",
         ) + " ORDER BY lang, doc_id",
+        "pack_sequences": sql_pack_sequences(2048) + " ORDER BY doc_id",
         "lang_id": sql_lang_id(),
         "fingerprints": sql_fingerprints(),
         "simhash": sql_simhash(),
