@@ -786,6 +786,20 @@ def _q_pack_sequences(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_kmeans_assign(sf_dir: str):
+    """One exact Lloyd half-step: every embedding assigned to its
+    nearest seeded-init centroid (quantized-int distances, ties to the
+    lowest cluster id) — the oracle gate for the k-means kernel chain
+    (init rank, quantization, distance, tie-break)."""
+    from pkd_tree_ray.clustering import kmeans_assign
+
+    emb = sources.read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = kmeans_assign(emb, k=8, seed=11).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_image_ahash_neardup(sf_dir: str):
     """Image near-duplicate detection: PNG decode (actor pool) ->
     64-bit average-hash -> pigeonhole 16-bit block LSH -> distributed
@@ -854,6 +868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_ahash_neardup": _q_image_ahash_neardup,
         "sample_per_lang": _q_sample_per_lang,
         "pack_sequences": _q_pack_sequences,
+        "kmeans_assign": _q_kmeans_assign,
         "knn_graph": _q_knn_graph,
         "knn_visit_stats": _q_knn_visit_stats,
     }
@@ -1152,6 +1167,7 @@ ORDER BY img_a, img_b
 
 
 def oracle_sql() -> dict[str, str]:
+    from pkd_tree_ray.clustering import sql_kmeans_assign
     from pkd_tree_ray.packing import sql_pack_sequences
     from pkd_tree_ray.sampling import sql_sample_per_key
 
@@ -1326,6 +1342,7 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
             cols="lang, doc_id, source",
         ) + " ORDER BY lang, doc_id",
         "pack_sequences": sql_pack_sequences(2048) + " ORDER BY doc_id",
+        "kmeans_assign": sql_kmeans_assign(k=8, seed=11),
         "lang_id": sql_lang_id(),
         "fingerprints": sql_fingerprints(),
         "simhash": sql_simhash(),
