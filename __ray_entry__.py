@@ -457,6 +457,40 @@ def _q_ngram_jaccard_neardup(sf_dir: str):
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_vocab_topk(sf_dir: str):
+    from pkd_tree_ray.text import vocab_topk
+
+    return vocab_topk(_docs(sf_dir), k=50)
+
+
+def _q_tfidf_topk(sf_dir: str):
+    from pkd_tree_ray.text import tfidf_topk
+
+    return tfidf_topk(_docs(sf_dir), k=5)
+
+
+def _events(sf_dir: str):
+    return sources.read_parquet_clean(f"{sf_dir}/events.parquet")
+
+
+def _q_asof_join(sf_dir: str):
+    from pkd_tree_ray.temporal import asof_join
+
+    return asof_join(_events(sf_dir), "purchase", "click")
+
+
+def _q_sessionize(sf_dir: str):
+    from pkd_tree_ray.temporal import sessionize
+
+    return sessionize(_events(sf_dir), gap_s=1800)
+
+
+def _q_window_agg(sf_dir: str):
+    from pkd_tree_ray.temporal import window_agg
+
+    return window_agg(_events(sf_dir), width_s=3600)
+
+
 def _ann_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """Self-query set: embedding rows with vec_id % 50 == 0 (driver-side;
     the query side of an ANN batch is small by definition)."""
@@ -859,6 +893,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": _q_minhash_neardup,
         "simhash_neardup": _q_simhash_neardup,
         "ngram_jaccard_neardup": _q_ngram_jaccard_neardup,
+        "vocab_topk": _q_vocab_topk,
+        "tfidf_topk": _q_tfidf_topk,
+        "asof_join": _q_asof_join,
+        "sessionize": _q_sessionize,
+        "window_agg": _q_window_agg,
         "ann_l2q": _q_ann_l2q,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_exact": _q_ann_ivf_exact,
@@ -1185,6 +1224,7 @@ def oracle_sql() -> dict[str, str]:
         for i, v in enumerate(polys)
     )
     from pkd_tree_ray.geometry import sql_point_in_polygon
+    from pkd_tree_ray.temporal import sql_asof_join, sql_sessionize, sql_window_agg
     from pkd_tree_ray.text import (
         sql_fingerprints,
         sql_lang_id,
@@ -1192,6 +1232,8 @@ def oracle_sql() -> dict[str, str]:
         sql_ngram_jaccard_neardup,
         sql_simhash,
         sql_simhash_neardup,
+        sql_tfidf_topk,
+        sql_vocab_topk,
     )
 
     pip_concave_sql = "\nUNION ALL\n".join(
@@ -1349,6 +1391,11 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
         "minhash_neardup": sql_minhash_neardup(threshold=0.5),
         "simhash_neardup": sql_simhash_neardup(max_hamming=3),
         "ngram_jaccard_neardup": sql_ngram_jaccard_neardup(threshold=0.5),
+        "vocab_topk": sql_vocab_topk(k=50),
+        "tfidf_topk": sql_tfidf_topk(k=5),
+        "asof_join": sql_asof_join("purchase", "click"),
+        "sessionize": sql_sessionize(gap_s=1800),
+        "window_agg": sql_window_agg(width_s=3600),
         "embedding_neardup": _embedding_neardup_sql(),
     }
     # exhaustive-probe IVF must reproduce brute force bit-for-bit

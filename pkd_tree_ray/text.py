@@ -1209,3 +1209,201 @@ FROM inter i JOIN sz za ON za.doc_id = i.doc_a
 WHERE i.ic * 1000 >= {thr_pm} * (za.sz + zb.sz - i.ic)
 ORDER BY doc_a, doc_b
 """
+
+
+# ----------------------------------------------------------------------
+# vocabulary statistics: global top-k terms, per-doc TF-IDF
+# ----------------------------------------------------------------------
+
+def _table_sorted_cut(t: pa.Table, k: int) -> pa.Table:
+    """Top-k rows of (term, cnt) under (cnt DESC, term ASC) — Arrow
+    C++ sort, no Python per row."""
+    return t.sort_by([("cnt", "descending"), ("term", "ascending")]).slice(0, k)
+
+
+def vocab_topk(docs, k: int = 50):
+    """Global top-``k`` most frequent whitespace tokens -> pa.Table
+    (term, cnt), ordered (cnt DESC, term ASC).
+
+    100-TB shape: a combiner pass first — ``value_counts`` per batch
+    emits (term, cnt) partials sized by the batch VOCABULARY, not its
+    token count — then ONE ``groupby(term)`` shuffle over the
+    partials, a per-block top-k cut (the groupby key is unique per
+    block, so the global top-k under (cnt DESC, term ASC) is a subset
+    of the union of per-block top-k under the same order), and a
+    driver merge of at most blocks x k candidate rows.  The full
+    vocabulary never reaches the driver.
+    """
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _ = tokenize_flat(t["text"])
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "term": vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("cnt")
+    )
+
+    def block_cut(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["term", "cnt"])
+        return _table_sorted_cut(t, k)
+
+    cand = agg.map_batches(block_cut, batch_format="pyarrow")
+    parts = [pa.table({"term": pa.array([], pa.string()),
+                       "cnt": pa.array([], pa.int64())})]
+    parts += [ray.get(r).select(["term", "cnt"]) for r in cand.to_arrow_refs()]
+    return _table_sorted_cut(pa.concat_tables(parts), k)
+
+
+#: sentinel term carrying per-batch doc counts through the df shuffle —
+#: tokenize_flat never emits an empty token, so '' cannot collide
+_DF_SENTINEL = ""
+
+
+def _doc_term_counts(t: pa.Table):
+    """Vectorized per-(doc, term) counts of one batch -> (doc_idx,
+    dict_code, tf, dictionary) — documents are single rows, so a
+    doc's full TF vector lives inside its batch."""
+    import pyarrow.compute as pc
+
+    flat, counts = tokenize_flat(t["text"])
+    if not len(flat):
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, pa.array([], pa.string())
+    codes = pc.dictionary_encode(flat)
+    if isinstance(codes, pa.ChunkedArray):
+        codes = codes.combine_chunks()
+    idxs = codes.indices.to_numpy().astype(np.int64)
+    nd = len(codes.dictionary)
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    key = doc_idx * nd + idxs
+    uk, tf = np.unique(key, return_counts=True)
+    return uk // nd, uk % nd, tf.astype(np.int64), codes.dictionary
+
+
+def tfidf_topk(docs, k: int = 5):
+    """Top-``k`` TF-IDF terms per document, integer-exact:
+    ``idf_x1000 = (N * 1000) // df``, ``score = tf * idf_x1000``,
+    ranked (score DESC, term ASC) within each doc, 1-based.
+
+    -> Dataset (doc_id, term, tf, score, rank).
+
+    100-TB shape: pass 1 folds df AND the corpus doc count into ONE
+    ``groupby(term)`` shuffle — per-batch distinct-(doc, term)
+    partials plus a sentinel ''-row carrying the batch's doc count.
+    The resulting (term -> idf) table is broadcast once via
+    ``ray.put`` (vocabulary grows sublinearly with corpus size; at
+    10^8 terms it is a few GB — the documented small-side assumption;
+    a corpus that breaks it needs a term-hash shuffle join instead).
+    Pass 2 streams the documents once: dictionary-encoded per-doc term
+    counts, a searchsorted IDF lookup, and a vectorized per-doc top-k
+    cut — each doc is one row, so TF and its top-k never shuffle.
+    """
+    import ray
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        d_i, c_i, _tf, dictionary = _doc_term_counts(t)
+        n_docs = len(t)
+        if len(c_i):
+            dfp = np.bincount(c_i, minlength=len(dictionary)).astype(np.int64)
+            body = pa.table({"term": dictionary, "cnt": pa.array(dfp)})
+        else:
+            body = pa.table(
+                {"term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        sent = pa.table(
+            {"term": pa.array([_DF_SENTINEL]), "cnt": pa.array([n_docs], pa.int64())}
+        )
+        return pa.concat_tables([body, sent])
+
+    agg = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("cnt")
+    )
+    df_tbl = pa.concat_tables(
+        [r.rename_columns(["term", "cnt"]) for r in ray.get(agg.to_arrow_refs())]
+    )
+    terms = np.asarray(df_tbl["term"].to_pandas(), dtype=str)
+    dfv = df_tbl["cnt"].to_numpy().astype(np.int64)
+    sent_mask = terms == _DF_SENTINEL
+    n_docs = int(dfv[sent_mask].sum())
+    terms, dfv = terms[~sent_mask], dfv[~sent_mask]
+    order = np.argsort(terms, kind="stable")
+    terms_s, idf_s = terms[order], (n_docs * 1000) // dfv[order]
+    bref = ray.put((terms_s, idf_s.astype(np.int64)))
+
+    def tf_topk(t: pa.Table) -> pa.Table:
+        from pkd_tree_ray.queries import _cached_get
+
+        ts, idf = _cached_get(bref)
+        d_i, c_i, tf, dictionary = _doc_term_counts(t)
+        doc_ids = t["doc_id"].to_numpy()
+        if not len(d_i):
+            z = pa.array([], pa.int64())
+            return pa.table(
+                {"doc_id": z, "term": pa.array([], pa.string()),
+                 "tf": z, "score": z, "rank": z}
+            )
+        dict_np = np.asarray(dictionary.to_pandas(), dtype=str)
+        pos = np.searchsorted(ts, dict_np)
+        score = tf * idf[pos][c_i]
+        term_np = dict_np[c_i]
+        srt = np.lexsort((term_np, -score, d_i))
+        d_s = d_i[srt]
+        first = np.searchsorted(d_s, d_s, side="left")
+        rank = np.arange(len(d_s), dtype=np.int64) - first
+        keep = rank < k
+        sel = srt[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[d_s[keep]], pa.int64()),
+                "term": pa.array(term_np[sel], pa.string()),
+                "tf": pa.array(tf[sel], pa.int64()),
+                "score": pa.array(score[sel], pa.int64()),
+                "rank": pa.array(rank[keep] + 1, pa.int64()),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        tf_topk, batch_format="pyarrow"
+    )
+
+
+def sql_vocab_topk(k: int = 50) -> str:
+    """DuckDB SQL bit-exact vs :func:`vocab_topk` over ``documents``."""
+    return f"""
+WITH t AS (SELECT unnest(regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE}')) AS term
+           FROM documents)
+SELECT term, count(*) AS cnt FROM t
+GROUP BY term ORDER BY cnt DESC, term LIMIT {k}
+"""
+
+
+def sql_tfidf_topk(k: int = 5) -> str:
+    """DuckDB SQL bit-exact vs :func:`tfidf_topk` over ``documents``."""
+    return f"""
+WITH t AS (SELECT doc_id,
+                  unnest(regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE}')) AS term
+           FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * ((n.n * 1000) // df.df) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rnk
+      FROM s)
+SELECT doc_id, term, tf, score, rnk AS "rank" FROM r WHERE rnk <= {k}
+"""
