@@ -491,6 +491,28 @@ def _q_window_agg(sf_dir: str):
     return window_agg(_events(sf_dir), width_s=3600)
 
 
+_QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _docs_nchars(sf_dir: str):
+    return sources.read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+
+def _q_quantiles(sf_dir: str):
+    from pkd_tree_ray.quantiles import quantiles
+
+    return quantiles(_docs_nchars(sf_dir), "n_chars", _QUANTILE_QS)
+
+
+def _q_percentile_filter(sf_dir: str):
+    from pkd_tree_ray.quantiles import percentile_filter
+
+    out = percentile_filter(_docs_nchars(sf_dir), "n_chars", 0.9).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _ann_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """Self-query set: embedding rows with vec_id % 50 == 0 (driver-side;
     the query side of an ANN batch is small by definition)."""
@@ -895,6 +917,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_neardup": _q_ngram_jaccard_neardup,
         "vocab_topk": _q_vocab_topk,
         "tfidf_topk": _q_tfidf_topk,
+        "quantiles_nchars": _q_quantiles,
+        "percentile_filter": _q_percentile_filter,
         "asof_join": _q_asof_join,
         "sessionize": _q_sessionize,
         "window_agg": _q_window_agg,
@@ -1224,6 +1248,7 @@ def oracle_sql() -> dict[str, str]:
         for i, v in enumerate(polys)
     )
     from pkd_tree_ray.geometry import sql_point_in_polygon
+    from pkd_tree_ray.quantiles import sql_percentile_filter, sql_quantiles
     from pkd_tree_ray.temporal import sql_asof_join, sql_sessionize, sql_window_agg
     from pkd_tree_ray.text import (
         sql_fingerprints,
@@ -1393,6 +1418,8 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
         "ngram_jaccard_neardup": sql_ngram_jaccard_neardup(threshold=0.5),
         "vocab_topk": sql_vocab_topk(k=50),
         "tfidf_topk": sql_tfidf_topk(k=5),
+        "quantiles_nchars": sql_quantiles("n_chars", _QUANTILE_QS),
+        "percentile_filter": sql_percentile_filter("n_chars", 0.9),
         "asof_join": sql_asof_join("purchase", "click"),
         "sessionize": sql_sessionize(gap_s=1800),
         "window_agg": sql_window_agg(width_s=3600),
