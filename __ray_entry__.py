@@ -457,6 +457,16 @@ def _q_ngram_jaccard_neardup(sf_dir: str):
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_dedup_clusters(sf_dir: str):
+    from pkd_tree_ray.components import dedup_clusters
+    from pkd_tree_ray.text import ngram_jaccard_neardup
+
+    docs = _docs(sf_dir)
+    pairs = ngram_jaccard_neardup(docs, threshold=0.5)
+    out = dedup_clusters(docs, pairs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_vocab_topk(sf_dir: str):
     from pkd_tree_ray.text import vocab_topk
 
@@ -915,6 +925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": _q_minhash_neardup,
         "simhash_neardup": _q_simhash_neardup,
         "ngram_jaccard_neardup": _q_ngram_jaccard_neardup,
+        "dedup_clusters": _q_dedup_clusters,
         "vocab_topk": _q_vocab_topk,
         "tfidf_topk": _q_tfidf_topk,
         "quantiles_nchars": _q_quantiles,
@@ -1248,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
         for i, v in enumerate(polys)
     )
     from pkd_tree_ray.geometry import sql_point_in_polygon
+    from pkd_tree_ray.components import sql_dedup_clusters
     from pkd_tree_ray.quantiles import sql_percentile_filter, sql_quantiles
     from pkd_tree_ray.temporal import sql_asof_join, sql_sessionize, sql_window_agg
     from pkd_tree_ray.text import (
@@ -1416,6 +1428,9 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
         "minhash_neardup": sql_minhash_neardup(threshold=0.5),
         "simhash_neardup": sql_simhash_neardup(max_hamming=3),
         "ngram_jaccard_neardup": sql_ngram_jaccard_neardup(threshold=0.5),
+        "dedup_clusters": sql_dedup_clusters(
+            sql_ngram_jaccard_neardup(threshold=0.5)
+        ),
         "vocab_topk": sql_vocab_topk(k=50),
         "tfidf_topk": sql_tfidf_topk(k=5),
         "quantiles_nchars": sql_quantiles("n_chars", _QUANTILE_QS),
