@@ -391,6 +391,28 @@ def _q_knn_join(sf_dir: str):
     return knn_join(_base_index(sf_dir), left, "c_custkey", k=3)
 
 
+RADIUS_JOIN_R = 1000  # ~300 qualifying pairs at sf0.01
+
+
+def _q_radius_join(sf_dir: str):
+    from pkd_tree_ray.joins import radius_join
+
+    out = radius_join(
+        sources.customer_points(sf_dir),
+        sources.lineitem_points(sf_dir),
+        RADIUS_JOIN_R,
+        a_id="c_custkey",
+        b_id="point_id",
+    ).to_pandas()
+    if out.empty:  # all-empty blocks may drop the schema entirely
+        import pandas as pd
+
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("c_custkey", "point_id", "dist2")}
+        )
+    return out.sort_values(["c_custkey", "point_id"]).reset_index(drop=True)
+
+
 # --- training-data ops (documents / embeddings tables) -----------------
 
 def _docs(sf_dir: str):
@@ -915,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join": _q_pip_join,
         "pip_concave_count": _q_pip_concave_count,
         "knn_join": _q_knn_join,
+        "radius_join": _q_radius_join,
         "window_range_count": _q_window_range_count,
         "exact_dedup": _q_exact_dedup,
         "token_stats": _q_token_stats,
@@ -1346,6 +1369,15 @@ d AS (
   FROM pts p CROSS JOIN q
 )
 SELECT c_custkey, "rank", neighbor, dist2 FROM d WHERE "rank" <= 3
+""",
+        "radius_join": f"""
+WITH a AS ({sources.sql_customer_points()}),
+b AS ({sources.sql_lineitem_points()})
+SELECT a.c_custkey, b.point_id,
+       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+FROM a CROSS JOIN b
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= {RADIUS_JOIN_R * RADIUS_JOIN_R}
 """,
         "window_range_count": _range_count_sql(
             sources.sql_events_points(
