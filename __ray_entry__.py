@@ -489,6 +489,25 @@ def _q_dedup_clusters(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+DECON_BENCH_MOD = 25  # eval set = doc_id % 25 == 0
+
+
+def _q_decontaminate(sf_dir: str):
+    from pkd_tree_ray.text import decontaminate
+
+    def split(keep_bench: bool):
+        want = 0 if keep_bench else 1
+
+        def f(t: pa.Table) -> pa.Table:
+            m = (t["doc_id"].to_numpy() % DECON_BENCH_MOD == 0) == (want == 0)
+            return t.filter(pa.array(m))
+
+        return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+    out = decontaminate(split(False), split(True), window=4).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_vocab_topk(sf_dir: str):
     from pkd_tree_ray.text import vocab_topk
 
@@ -949,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": _q_simhash_neardup,
         "ngram_jaccard_neardup": _q_ngram_jaccard_neardup,
         "dedup_clusters": _q_dedup_clusters,
+        "decontaminate": _q_decontaminate,
         "vocab_topk": _q_vocab_topk,
         "tfidf_topk": _q_tfidf_topk,
         "quantiles_nchars": _q_quantiles,
@@ -1286,6 +1306,7 @@ def oracle_sql() -> dict[str, str]:
     from pkd_tree_ray.quantiles import sql_percentile_filter, sql_quantiles
     from pkd_tree_ray.temporal import sql_asof_join, sql_sessionize, sql_window_agg
     from pkd_tree_ray.text import (
+        sql_decontaminate,
         sql_fingerprints,
         sql_lang_id,
         sql_minhash_neardup,
@@ -1462,6 +1483,9 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
         "ngram_jaccard_neardup": sql_ngram_jaccard_neardup(threshold=0.5),
         "dedup_clusters": sql_dedup_clusters(
             sql_ngram_jaccard_neardup(threshold=0.5)
+        ),
+        "decontaminate": sql_decontaminate(
+            window=4, bench_mod=DECON_BENCH_MOD
         ),
         "vocab_topk": sql_vocab_topk(k=50),
         "tfidf_topk": sql_tfidf_topk(k=5),

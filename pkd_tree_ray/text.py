@@ -1407,3 +1407,103 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
       FROM s)
 SELECT doc_id, term, tf, score, rnk AS "rank" FROM r WHERE rnk <= {k}
 """
+
+
+# ----------------------------------------------------------------------
+# benchmark decontamination
+# ----------------------------------------------------------------------
+
+_SEED_DC = 14
+
+
+class _ContamScan:
+    """Actor-pool stage: broadcast sorted bench window-hash array is
+    fetched ONCE per actor in ``__init__`` (zero-copy from the object
+    store); ``__call__`` scans each batch's flat window stream against
+    it with one searchsorted — no shuffle touches the big side."""
+
+    def __init__(self, ref, window: int):
+        import ray
+
+        self.hashes = ray.get(ref)  # sorted uint64
+        self.window = window
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        hv, own, nd = window_hash_stream(
+            batch["text"], self.window, _SEED_DC, empty_docs="skip"
+        )
+        hits = np.zeros(nd, dtype=np.int64)
+        if len(hv) and len(self.hashes):
+            pos = np.searchsorted(self.hashes, hv)
+            pos[pos == len(self.hashes)] = 0
+            m = self.hashes[pos] == hv
+            np.add.at(hits, own[m], 1)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_hits": hits,
+                "contaminated": (hits > 0).astype(np.int64),
+            }
+        )
+
+
+def decontaminate(docs, bench, window: int = 5):
+    """Benchmark decontamination -> (doc_id, n_hits, contaminated):
+    per training doc, how many of its ``window``-token rolling windows
+    (sub-window docs fold to one whole-doc window, the
+    :func:`fingerprints` convention) occur anywhere in the ``bench``
+    eval set, and the keep/drop flag a training pipeline filters on.
+
+    Scale shape: the eval set is the small side by construction
+    (benchmarks are thousands of docs, the corpus is billions), so its
+    distinct window hashes are collected once, ``ray.put`` once, and
+    every scan actor reads the broadcast zero-copy — the 100-TB side
+    streams through ``map_batches`` with NO shuffle.  A bench side too
+    big to broadcast should go through the hash-join path
+    (:func:`exact_dedup`'s shuffle shape) instead.
+    """
+    import ray
+
+    def bench_hashes(batch: pd.DataFrame) -> pd.DataFrame:
+        hv, _, _ = window_hash_stream(
+            batch["text"], window, _SEED_DC, empty_docs="skip"
+        )
+        return pd.DataFrame({"h": np.unique(hv).view(np.int64)})
+
+    parts = bench.select_columns(["doc_id", "text"]).map_batches(
+        bench_hashes, batch_format="pandas"
+    ).take_all()
+    hs = np.unique(
+        np.array([r["h"] for r in parts], dtype=np.int64).view(np.uint64)
+    )
+    ref = ray.put(hs)
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _ContamScan,
+        fn_constructor_args=(ref, window),
+        batch_format="pandas",
+        concurrency=_pool_width(),
+    )
+
+
+def sql_decontaminate(window: int = 5, bench_mod: int = 97) -> str:
+    """DuckDB SQL bit-exact vs :func:`decontaminate` with the driver's
+    ``doc_id % bench_mod == 0`` eval-set split of ``documents``."""
+    wins = _sql_windows_list(window)
+    return f"""
+WITH {_sql_token_cte(_SEED_DC)},
+wl AS (SELECT d.doc_id,
+         CASE WHEN h.hs IS NULL THEN []
+              WHEN len(h.hs) < {window} THEN [{_sql_fold_hs()}]
+              ELSE {wins}
+         END AS wl
+       FROM docs0 d LEFT JOIN hl h USING (doc_id)),
+bench AS (SELECT DISTINCT unnest(wl) AS h FROM wl WHERE doc_id % {bench_mod} = 0),
+train AS (SELECT doc_id, unnest(wl) AS h FROM wl WHERE doc_id % {bench_mod} <> 0),
+hits AS (SELECT t.doc_id, count(*) AS n_hits
+         FROM train t JOIN bench b USING (h) GROUP BY t.doc_id)
+SELECT w.doc_id, coalesce(hits.n_hits, 0) AS n_hits,
+       CAST(coalesce(hits.n_hits, 0) > 0 AS BIGINT) AS contaminated
+FROM wl w LEFT JOIN hits USING (doc_id)
+WHERE w.doc_id % {bench_mod} <> 0
+"""
