@@ -445,6 +445,44 @@ def _q_lang_id(sf_dir: str):
     return lang_id(_docs(sf_dir))
 
 
+def _q_redact_pii(sf_dir: str):
+    """The synthetic corpus carries no natural PII, so every 5th doc
+    gets a deterministic doc_id-derived PII suffix (email + IP +
+    phone) before the scrub — the SQL oracle appends the identical
+    suffix, so the driver check exercises non-zero counts and real
+    replacements, not a no-op."""
+    import pandas as pd
+
+    from pkd_tree_ray.text import redact_pii
+
+    def add_pii(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        sfx = (
+            " mail u" + pd.Series(ids).astype(str)
+            + "@ex.org ip 10.0." + pd.Series(ids % 256).astype(str)
+            + ".7 tel +1 555-000-" + pd.Series(1000 + ids % 9000).astype(str)
+        )
+        batch = batch.copy()
+        batch["text"] = batch["text"].fillna("") + sfx.where(
+            pd.Series(ids % 5 == 0), ""
+        ).to_numpy()
+        return batch
+
+    docs = _docs(sf_dir).map_batches(add_pii, batch_format="pandas")
+    return redact_pii(docs)
+
+
+#: SQL twin of the deterministic PII suffix in :func:`_q_redact_pii`.
+_PII_DOCS_SQL = """
+SELECT doc_id,
+       coalesce(text, '') || CASE WHEN doc_id % 5 = 0 THEN
+         ' mail u' || doc_id || '@ex.org ip 10.0.' || (doc_id % 256)
+         || '.7 tel +1 555-000-' || (1000 + doc_id % 9000)
+       ELSE '' END AS text
+FROM documents
+"""
+
+
 def _q_simhash(sf_dir: str):
     from pkd_tree_ray.text import simhash
 
@@ -962,6 +1000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
+        "redact_pii": _q_redact_pii,
         "simhash": _q_simhash,
         "fingerprints": _q_fingerprints,
         "minhash_neardup": _q_minhash_neardup,
@@ -1311,6 +1350,7 @@ def oracle_sql() -> dict[str, str]:
         sql_lang_id,
         sql_minhash_neardup,
         sql_ngram_jaccard_neardup,
+        sql_redact_pii,
         sql_simhash,
         sql_simhash_neardup,
         sql_tfidf_topk,
@@ -1476,6 +1516,7 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
         "pack_sequences": sql_pack_sequences(2048) + " ORDER BY doc_id",
         "kmeans_assign": sql_kmeans_assign(k=8, seed=11),
         "lang_id": sql_lang_id(),
+        "redact_pii": sql_redact_pii(_PII_DOCS_SQL),
         "fingerprints": sql_fingerprints(),
         "simhash": sql_simhash(),
         "minhash_neardup": sql_minhash_neardup(threshold=0.5),

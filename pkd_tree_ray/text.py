@@ -1507,3 +1507,72 @@ SELECT w.doc_id, coalesce(hits.n_hits, 0) AS n_hits,
 FROM wl w LEFT JOIN hits USING (doc_id)
 WHERE w.doc_id % {bench_mod} <> 0
 """
+
+
+# ----------------------------------------------------------------------
+# PII redaction
+# ----------------------------------------------------------------------
+
+#: (name, pattern, tag) — patterns are RE2-safe (no lookaround, no
+#: backreferences, ASCII classes only) so DuckDB's regexp_replace /
+#: regexp_extract_all reproduce the scrub byte-for-byte.  Order
+#: matters and is part of the contract: emails first (else the IP rule
+#: bites their host digits), then IPs, then the loosest rule (phones).
+_PII_RULES = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+class PiiRedactor:
+    """Actor: sequential compiled-regex scrub; counts are taken on the
+    text as it stood BEFORE that rule ran (so a replaced email never
+    double-counts as a phone) — the SQL oracle chains identically."""
+
+    def __init__(self):
+        self.rules = [
+            (name, re.compile(pat), tag) for name, pat, tag in _PII_RULES
+        ]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"].fillna("")
+        out = {"doc_id": batch["doc_id"]}
+        for name, rx, tag in self.rules:
+            out[f"n_{name}"] = t.str.count(rx).astype(np.int64)
+            t = t.str.replace(rx, tag, regex=True)
+        out["text_redacted"] = t
+        return pd.DataFrame(out)
+
+
+def redact_pii(docs):
+    """-> (doc_id, n_email, n_ip, n_phone, text_redacted): scrub
+    emails / IPv4s / phone-like digit runs to typed tags.  Pure
+    streaming ``map_batches`` over an actor pool (regexes compiled
+    once per actor) — no shuffle, no driver state."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        PiiRedactor, batch_format="pandas", concurrency=_pool_width()
+    )
+
+
+def sql_redact_pii(docs_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """DuckDB SQL bit-exact vs :func:`redact_pii` over ``docs_sql``:
+    one CTE per rule, each counting on the PREVIOUS step's text and
+    carrying the earlier counts forward — the same sequential chain
+    the Ray actor runs."""
+    ctes = [f"s0 AS (SELECT doc_id, coalesce(text, '') AS t0 FROM ({docs_sql}) q)"]
+    for i, (name, pat, tag) in enumerate(_PII_RULES):
+        carried = "".join(f" n_{n}," for n, _, _ in _PII_RULES[:i])
+        ctes.append(
+            f"s{i + 1} AS (SELECT doc_id,{carried}"
+            f" len(regexp_extract_all(t{i}, '{pat}')) AS n_{name},"
+            f" regexp_replace(t{i}, '{pat}', '{tag}', 'g') AS t{i + 1}"
+            f" FROM s{i})"
+        )
+    last = len(_PII_RULES)
+    names = ", ".join(f"n_{n}" for n, _, _ in _PII_RULES)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT doc_id, {names}, t{last} AS text_redacted FROM s{last}"
+    )

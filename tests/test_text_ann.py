@@ -189,6 +189,59 @@ class TestTextStats:
         df = lang_id(_docs_ds(texts, ray_session)).to_pandas().sort_values("doc_id")
         assert df["pred_lang"].tolist() == ["en", "de", "fr", "zh"]
 
+    def test_redact_pii(self, ray_session):
+        from pkd_tree_ray.text import redact_pii
+
+        texts = [
+            "mail me at bob.smith+x@example.co.uk or call +1 (555) 123-4567",
+            "server at 10.0.255.3 and 192.168.1.1, no phone",
+            "plain text, nothing sensitive",
+        ]
+        df = (
+            redact_pii(_docs_ds(texts, ray_session))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert df["n_email"].tolist() == [1, 0, 0]
+        assert df["n_ip"].tolist() == [0, 2, 0]
+        assert df["n_phone"].tolist() == [1, 0, 0]
+        r0 = df["text_redacted"][0]
+        assert "<EMAIL>" in r0 and "<PHONE>" in r0
+        assert "example" not in r0 and "4567" not in r0
+        assert df["text_redacted"][1] == "server at <IP> and <IP>, no phone"
+        assert df["text_redacted"][2] == texts[2]
+
+    def test_redact_pii_matches_duckdb(self):
+        """The sequential scrub chain must agree with the SQL oracle on
+        adversarial inputs: an email whose host looks like an IP, a
+        phone adjacent to an IP, digit runs at rule boundaries."""
+        import duckdb
+
+        from pkd_tree_ray.text import PiiRedactor, sql_redact_pii
+
+        texts = [
+            "x@10.0.0.1.example.com then 10.0.0.1 then +44 20 7946 0958",
+            "1.2.3.4.5.6 overlong, phone-ish 0123456789, a@b.co",
+            "edge (555)1234567 and 999.999.999.999",
+            "",
+            "no digits here at all",
+        ]
+        df = pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+        got = PiiRedactor()(df).sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("documents", df)
+        want = (
+            con.execute(sql_redact_pii())
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for col in ("n_email", "n_ip", "n_phone", "text_redacted"):
+            assert got[col].tolist() == want[col].tolist(), col
+
 
 class TestAnn:
     @pytest.fixture()
