@@ -483,6 +483,42 @@ FROM documents
 """
 
 
+def _q_dedup_lines(sf_dir: str):
+    """The synthetic docs are single-line, so the check corpus is
+    derived deterministically: the frequent token ``table`` becomes a
+    line break (yielding naturally-colliding lines from the small
+    vocabulary) and every 3rd doc gains a shared boilerplate footer —
+    the classic C4 boilerplate-removal signal.  The SQL oracle applies
+    the identical derivation."""
+    import pandas as pd
+
+    from pkd_tree_ray.lines import dedup_lines
+
+    def to_lines(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        t = batch["text"].fillna("").str.replace(" table ", "\n", regex=False)
+        ids = batch["doc_id"].to_numpy()
+        batch["text"] = t + pd.Series(
+            ids % 3 == 0, index=t.index
+        ).map({True: "\nfollow us for more updates and like this page", False: ""})
+        return batch
+
+    docs = _docs(sf_dir).map_batches(to_lines, batch_format="pandas")
+    out = dedup_lines(docs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+#: SQL twin of the line-ified corpus in :func:`_q_dedup_lines`.
+_LINES_DOCS_SQL = """
+SELECT doc_id,
+       replace(coalesce(text, ''), ' table ', chr(10))
+       || CASE WHEN doc_id % 3 = 0
+          THEN chr(10) || 'follow us for more updates and like this page'
+          ELSE '' END AS text
+FROM documents
+"""
+
+
 def _q_simhash(sf_dir: str):
     from pkd_tree_ray.text import simhash
 
@@ -1001,6 +1037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
         "redact_pii": _q_redact_pii,
+        "dedup_lines": _q_dedup_lines,
         "simhash": _q_simhash,
         "fingerprints": _q_fingerprints,
         "minhash_neardup": _q_minhash_neardup,
@@ -1342,6 +1379,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from pkd_tree_ray.geometry import sql_point_in_polygon
     from pkd_tree_ray.components import sql_dedup_clusters
+    from pkd_tree_ray.lines import sql_dedup_lines
     from pkd_tree_ray.quantiles import sql_percentile_filter, sql_quantiles
     from pkd_tree_ray.temporal import sql_asof_join, sql_sessionize, sql_window_agg
     from pkd_tree_ray.text import (
@@ -1517,6 +1555,7 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
         "kmeans_assign": sql_kmeans_assign(k=8, seed=11),
         "lang_id": sql_lang_id(),
         "redact_pii": sql_redact_pii(_PII_DOCS_SQL),
+        "dedup_lines": sql_dedup_lines(docs_sql=_LINES_DOCS_SQL),
         "fingerprints": sql_fingerprints(),
         "simhash": sql_simhash(),
         "minhash_neardup": sql_minhash_neardup(threshold=0.5),

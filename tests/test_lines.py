@@ -1,0 +1,121 @@
+"""Tests for corpus-level line deduplication (lines.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(texts, ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": np.arange(len(texts), dtype=np.int64),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def _run(texts, ray_session, **kw):
+    from pkd_tree_ray.lines import dedup_lines
+
+    return (
+        dedup_lines(_ds(texts, ray_session), **kw)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+class TestDedupLines:
+    def test_first_occurrence_wins(self, ray_session):
+        dup = "a line that is duplicated across documents"
+        texts = [
+            f"{dup}\nunique first line",
+            f"other content\n{dup}",
+            f"{dup}",
+        ]
+        got = _run(texts, ray_session)
+        assert got["text_clean"].tolist() == [
+            texts[0],
+            "other content",
+            "",
+        ]
+        assert got["n_dropped"].tolist() == [0, 1, 1]
+        assert got["n_lines"].tolist() == [2, 2, 1]
+
+    def test_intra_doc_dups_collapse(self, ray_session):
+        got = _run(["same long line here\nsame long line here\nend line ok"],
+                   ray_session)
+        assert got["text_clean"][0] == "same long line here\nend line ok"
+        assert got["n_dropped"][0] == 1
+
+    def test_short_lines_never_deduped(self, ray_session):
+        texts = ["short\n\nshort", "short\n"]
+        got = _run(texts, ray_session, min_len=8)
+        # every line is < 8 chars -> untouched
+        assert got["text_clean"].tolist() == texts
+        assert got["n_dropped"].tolist() == [0, 0]
+
+    def test_min_len_boundary(self, ray_session):
+        eight = "12345678"
+        texts = [eight, eight, "1234567", "1234567"]
+        got = _run(texts, ray_session, min_len=8)
+        assert got["text_clean"].tolist() == [eight, "", "1234567", "1234567"]
+
+    def test_matches_duckdb_adversarial(self, ray_session):
+        """Exact parity with the SQL oracle on blanks, trailing
+        newlines, unicode, empty docs and heavy cross-doc overlap."""
+        import duckdb
+
+        from pkd_tree_ray.lines import dedup_lines, sql_dedup_lines
+
+        rng = np.random.RandomState(11)
+        pool = [
+            "the shared corpus line number %d" % i for i in range(12)
+        ] + ["", "tiny", "número unicode de línea compartida"]
+        texts = [
+            "\n".join(pool[j] for j in rng.randint(0, len(pool), size=rng.randint(0, 9)))
+            for _ in range(60)
+        ] + ["", "\n", "trailing\n"]
+        df = pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+        got = (
+            dedup_lines(_ds(texts, ray_session))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", df)
+        want = (
+            con.execute(sql_dedup_lines())
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for col in ("text_clean", "n_lines", "n_dropped"):
+            assert got[col].tolist() == want[col].tolist(), col
+
+    def test_null_text(self, ray_session):
+        import ray.data as rd
+
+        from pkd_tree_ray.lines import dedup_lines
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["real line content here", None], pa.string()),
+            }
+        )
+        got = (
+            dedup_lines(rd.from_arrow(t))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["text_clean"].tolist() == ["real line content here", ""]
