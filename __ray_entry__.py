@@ -483,16 +483,14 @@ FROM documents
 """
 
 
-def _q_dedup_lines(sf_dir: str):
-    """The synthetic docs are single-line, so the check corpus is
-    derived deterministically: the frequent token ``table`` becomes a
+def _lineified_docs(sf_dir: str):
+    """The synthetic docs are single-line, so line-level checks derive
+    a corpus deterministically: the frequent token ``table`` becomes a
     line break (yielding naturally-colliding lines from the small
     vocabulary) and every 3rd doc gains a shared boilerplate footer —
-    the classic C4 boilerplate-removal signal.  The SQL oracle applies
-    the identical derivation."""
+    the classic C4 boilerplate-removal signal.  ``_LINES_DOCS_SQL`` is
+    the identical derivation for the oracles."""
     import pandas as pd
-
-    from pkd_tree_ray.lines import dedup_lines
 
     def to_lines(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -503,8 +501,13 @@ def _q_dedup_lines(sf_dir: str):
         ).map({True: "\nfollow us for more updates and like this page", False: ""})
         return batch
 
-    docs = _docs(sf_dir).map_batches(to_lines, batch_format="pandas")
-    out = dedup_lines(docs).to_pandas()
+    return _docs(sf_dir).map_batches(to_lines, batch_format="pandas")
+
+
+def _q_dedup_lines(sf_dir: str):
+    from pkd_tree_ray.lines import dedup_lines
+
+    out = dedup_lines(_lineified_docs(sf_dir)).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -517,6 +520,15 @@ SELECT doc_id,
           ELSE '' END AS text
 FROM documents
 """
+
+
+def _q_repetition_scores(sf_dir: str):
+    """Gopher repetition rules over the same line-ified corpus as
+    :func:`_q_dedup_lines` (the raw docs are single-line, which would
+    zero the line metrics)."""
+    from pkd_tree_ray.lines import repetition_scores
+
+    return repetition_scores(_lineified_docs(sf_dir))
 
 
 def _q_simhash(sf_dir: str):
@@ -1038,6 +1050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "redact_pii": _q_redact_pii,
         "dedup_lines": _q_dedup_lines,
+        "repetition_scores": _q_repetition_scores,
         "simhash": _q_simhash,
         "fingerprints": _q_fingerprints,
         "minhash_neardup": _q_minhash_neardup,
@@ -1379,7 +1392,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from pkd_tree_ray.geometry import sql_point_in_polygon
     from pkd_tree_ray.components import sql_dedup_clusters
-    from pkd_tree_ray.lines import sql_dedup_lines
+    from pkd_tree_ray.lines import sql_dedup_lines, sql_repetition_scores
     from pkd_tree_ray.quantiles import sql_percentile_filter, sql_quantiles
     from pkd_tree_ray.temporal import sql_asof_join, sql_sessionize, sql_window_agg
     from pkd_tree_ray.text import (
@@ -1556,6 +1569,7 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
         "lang_id": sql_lang_id(),
         "redact_pii": sql_redact_pii(_PII_DOCS_SQL),
         "dedup_lines": sql_dedup_lines(docs_sql=_LINES_DOCS_SQL),
+        "repetition_scores": sql_repetition_scores(docs_sql=_LINES_DOCS_SQL),
         "fingerprints": sql_fingerprints(),
         "simhash": sql_simhash(),
         "minhash_neardup": sql_minhash_neardup(threshold=0.5),

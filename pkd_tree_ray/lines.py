@@ -218,3 +218,148 @@ SELECT doc_id,
        count(*) FILTER (WHERE NOT keep) AS n_dropped
 FROM k GROUP BY doc_id
 """
+
+
+# ----------------------------------------------------------------------
+# Within-doc repetition scores (Gopher-style quality rules)
+# ----------------------------------------------------------------------
+
+def _runs_per_owner(owner: np.ndarray, lo: np.ndarray, hi: np.ndarray):
+    """Sort the (owner, lo, hi) stream and return (sorted order,
+    first-of-run mask, run ids) — runs are equal (lo, hi) values
+    within one owner segment."""
+    order = np.lexsort((hi, lo, owner))
+    o, l, h = owner[order], lo[order], hi[order]
+    first = np.concatenate(
+        [[True], (o[1:] != o[:-1]) | (l[1:] != l[:-1]) | (h[1:] != h[:-1])]
+    ) if len(o) else np.zeros(0, bool)
+    return order, first, np.cumsum(first) - 1
+
+
+class RepetitionScores:
+    """Actor: per-doc repetition metrics, all integer permille so the
+    DuckDB oracle reproduces them bit-exactly.
+
+    - dup_line_permille: line occurrences beyond their first within
+      the SAME doc, / total lines.
+    - dup_line_char_permille: characters of those duplicate
+      occurrences / total line characters (newlines excluded).
+    - top_bigram_permille: occurrences of the doc's most frequent
+      token bigram / total bigrams.
+
+    Everything is flat-stream numpy: one Arrow split / tokenize pass
+    per batch, lexsort run detection, ``np.maximum.at`` per-owner max
+    — no per-doc Python loop.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from pkd_tree_ray.text import tokenize_flat
+
+        ids = batch["doc_id"].to_numpy()
+        n = len(ids)
+
+        # --- line metrics ------------------------------------------
+        flat, counts = split_lines_flat(batch["text"])
+        own = np.repeat(np.arange(n, dtype=np.int64), counts)
+        chars = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = _text_hash128(flat)
+        order, first, _ = _runs_per_owner(own, lo, hi)
+        dup = ~first
+        dup_lines = np.zeros(n, np.int64)
+        np.add.at(dup_lines, own[order][dup], 1)
+        dup_chars = np.zeros(n, np.int64)
+        np.add.at(dup_chars, own[order][dup], chars[order][dup])
+        tot_chars = np.zeros(n, np.int64)
+        np.add.at(tot_chars, own, chars)
+
+        # --- bigram metrics ----------------------------------------
+        from pkd_tree_ray.hashing import splitmix64
+        from pkd_tree_ray.text import _text_hash128 as th128
+
+        toks, tcounts = tokenize_flat(batch["text"])
+        town = np.repeat(np.arange(n, dtype=np.int64), tcounts)
+        tlo, thi = th128(toks)
+        same = town[1:] == town[:-1] if len(town) else np.zeros(0, bool)
+        blo = splitmix64(
+            tlo[:-1].view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ^ tlo[1:].view(np.uint64),
+            1,
+        )[same].view(np.int64) if len(town) else np.zeros(0, np.int64)
+        bhi = splitmix64(
+            thi[:-1].view(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+            ^ thi[1:].view(np.uint64),
+            2,
+        )[same].view(np.int64) if len(town) else np.zeros(0, np.int64)
+        bown = town[:-1][same] if len(town) else np.zeros(0, np.int64)
+        border, bfirst, brun = _runs_per_owner(bown, blo, bhi)
+        run_len = np.diff(np.concatenate(
+            [np.flatnonzero(bfirst), [len(bfirst)]]
+        )) if len(bfirst) else np.zeros(0, np.int64)
+        top = np.zeros(n, np.int64)
+        if len(run_len):
+            np.maximum.at(top, bown[border][bfirst], run_len)
+        n_bigrams = np.zeros(n, np.int64)
+        np.add.at(n_bigrams, bown, 1)
+
+        def permille(num, den):
+            return np.where(den > 0, 1000 * num // np.maximum(den, 1), 0)
+
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "dup_line_permille": pa.array(permille(dup_lines, counts)),
+                "dup_line_char_permille": pa.array(
+                    permille(dup_chars, tot_chars)
+                ),
+                "top_bigram_permille": pa.array(permille(top, n_bigrams)),
+                "n_lines": pa.array(counts),
+                "n_bigrams": pa.array(n_bigrams),
+            }
+        )
+
+
+def repetition_scores(docs):
+    """-> (doc_id, dup_line_permille, dup_line_char_permille,
+    top_bigram_permille, n_lines, n_bigrams): Gopher-style repetition
+    quality signals, pure per-batch map (no shuffle)."""
+    from pkd_tree_ray.text import _pool_width
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        RepetitionScores, batch_format="pyarrow", concurrency=_pool_width()
+    )
+
+
+def sql_repetition_scores(
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """DuckDB SQL bit-exact vs :func:`repetition_scores` (exact
+    strings where the Ray side uses 128-bit hashes)."""
+    return f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM ({docs_sql}) q),
+l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM d),
+lr AS (SELECT doc_id, line, count(*) AS c, len(line) AS lc
+       FROM l GROUP BY doc_id, line),
+lm AS (SELECT doc_id, sum(c) AS n_lines, sum(c - 1) AS dup_lines,
+              sum((c - 1) * lc) AS dup_chars, sum(c * lc) AS tot_chars
+       FROM lr GROUP BY doc_id),
+tok AS (SELECT doc_id,
+               unnest(regexp_extract_all(t, '\\S+')) AS tk,
+               unnest(range(1, len(regexp_extract_all(t, '\\S+')) + 1)) AS pos
+        FROM d),
+bg AS (SELECT a.doc_id, a.tk || ' ' || b.tk AS bigram
+       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+bm AS (SELECT doc_id, max(c) AS mc, sum(c) AS nb FROM bc GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(1000 * lm.dup_lines // lm.n_lines, 0) AS dup_line_permille,
+       CASE WHEN coalesce(lm.tot_chars, 0) > 0
+            THEN 1000 * lm.dup_chars // lm.tot_chars ELSE 0 END
+         AS dup_line_char_permille,
+       coalesce(1000 * bm.mc // bm.nb, 0) AS top_bigram_permille,
+       coalesce(lm.n_lines, 0) AS n_lines,
+       coalesce(bm.nb, 0) AS n_bigrams
+FROM d LEFT JOIN lm ON d.doc_id = lm.doc_id
+       LEFT JOIN bm ON d.doc_id = bm.doc_id
+"""

@@ -119,3 +119,62 @@ class TestDedupLines:
             .reset_index(drop=True)
         )
         assert got["text_clean"].tolist() == ["real line content here", ""]
+
+
+class TestRepetitionScores:
+    def test_basic(self, ray_session):
+        from pkd_tree_ray.lines import repetition_scores
+
+        texts = [
+            "dup line content\ndup line content\nother line",  # 1/3 dup lines
+            "a b a b a b",  # bigrams: "a b" x3, "b a" x2 -> top 3/5
+            "",
+        ]
+        got = (
+            repetition_scores(_ds(texts, ray_session))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["dup_line_permille"].tolist() == [333, 0, 0]
+        # dup chars 16 of (16+16+10)=42 -> 380
+        assert got["dup_line_char_permille"][0] == 1000 * 16 // 42
+        # doc0 tokens span newlines: 8 tokens -> 7 bigrams, "dup line"
+        # and "line content" each x2 -> top 2/7
+        assert got["top_bigram_permille"].tolist() == [2000 // 7, 600, 0]
+        assert got["n_bigrams"].tolist() == [7, 5, 0]
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from pkd_tree_ray.lines import repetition_scores, sql_repetition_scores
+
+        rng = np.random.RandomState(5)
+        words = ["x", "yy", "zzz", "wwww"]
+        texts = []
+        for _ in range(50):
+            toks = [words[j] for j in rng.randint(0, 4, size=rng.randint(0, 30))]
+            t = " ".join(toks).replace(" zzz ", "\n")
+            texts.append(t)
+        texts += ["", "\n\n", "solo"]
+        df = pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+        got = (
+            repetition_scores(_ds(texts, ray_session))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", df)
+        want = (
+            con.execute(sql_repetition_scores())
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for col in got.columns:
+            assert got[col].astype("int64").tolist() == want[col].astype(
+                "int64"
+            ).tolist(), col
