@@ -522,6 +522,16 @@ FROM documents
 """
 
 
+def _q_hll_tokens(sf_dir: str):
+    """Merged HLL registers over the corpus tokens — the sketch STATE
+    is deterministic given the SQL-exact token hash, so it oracles
+    bit-exactly; the float estimator is pytest-tested instead."""
+    from pkd_tree_ray.sketches import hll_tokens
+
+    out = hll_tokens(_docs(sf_dir)).to_pandas()
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
 def _q_repetition_scores(sf_dir: str):
     """Gopher repetition rules over the same line-ified corpus as
     :func:`_q_dedup_lines` (the raw docs are single-line, which would
@@ -1051,6 +1061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "dedup_lines": _q_dedup_lines,
         "repetition_scores": _q_repetition_scores,
+        "hll_tokens": _q_hll_tokens,
         "simhash": _q_simhash,
         "fingerprints": _q_fingerprints,
         "minhash_neardup": _q_minhash_neardup,
@@ -1393,6 +1404,7 @@ def oracle_sql() -> dict[str, str]:
     from pkd_tree_ray.geometry import sql_point_in_polygon
     from pkd_tree_ray.components import sql_dedup_clusters
     from pkd_tree_ray.lines import sql_dedup_lines, sql_repetition_scores
+    from pkd_tree_ray.sketches import sql_hll_tokens
     from pkd_tree_ray.quantiles import sql_percentile_filter, sql_quantiles
     from pkd_tree_ray.temporal import sql_asof_join, sql_sessionize, sql_window_agg
     from pkd_tree_ray.text import (
@@ -1570,6 +1582,7 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
         "redact_pii": sql_redact_pii(_PII_DOCS_SQL),
         "dedup_lines": sql_dedup_lines(docs_sql=_LINES_DOCS_SQL),
         "repetition_scores": sql_repetition_scores(docs_sql=_LINES_DOCS_SQL),
+        "hll_tokens": sql_hll_tokens(),
         "fingerprints": sql_fingerprints(),
         "simhash": sql_simhash(),
         "minhash_neardup": sql_minhash_neardup(threshold=0.5),
