@@ -356,6 +356,30 @@ def run_suite() -> dict:
         timed("text_token_stats", lambda: token_stats(docs).count())
         timed("text_simhash", lambda: simhash(docs).count())
         timed("text_minhash_neardup", lambda: minhash_neardup(docs).count())
+
+        from pkd_tree_ray.lines import dedup_lines, repetition_scores
+        from pkd_tree_ray.sketches import hll_tokens
+
+        def _lineify(batch):
+            batch = batch.copy()
+            batch["text"] = batch["text"].str.replace(
+                " table ", "\n", regex=False
+            )
+            return batch
+
+        ldocs = docs.map_batches(
+            _lineify, batch_format="pandas"
+        ).materialize()  # untimed setup: multi-line corpus
+        timed("text_dedup_lines", lambda: dedup_lines(ldocs).count())
+        timed(
+            "text_repetition_scores",
+            lambda: repetition_scores(ldocs).count(),
+        )
+        timed("text_hll_tokens", lambda: hll_tokens(docs).count())
+
+        from pkd_tree_ray.text import redact_pii
+
+        timed("text_redact_pii", lambda: redact_pii(docs).count())
         emb = amplified_embeddings(SF_DIR, rep=100).materialize()
         n_vecs = emb.count()
         import pyarrow.parquet as _pq
