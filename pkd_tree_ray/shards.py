@@ -43,10 +43,23 @@ from pkd_tree_ray.index import PkdIndex, _in_sorted
 #: filter (see knn_auto); env-overridable for experiments.
 _DEEP_OVERLAP_FRAC = float(os.environ.get("PKD_DEEP_FRAC", "0.125"))
 
+def _qid_ascending(q3, n3, d3):
+    """Return the triplet sorted by qid (the emit-chunk invariant the
+    per-chunk binary-search merge relies on).  The block kernels return
+    qid-grouped rows on their top-k-cut paths but per-block concatenated
+    rows on early-return paths — check first, sort only when needed."""
+    if len(q3) > 1 and not bool(np.all(q3[1:] >= q3[:-1])):
+        o = np.argsort(q3, kind="stable")
+        return q3[o], n3[o], d3[o]
+    return q3, n3, d3
+
+
 #: kd-ordered sub-cell block size (rows) and the minimum cell size that
 #: gets a block index at sync — below it, plain brute is cheaper than
-#: the block bookkeeping.
-_BLOCK_ROWS = int(os.environ.get("PKD_BLOCK_ROWS", "2048"))
+#: the block bookkeeping.  512 measured best on the serving suite at
+#: both 8- and 32-way concurrency (vs 2048: 32-way concurrent kNN wall
+#: 3.94 -> 2.67 s; 256 reverses the gain, per-block dispatch dominates).
+_BLOCK_ROWS = int(os.environ.get("PKD_BLOCK_ROWS", "512"))
 _BLOCK_MIN_ROWS = 4 * _BLOCK_ROWS
 
 
@@ -82,6 +95,12 @@ class IndexShard:
         #: cell, sum over kNN batches of (admitted queries x resident
         #: rows) — the pool's load-adaptive rebalance signal
         self.load: dict[int, float] = {}
+        #: per-section wall seconds inside knn_auto since the last
+        #: drain_sections — scaling-bottleneck diagnostics
+        self.sect: dict[str, float] = {}
+    def drain_sections(self) -> dict:
+        out, self.sect = self.sect, {}
+        return out
 
     def sync(self, cell_files: dict[int, tuple]) -> int:
         """Load added/changed cells, drop removed ones.  Values are
@@ -173,14 +192,6 @@ class IndexShard:
         against only this shard's cells) are answered with the
         cache-blocked brute kernel.  Returns shrunk per-query top-k
         partials (qid, neighbor, dist2)."""
-        from pkd_tree_ray.kdtree import (
-            block_knn_triplets,
-            block_range_triplets,
-            brute_knn_nd,
-            brute_range_filter_nd,
-        )
-        from pkd_tree_ray.queries import _topk_per_qid
-
         Q, k, bounds = payload[:3]  # Q: (m, d) query matrix
         # optional 4th element: per-query SEED cell (the best candidate
         # found by knn_seed) — served with the exact local top-k path
@@ -189,10 +200,23 @@ class IndexShard:
         # would scan every near-side block (OOD r4 finding)
         seeds = payload[3] if len(payload) > 3 else None
         nd = self.nd
+        t_sect = time.perf_counter()
+
+        def _mark(name: str) -> None:
+            nonlocal t_sect
+            now = time.perf_counter()
+            self.sect[name] = self.sect.get(name, 0.0) + (now - t_sect)
+            t_sect = now
+
         Qc = [np.ascontiguousarray(Q[:, j]) for j in range(nd)]
         out_q: list[np.ndarray] = []
         out_n: list[np.ndarray] = []
         out_d: list[np.ndarray] = []
+        # dense per-cell admission: O(m x C_shard) but vectorized and
+        # cheap in absolute terms (~35 ms per 100k queries x 29 cells);
+        # a run-union pre-filter was tried and REJECTED — shard cell
+        # sets are spatially scattered (balance-driven assignment), so
+        # 16-cell union boxes admit ~85% of queries and only add work
         for cell, (key, ids, fc, bbox, blocks) in self.cells.items():
             rank, n_holders = self.role.get(cell, (0, 1))
             if len(fc[0]) == 0:
@@ -210,83 +234,20 @@ class IndexShard:
                 qs = qs[qs % n_holders == rank]
             if not len(qs):
                 continue
+            _mark("classify")
             t_cell = time.perf_counter()
-            # cell bboxes are disjoint, so bd2 == 0 identifies a query's
-            # HOME cell: it answers with a full local top-k.  A foreign
-            # cell usually overlaps the query ball only in a sliver —
-            # emit just the rows inside the bound (cheaper to compute,
-            # far fewer partial rows through the object store); the
-            # merge-side verification (kth <= bound, found >= k) already
-            # guarantees exactness for both emit shapes.  BUT a foreign
-            # query whose ball COVERS the cell (bbox max-dist <= bound —
-            # the out-of-distribution case: the directory bound is the
-            # max-dist of the nearest populated cells) must take the
-            # top-k path too: the sliver filter would admit ~the whole
-            # cell per query, materializing q x n pair rows (r2: OOD
-            # phase ran minutes and thrashed the object store).
-            home = bd2[qs] == 0
-            # fraction of the cell bbox inside the query ball's
-            # bounding box: a deep overlap (> 1/8 of the cell) would
-            # make the sliver filter emit ~fraction x n_cell rows per
-            # query — route those through the bounded top-k path
-            r = np.sqrt(bounds[qs].astype(np.float64))
-            frac = np.ones(len(qs), dtype=np.float64)
-            for j in range(nd):
-                lo, hi = float(bbox[j]), float(bbox[nd + j])
-                qj = Qc[j][qs].astype(np.float64)
-                ext = np.minimum(qj + r, hi) - np.maximum(qj - r, lo)
-                frac *= np.clip(ext, 0.0, hi - lo + 1.0) / (hi - lo + 1.0)
-            deep = frac > _DEEP_OVERLAP_FRAC
-            if seeds is not None:
-                deep = deep | (seeds[qs] == cell)
-            hq = qs[home | deep]
-            fq = qs[~home & ~deep]
-            if len(hq):
-                if blocks is not None and k < len(fc[0]):
-                    # the caller's per-query bound is a provable cap on
-                    # any row that can survive the bound-verified merge
-                    # — blocks beyond it are never scanned
-                    q3, n3, d3 = block_knn_triplets(
-                        fc, ids, *blocks, [c[hq] for c in Qc], k,
-                        init_bounds=bounds[hq],
-                    )
-                    out_q.append(hq[q3])
-                    out_n.append(n3)
-                    out_d.append(d3)
-                else:
-                    idx, d2 = brute_knn_nd(fc, [c[hq] for c in Qc], k, tie_key=ids)
-                    k_eff = idx.shape[1]
-                    out_q.append(np.repeat(hq, k_eff))
-                    out_n.append(ids[idx.ravel()])
-                    out_d.append(d2.ravel())
-            if len(fq) and blocks is not None:
-                q3, n3, d3 = block_range_triplets(
-                    fc, ids, *blocks, [c[fq] for c in Qc], bounds[fq], k_cap=k
-                )
-                if len(q3):
-                    out_q.append(fq[q3])
-                    out_n.append(n3)
-                    out_d.append(d3)
-            elif len(fq):
-                qi, pi, d2f = brute_range_filter_nd(
-                    fc, [c[fq] for c in Qc], bounds[fq]
-                )
-                if len(qi):
-                    if len(qi) > 4 * k * len(fq):
-                        # loose bounds on skewed data can admit whole
-                        # clusters; only each cell's top-k per query can
-                        # survive the global merge — cap before concat
-                        rows, _ = _topk_per_qid(qi, d2f, ids[pi], k)
-                        qi, pi, d2f = qi[rows], pi[rows], d2f[rows]
-                    out_q.append(fq[qi])
-                    out_n.append(ids[pi])
-                    out_d.append(d2f)
+            self._knn_cell(
+                cell, ids, fc, bbox, blocks, Qc, qs, bd2[qs],
+                k, bounds, seeds, out_q, out_n, out_d,
+            )
             # serving-work telemetry (MEASURED kernel seconds — the
             # quantity wall time actually rides on) for
             # ShardedQueryPool.rebalance
             self.load[cell] = self.load.get(cell, 0.0) + (
                 time.perf_counter() - t_cell
             )
+            _mark("scan")
+        _mark("classify")
         if not out_q:
             return pa.table(
                 {
@@ -295,19 +256,123 @@ class IndexShard:
                     "dist2": pa.array([], pa.int64()),
                 }
             )
-        q = np.concatenate(out_q)
-        n = np.concatenate(out_n)
-        d = np.concatenate(out_d)
-        # _topk_per_qid's row order is qid-grouped ascending — keep it,
-        # so downstream qid-slice merges can binary-search instead of
-        # masking the whole table
-        rows, _ = _topk_per_qid(q, d, n, k)
-        return pa.table(
+        # Every per-cell contribution is qid-ASCENDING already (the
+        # kernels' top-k cuts return qid-grouped rows and the admitted
+        # index sets are ascending), and the merge side re-cuts to the
+        # final top-k anyway — so the shard ships the chunks ZERO-COPY
+        # instead of materializing one sorted table.  The old
+        # concat + full-key lexsort + gather cost 7-15 CPU-s per k=100
+        # call (fresh 336 MB per shard: the measured page-fault hot
+        # spot); per-chunk wrapping costs microseconds, and the merge
+        # tasks binary-search each sorted chunk (see _merge_qid_slice).
+        self.sect["emit_rows"] = self.sect.get("emit_rows", 0.0) + float(
+            sum(len(a) for a in out_q)
+        )
+        out = pa.table(
             {
-                "qid": pa.array(q[rows], pa.int64()),
-                "neighbor": pa.array(n[rows]),
-                "dist2": pa.array(d[rows], pa.int64()),
+                "qid": pa.chunked_array([pa.array(a, pa.int64()) for a in out_q]),
+                "neighbor": pa.chunked_array([pa.array(a) for a in out_n]),
+                "dist2": pa.chunked_array([pa.array(a, pa.int64()) for a in out_d]),
             }
+        )
+        _mark("emit")
+        return out
+
+    def _knn_cell(
+        self, cell, ids, fc, bbox, blocks, Qc, qs, bd2v,
+        k, bounds, seeds, out_q, out_n, out_d,
+    ) -> None:
+        """Answer one resident cell's admitted queries (``qs``, with
+        their cell-bbox min distances ``bd2v``), appending partial
+        triplets to the out lists.
+
+        Cell bboxes are disjoint, so bd2 == 0 identifies a query's HOME
+        cell: it answers with a full local top-k.  A foreign cell
+        usually overlaps the query ball only in a sliver — emit just
+        the rows inside the bound (cheaper to compute, far fewer
+        partial rows through the object store); the merge-side
+        verification (kth <= bound, found >= k) already guarantees
+        exactness for both emit shapes.  BUT a foreign query whose ball
+        COVERS the cell (the out-of-distribution case: the directory
+        bound is the max-dist of the nearest populated cells) must take
+        the top-k path too: the sliver filter would admit ~the whole
+        cell per query, materializing q x n pair rows (r2: OOD phase
+        ran minutes and thrashed the object store)."""
+        from pkd_tree_ray.kdtree import (
+            block_knn_triplets,
+            block_range_triplets,
+            brute_knn_nd,
+            brute_range_filter_nd,
+        )
+        from pkd_tree_ray.queries import _topk_per_qid
+
+        nd = self.nd
+        _t0 = time.perf_counter()
+        home = bd2v == 0
+        # fraction of the cell bbox inside the query ball's bounding
+        # box: a deep overlap (> 1/8 of the cell) would make the sliver
+        # filter emit ~fraction x n_cell rows per query — route those
+        # through the bounded top-k path
+        r = np.sqrt(bounds[qs].astype(np.float64))
+        frac = np.ones(len(qs), dtype=np.float64)
+        for j in range(nd):
+            lo, hi = float(bbox[j]), float(bbox[nd + j])
+            qj = Qc[j][qs].astype(np.float64)
+            ext = np.minimum(qj + r, hi) - np.maximum(qj - r, lo)
+            frac *= np.clip(ext, 0.0, hi - lo + 1.0) / (hi - lo + 1.0)
+        deep = frac > _DEEP_OVERLAP_FRAC
+        if seeds is not None:
+            deep = deep | (seeds[qs] == cell)
+        hq = qs[home | deep]
+        fq = qs[~home & ~deep]
+        _t1 = time.perf_counter()
+        self.sect["s_frac"] = self.sect.get("s_frac", 0.0) + (_t1 - _t0)
+        if len(hq):
+            if blocks is not None and k < len(fc[0]):
+                # the caller's per-query bound is a provable cap on
+                # any row that can survive the bound-verified merge
+                # — blocks beyond it are never scanned
+                q3, n3, d3 = block_knn_triplets(
+                    fc, ids, *blocks, [c[hq] for c in Qc], k,
+                    init_bounds=bounds[hq],
+                )
+                q3, n3, d3 = _qid_ascending(q3, n3, d3)
+                out_q.append(hq[q3])
+                out_n.append(n3)
+                out_d.append(d3)
+            else:
+                idx, d2 = brute_knn_nd(fc, [c[hq] for c in Qc], k, tie_key=ids)
+                k_eff = idx.shape[1]
+                out_q.append(np.repeat(hq, k_eff))
+                out_n.append(ids[idx.ravel()])
+                out_d.append(d2.ravel())
+        _t2 = time.perf_counter()
+        self.sect["s_home"] = self.sect.get("s_home", 0.0) + (_t2 - _t1)
+        if len(fq) and blocks is not None:
+            q3, n3, d3 = block_range_triplets(
+                fc, ids, *blocks, [c[fq] for c in Qc], bounds[fq], k_cap=k
+            )
+            if len(q3):
+                q3, n3, d3 = _qid_ascending(q3, n3, d3)
+                out_q.append(fq[q3])
+                out_n.append(n3)
+                out_d.append(d3)
+        elif len(fq):
+            qi, pi, d2f = brute_range_filter_nd(
+                fc, [c[fq] for c in Qc], bounds[fq]
+            )
+            if len(qi):
+                if len(qi) > 4 * k * len(fq):
+                    # loose bounds on skewed data can admit whole
+                    # clusters; only each cell's top-k per query can
+                    # survive the global merge — cap before concat
+                    rows, _ = _topk_per_qid(qi, d2f, ids[pi], k)
+                    qi, pi, d2f = qi[rows], pi[rows], d2f[rows]
+                out_q.append(fq[qi])
+                out_n.append(ids[pi])
+                out_d.append(d2f)
+        self.sect["s_foreign"] = self.sect.get("s_foreign", 0.0) + (
+            time.perf_counter() - _t2
         )
 
     def knn_seed(self, payload) -> pa.Table:
@@ -488,13 +553,18 @@ def _merge_qid_slice(lo: int, hi: int, k: int, k_eff: int, bounds_ref, *parts: p
     for t in parts:
         if not t.num_rows:
             continue
-        # shard partials are qid-sorted: slice by binary search so each
-        # merge task touches only its own rows (zero-copy plasma reads)
-        qid = t["qid"].to_numpy()
-        a = int(np.searchsorted(qid, lo, side="left"))
-        b = int(np.searchsorted(qid, hi, side="left"))
-        if b > a:
-            picked.append(t.slice(a, b - a))
+        # shard partials arrive as qid-ASCENDING chunks (one per cell
+        # contribution, shipped zero-copy from the shard): binary-search
+        # each chunk so the merge task touches only its own rows
+        # (zero-copy plasma reads)
+        off = 0
+        for ch in t["qid"].chunks:
+            qid = ch.to_numpy()
+            a = int(np.searchsorted(qid, lo, side="left"))
+            b = int(np.searchsorted(qid, hi, side="left"))
+            if b > a:
+                picked.append(t.slice(off + a, b - a))
+            off += len(qid)
     if not picked:
         return empty, np.arange(lo, hi, dtype=np.int64)
     pdf = pa.concat_tables(picked)
