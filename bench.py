@@ -450,11 +450,21 @@ def run_suite() -> dict:
     return result
 
 
-def run_scaling(rounds: int | None = None) -> None:
-    """N interleaved (8-cpu, 32-cpu) suite pairs in fresh processes;
-    the reported efficiency is the MEDIAN of the per-pair throughput
-    efficiencies (r1 verdict: a best-of-N pass under ambient shared-
-    host load is fragile — the median is the honest statistic)."""
+def run_scaling(rounds: int | None = None, n_lo: int = 8, n_hi: int = 32) -> None:
+    """N interleaved (n_lo-cpu, n_hi-cpu) suite pairs in fresh
+    processes; the reported efficiency is the MEDIAN of the per-pair
+    throughput efficiencies (r1 verdict: a best-of-N pass under ambient
+    shared-host load is fragile — the median is the honest statistic).
+
+    ``--pair N M`` picks the parallelism pair (default 8 32).  Both
+    8->32 and 4->16 satisfy the rule's "N and 4N" form; on THIS host
+    the 8->32 pair conflates software scaling with hardware physics —
+    ``tools/host_probe.py`` measures a +30% stretch of pure in-cache
+    compute (no memory traffic at all) from 8 to 32 active cores
+    (frequency derating), capping any 8->32 efficiency near 0.77 even
+    for perfectly scaling software.  A real N-node vs 4N-node cluster
+    keeps per-node frequency/bandwidth envelopes constant, which the
+    4->16 pair approximates (measured in-cache stretch 4%)."""
     rounds = rounds or int(os.environ.get("GRAFT_SCALING_ROUNDS", "5"))
 
     def run_at(ncpu: int) -> dict:
@@ -473,16 +483,17 @@ def run_scaling(rounds: int | None = None) -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    ratio = n_hi / n_lo
     pairs = []
     for _ in range(rounds):
         # interleaved so ambient host load hits both sides alike
-        pairs.append((run_at(8), run_at(32)))
+        pairs.append((run_at(n_lo), run_at(n_hi)))
     effs_tp = sorted(
-        (hi["concurrent_queries_per_sec"] / lo["concurrent_queries_per_sec"]) / (32 / 8)
+        (hi["concurrent_queries_per_sec"] / lo["concurrent_queries_per_sec"]) / ratio
         for lo, hi in pairs
     )
     effs_wall = sorted(
-        (lo["value"] / hi["value"]) / (32 / 8) for lo, hi in pairs
+        (lo["value"] / hi["value"]) / ratio for lo, hi in pairs
     )
     med_tp = effs_tp[len(effs_tp) // 2]
     med_wall = effs_wall[len(effs_wall) // 2]
@@ -490,13 +501,14 @@ def run_scaling(rounds: int | None = None) -> None:
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency, num_cpus 8 -> 32 (N vs 4N), median of %d interleaved pairs" % rounds,
-                "sec_8": lo["value"],
-                "sec_32": hi["value"],
-                "qps_8": [p[0]["concurrent_queries_per_sec"] for p in pairs],
-                "qps_32": [p[1]["concurrent_queries_per_sec"] for p in pairs],
-                "queries_8": lo["queries"],
-                "queries_32": hi["queries"],
+                "metric": "scaling efficiency, num_cpus %d -> %d (N vs 4N), median of %d interleaved pairs"
+                % (n_lo, n_hi, rounds),
+                "sec_lo": lo["value"],
+                "sec_hi": hi["value"],
+                "qps_lo": [p[0]["concurrent_queries_per_sec"] for p in pairs],
+                "qps_hi": [p[1]["concurrent_queries_per_sec"] for p in pairs],
+                "queries_lo": lo["queries"],
+                "queries_hi": hi["queries"],
                 "throughput_efficiencies": [round(e, 3) for e in effs_tp],
                 "throughput_scaling_efficiency": round(med_tp, 3),
                 "wall_scaling_efficiency": round(med_wall, 3),
@@ -509,6 +521,10 @@ def run_scaling(rounds: int | None = None) -> None:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        run_scaling()
+        if "--pair" in sys.argv:
+            i = sys.argv.index("--pair")
+            run_scaling(n_lo=int(sys.argv[i + 1]), n_hi=int(sys.argv[i + 2]))
+        else:
+            run_scaling()
     else:
         print(json.dumps(run_suite()))

@@ -256,15 +256,22 @@ class IndexShard:
                     "dist2": pa.array([], pa.int64()),
                 }
             )
-        # Every per-cell contribution is qid-ASCENDING already (the
-        # kernels' top-k cuts return qid-grouped rows and the admitted
-        # index sets are ascending), and the merge side re-cuts to the
-        # final top-k anyway — so the shard ships the chunks ZERO-COPY
+        # Per-cell contributions are qid-ASCENDING on the kernels'
+        # top-k-cut paths, and the merge side re-cuts to the final
+        # top-k anyway — so the shard ships the chunks ZERO-COPY
         # instead of materializing one sorted table.  The old
         # concat + full-key lexsort + gather cost 7-15 CPU-s per k=100
         # call (fresh 336 MB per shard: the measured page-fault hot
         # spot); per-chunk wrapping costs microseconds, and the merge
         # tasks binary-search each sorted chunk (see _merge_qid_slice).
+        # The kernels' early-return / multi-tile paths CAN emit
+        # per-block runs instead of one ascending sequence — enforce
+        # the per-chunk invariant here, at the single chokepoint the
+        # merge's searchsorted relies on (one cheap monotonicity pass
+        # per chunk; the rare offender gets a local argsort).
+        for i in range(len(out_q)):
+            qi, ni, di = _qid_ascending(out_q[i], out_n[i], out_d[i])
+            out_q[i], out_n[i], out_d[i] = qi, ni, di
         self.sect["emit_rows"] = self.sect.get("emit_rows", 0.0) + float(
             sum(len(a) for a in out_q)
         )
@@ -336,7 +343,6 @@ class IndexShard:
                     fc, ids, *blocks, [c[hq] for c in Qc], k,
                     init_bounds=bounds[hq],
                 )
-                q3, n3, d3 = _qid_ascending(q3, n3, d3)
                 out_q.append(hq[q3])
                 out_n.append(n3)
                 out_d.append(d3)
@@ -353,7 +359,6 @@ class IndexShard:
                 fc, ids, *blocks, [c[fq] for c in Qc], bounds[fq], k_cap=k
             )
             if len(q3):
-                q3, n3, d3 = _qid_ascending(q3, n3, d3)
                 out_q.append(fq[q3])
                 out_n.append(n3)
                 out_d.append(d3)

@@ -426,6 +426,60 @@ class TestParallelClassification:
         assert got["dist2"].tolist() == base["dist2"].tolist()
 
 
+class TestChunkedPartials:
+    def test_parallel_merge_with_subblock_multitile_cells(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        """Regression: shard partials ship as qid-ascending chunks and
+        the parallel qid-slice merge binary-searches each chunk.  Cells
+        between the brute kernel's p_chunk (1024) and the block-index
+        minimum (2048 rows) take the direct multi-tile
+        brute_range_filter_nd foreign path, which emits per-tile qid
+        RUNS — unsorted chunks silently break the searchsorted slicing
+        (observed as out-of-slice qids / wrong merges at 4 CPUs)."""
+        import ray.data as rd
+        import pyarrow as pa
+
+        from pkd_tree_ray.config import EngineConfig
+        from pkd_tree_ray.fixtures import uniform_xy
+        from pkd_tree_ray.kdtree import brute_knn_batch
+        from pkd_tree_ray.queries import knn
+        from pkd_tree_ray.shards import ShardedQueryPool
+
+        cfg = EngineConfig(target_cell_rows=1_400, batch_size=8_192)
+        n = 12_000
+        ids = np.arange(n, dtype=np.int64)
+        x, y = uniform_xy(ids.astype(np.uint64), 13)
+        idx = PkdIndex.build(
+            rd.from_arrow(pa.table({"point_id": ids, "x": x, "y": y})),
+            str(tmp_path),
+            cfg,
+            id_col="point_id",
+        )
+        pool = ShardedQueryPool(idx, n_shards=4)
+        idx.pool = pool
+        # force the parallel qid-slice merge path at test scale
+        monkeypatch.setattr(ShardedQueryPool, "_DRIVER_MERGE_ROWS", 500)
+        k = 7
+        qx, qy = x[::9].copy(), y[::9].copy()
+        res = knn(idx, qx, qy, k)
+        tab = res if hasattr(res, "num_rows") else pa.concat_tables(
+            [b for b in res.iter_batches(batch_format="pyarrow")]
+        )
+        m = len(qx)
+        assert tab.num_rows == m * k
+        qid = tab["qid"].to_numpy()
+        nb = tab["neighbor"].to_numpy()
+        d2 = tab["dist2"].to_numpy()
+        oi, od = brute_knn_batch(x, y, qx, qy, k, tie_key=ids)
+        order = np.lexsort((nb, d2, qid))
+        got_nb = nb[order].reshape(m, k)
+        got_d2 = d2[order].reshape(m, k)
+        assert np.array_equal(np.sort(got_d2, axis=1), np.sort(od, axis=1))
+        assert np.array_equal(np.sort(got_nb, axis=1), np.sort(ids[oi], axis=1))
+        pool.shutdown()
+
+
 class TestPoolOODRepair:
     def test_ood_queries_repair_through_pool_scan(self, built):
         """OOD queries (uniform over the space, varden build —
