@@ -575,6 +575,13 @@ def _q_ngram_jaccard_neardup(sf_dir: str):
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_dedup_spans(sf_dir: str):
+    from pkd_tree_ray.spans import dedup_spans
+
+    out = dedup_spans(_docs(sf_dir), window=4).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_dedup_clusters(sf_dir: str):
     from pkd_tree_ray.components import dedup_clusters
     from pkd_tree_ray.text import ngram_jaccard_neardup
@@ -1067,6 +1074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": _q_minhash_neardup,
         "simhash_neardup": _q_simhash_neardup,
         "ngram_jaccard_neardup": _q_ngram_jaccard_neardup,
+        "dedup_spans": _q_dedup_spans,
         "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
         "vocab_topk": _q_vocab_topk,
@@ -1403,6 +1411,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from pkd_tree_ray.geometry import sql_point_in_polygon
     from pkd_tree_ray.components import sql_dedup_clusters
+    from pkd_tree_ray.spans import sql_dedup_spans
     from pkd_tree_ray.lines import sql_dedup_lines, sql_repetition_scores
     from pkd_tree_ray.sketches import sql_hll_tokens
     from pkd_tree_ray.quantiles import sql_percentile_filter, sql_quantiles
@@ -1588,6 +1597,7 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
         "minhash_neardup": sql_minhash_neardup(threshold=0.5),
         "simhash_neardup": sql_simhash_neardup(max_hamming=3),
         "ngram_jaccard_neardup": sql_ngram_jaccard_neardup(threshold=0.5),
+        "dedup_spans": sql_dedup_spans(window=4),
         "dedup_clusters": sql_dedup_clusters(
             sql_ngram_jaccard_neardup(threshold=0.5)
         ),
