@@ -575,6 +575,12 @@ def _q_ngram_jaccard_neardup(sf_dir: str):
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_classifier_scores(sf_dir: str):
+    from pkd_tree_ray.text import classifier_scores
+
+    return classifier_scores(_docs(sf_dir))
+
+
 def _q_dedup_spans(sf_dir: str):
     from pkd_tree_ray.spans import dedup_spans
 
@@ -1064,6 +1070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
+        "classifier_scores": _q_classifier_scores,
         "lang_id": _q_lang_id,
         "redact_pii": _q_redact_pii,
         "dedup_lines": _q_dedup_lines,
@@ -1417,6 +1424,7 @@ def oracle_sql() -> dict[str, str]:
     from pkd_tree_ray.quantiles import sql_percentile_filter, sql_quantiles
     from pkd_tree_ray.temporal import sql_asof_join, sql_sessionize, sql_window_agg
     from pkd_tree_ray.text import (
+        sql_classifier_scores,
         sql_decontaminate,
         sql_fingerprints,
         sql_lang_id,
@@ -1592,6 +1600,7 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
         "dedup_lines": sql_dedup_lines(docs_sql=_LINES_DOCS_SQL),
         "repetition_scores": sql_repetition_scores(docs_sql=_LINES_DOCS_SQL),
         "hll_tokens": sql_hll_tokens(),
+        "classifier_scores": sql_classifier_scores(),
         "fingerprints": sql_fingerprints(),
         "simhash": sql_simhash(),
         "minhash_neardup": sql_minhash_neardup(threshold=0.5),

@@ -176,6 +176,103 @@ def quality_scores(docs):
 
 
 # ----------------------------------------------------------------------
+# linear quality classifier (fasttext-shaped model scoring)
+# ----------------------------------------------------------------------
+
+_SEED_CLS = 33  # token-hash seed (feature hashing)
+_SEED_CLS_W = 77  # weight-vector derivation seed
+_CLS_BUCKETS = 4096
+
+
+def classifier_weights() -> np.ndarray:
+    """The deterministic integer weight vector (milli-units, one per
+    feature-hash bucket) standing in for trained fasttext-style model
+    parameters: w[b] = splitmix64(b, seed) % 2001 - 1000 in
+    [-1000, 1000].  A production pipeline would load learned weights
+    from storage instead; everything downstream (broadcast once,
+    per-actor fetch, vectorized scoring) is identical."""
+    from pkd_tree_ray.hashing import splitmix64
+
+    b = np.arange(_CLS_BUCKETS, dtype=np.uint64)
+    return (splitmix64(b, _SEED_CLS_W) % np.uint64(2001)).astype(np.int64) - 1000
+
+
+class ClassifierScore:
+    """Actor-pool model-inference stage: the broadcast weight vector is
+    fetched ONCE per actor in ``__init__`` (zero-copy from the object
+    store — the model-load-once pattern); ``__call__`` scores each
+    batch fully vectorized (hash tokens -> bucket -> weight -> per-doc
+    integer logit via one segmented sum)."""
+
+    def __init__(self, weights_ref):
+        import ray
+
+        self.w = ray.get(weights_ref)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from pkd_tree_ray.hashing import token_hash64
+
+        flat, counts = tokenize_flat(batch["text"])
+        n = len(counts)
+        logit = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            th = token_hash64(flat, _SEED_CLS)
+            wt = self.w[(th % np.uint64(_CLS_BUCKETS)).astype(np.int64)]
+            nz = np.nonzero(counts)[0]
+            starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+            logit[nz] = np.add.reduceat(wt, starts[nz])
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": counts.astype(np.int64),
+                "logit": logit,
+                "keep": (logit > 0).astype(np.int64),
+            }
+        )
+
+
+def classifier_scores(docs, weights: np.ndarray | None = None):
+    """-> (doc_id, n_tokens, logit, keep): hash-featured linear
+    classifier scores (integer milli-logits, fasttext shape: token ->
+    feature bucket -> weight -> sum).  The weight vector is broadcast
+    once via ``ray.put`` and read zero-copy by every scoring actor —
+    the canonical batched-model-inference shape; swap
+    :func:`classifier_weights` for learned parameters to score with a
+    real model.  Pure streaming map, no shuffle."""
+    import ray
+
+    ref = ray.put(classifier_weights() if weights is None else weights)
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        ClassifierScore,
+        fn_constructor_args=(ref,),
+        batch_format="pandas",
+        concurrency=_pool_width(),
+    )
+
+
+def sql_classifier_scores() -> str:
+    """DuckDB SQL bit-exact vs :func:`classifier_scores` over
+    ``documents`` — the weight derivation (splitmix64 of the feature
+    bucket) and the token hash are both replayed in HUGEINT."""
+    from pkd_tree_ray.hashing import sql_splitmix64, sql_token_hash64
+
+    th = sql_token_hash64("tok", _SEED_CLS)
+    w = f"(({sql_splitmix64(f'(({th}) % {_CLS_BUCKETS})', _SEED_CLS_W)}) % 2001) - 1000"
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE}')) AS tok
+              FROM documents),
+wt AS (SELECT doc_id, {w} AS w FROM toks),
+agg AS (SELECT doc_id, count(*) AS n_tokens, sum(w) AS logit FROM wt GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.logit, 0) AS BIGINT) AS logit,
+       CAST(coalesce(a.logit, 0) > 0 AS BIGINT) AS keep
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# ----------------------------------------------------------------------
 # language id (heuristic; rows-only check)
 # ----------------------------------------------------------------------
 

@@ -115,3 +115,51 @@ class TestDedupSpans:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(base, got)
+
+
+class TestClassifierScores:
+    def test_sql_oracle_parity(self, ray_session):
+        import duckdb
+
+        from pkd_tree_ray.text import classifier_scores, sql_classifier_scores
+
+        rng = np.random.RandomState(3)
+        vocab = [f"tok{i}" for i in range(500)]
+        texts = [" ".join(rng.choice(vocab, int(rng.randint(0, 60))))
+                 for _ in range(80)]
+        texts[7] = ""   # zero-token doc -> logit 0, keep 0
+        df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64), "text": texts})
+        got = (
+            classifier_scores(_ds(texts, ray_session))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", df)
+        exp = (
+            con.execute(sql_classifier_scores())
+            .fetchdf()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "n_tokens", "logit", "keep"]],
+            exp[["doc_id", "n_tokens", "logit", "keep"]],
+        )
+        assert got.loc[7, "n_tokens"] == 0
+        assert got.loc[7, "keep"] == 0
+
+    def test_custom_weights_broadcast(self, ray_session):
+        from pkd_tree_ray.text import _CLS_BUCKETS, classifier_scores
+
+        # all-positive weights -> every non-empty doc kept
+        w = np.ones(_CLS_BUCKETS, dtype=np.int64)
+        got = (
+            classifier_scores(_ds(["a b c", "d e", ""], ray_session), weights=w)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["logit"].tolist() == [3, 2, 0]
+        assert got["keep"].tolist() == [1, 1, 0]
