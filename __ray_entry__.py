@@ -1016,6 +1016,16 @@ def _q_kmeans_assign(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_semdedup(sf_dir: str):
+    from pkd_tree_ray.clustering import semdedup
+
+    emb = sources.read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = semdedup(emb, k=8, seed=11, threshold=0.95).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_image_ahash_neardup(sf_dir: str):
     """Image near-duplicate detection: PNG decode (actor pool) ->
     64-bit average-hash -> pigeonhole 16-bit block LSH -> distributed
@@ -1101,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_lang": _q_sample_per_lang,
         "pack_sequences": _q_pack_sequences,
         "kmeans_assign": _q_kmeans_assign,
+        "semdedup": _q_semdedup,
         "knn_graph": _q_knn_graph,
         "knn_visit_stats": _q_knn_visit_stats,
     }
@@ -1399,7 +1410,7 @@ ORDER BY img_a, img_b
 
 
 def oracle_sql() -> dict[str, str]:
-    from pkd_tree_ray.clustering import sql_kmeans_assign
+    from pkd_tree_ray.clustering import sql_kmeans_assign, sql_semdedup
     from pkd_tree_ray.packing import sql_pack_sequences
     from pkd_tree_ray.sampling import sql_sample_per_key
 
@@ -1595,6 +1606,7 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
         ) + " ORDER BY lang, doc_id",
         "pack_sequences": sql_pack_sequences(2048) + " ORDER BY doc_id",
         "kmeans_assign": sql_kmeans_assign(k=8, seed=11),
+        "semdedup": sql_semdedup(k=8, seed=11, threshold=0.95),
         "lang_id": sql_lang_id(),
         "redact_pii": sql_redact_pii(_PII_DOCS_SQL),
         "dedup_lines": sql_dedup_lines(docs_sql=_LINES_DOCS_SQL),

@@ -207,3 +207,146 @@ d AS (
 SELECT vec_id, cid AS cluster FROM d WHERE rnk = 1
 ORDER BY vec_id
 """
+
+
+# ----------------------------------------------------------------------
+# SemDeDup — semantic dedup with clustering as the blocking stage
+# ----------------------------------------------------------------------
+
+
+def semdedup(embeddings, k: int = 8, seed: int = 11, threshold: float = 0.95):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embeddings, then within each cluster drop every vector that has a
+    LOWER-id cluster-mate with cosine >= ``threshold`` (first-wins,
+    witness-based: a dropped witness still disqualifies later
+    look-alikes, so the kept set is exactly the vectors with no
+    earlier near-twin).  -> Dataset (vec_id, cluster, keep).
+
+    Scale shape: clustering IS the blocking strategy — pairwise work
+    is confined to clusters, so ``k`` must be sized to the corpus
+    (clusters of ~10^4 keep the per-group matmul in-memory; the paper
+    runs k=50k over LAION).  One streaming assign pass (centroids
+    broadcast), ONE groupby(cluster) exchange carrying (cluster, id,
+    qv), one vectorized Python call per cluster.
+
+    Exactness: quantized int64 vectors; the cosine test compares
+    dot^2 * 10^6 against thr_pm^2 * |a|^2 * |b|^2 — float64 prefilter
+    with arbitrary-precision (object dtype) re-check inside a relative
+    1e-9 boundary band, so the decision is integer-exact at any
+    magnitude and :func:`sql_semdedup` reproduces it bit-for-bit."""
+    cref = ray.put(seeded_init(embeddings, k, seed))
+    thr_pm2 = round(threshold * QUANT) ** 2
+
+    def assign_rows(batch: pa.Table) -> pa.Table:
+        ids, q = _emb_quant(batch)
+        a = _assign_to(q, ray.get(cref))
+        return pa.table(
+            {
+                "cluster": pa.array(a.astype(np.int64)),
+                "vec_id": pa.array(ids),
+                "qv": pa.array(list(q), pa.list_(pa.int64())),
+            }
+        )
+
+    rows = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        assign_rows, batch_format="pyarrow"
+    )
+
+    def cluster_dedup(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        Q = np.stack(
+            [np.asarray(v, dtype=np.int64) for v in group["qv"].to_pylist()]
+        )[order]
+        n = len(ids)
+        cl = group["cluster"][0].as_py()
+        nn = np.einsum("ij,ij->i", Q, Q)
+        dropped = np.zeros(n, dtype=bool)
+        # i-row chunks keep the gram slab (chunk x n) bounded — never
+        # materialize the full n x n matrix or n^2/2 index arrays
+        CH = 2048
+        for c0 in range(1, n, CH):
+            c1 = min(c0 + CH, n)
+            Gc = Q[c0:c1] @ Q.T  # (c1-c0, n) int64, exact
+            ii_l, jj = np.nonzero(Gc > 0)
+            keep_lt = jj < (ii_l + c0)  # pairs (i, j < i) only
+            ii_l, jj = ii_l[keep_lt], jj[keep_lt]
+            if not len(ii_l):
+                continue
+            dot = Gc[ii_l, jj]
+            ii = ii_l + c0
+            lhs = dot.astype(np.float64) ** 2 * 1e6
+            rhs = (
+                float(thr_pm2)
+                * nn[ii].astype(np.float64)
+                * nn[jj].astype(np.float64)
+            )
+            sure_dup = lhs > rhs * (1 + 1e-9)
+            border = ~sure_dup & (lhs > rhs * (1 - 1e-9))
+            if border.any():
+                # integer-exact re-check inside the float boundary band
+                do = dot[border].astype(object)
+                ro = nn[ii[border]].astype(object) * nn[jj[border]].astype(object)
+                sure_dup[border] = (do * do * 1_000_000) >= (thr_pm2 * ro)
+            dropped[np.unique(ii[sure_dup])] = True
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "cluster": pa.array(np.full(n, cl, dtype=np.int64)),
+                "keep": pa.array((~dropped).astype(np.int64)),
+            }
+        )
+
+    return rows.groupby("cluster").map_groups(cluster_dedup, batch_format="pyarrow")
+
+
+def sql_semdedup(k: int = 8, seed: int = 11, threshold: float = 0.95) -> str:
+    """DuckDB SQL bit-exact vs :func:`semdedup` over ``embeddings``:
+    the kmeans-init assignment CTEs, within-cluster pairs (j < i), and
+    the HUGEINT cosine test replayed exactly."""
+    from pkd_tree_ray.hashing import sql_splitmix64, sql_u64_to_i64
+
+    thr_pm2 = round(threshold * QUANT) ** 2
+    hv = sql_u64_to_i64(sql_splitmix64("vec_id", seed))
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+  FROM embeddings),
+r AS (SELECT vec_id, qv,
+             row_number() OVER (ORDER BY {hv}, vec_id) AS rk
+      FROM e),
+c AS (SELECT rk - 1 AS cid, qv AS cv FROM r WHERE rk <= {int(k)}),
+d AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY CAST(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[])
+                    - 2 * list_dot_product(e.qv::DOUBLE[], c.cv::DOUBLE[])
+                    AS BIGINT),
+                    c.cid
+         ) AS rnk
+  FROM e CROSS JOIN c),
+a AS (SELECT vec_id, cid AS cluster FROM d WHERE rnk = 1),
+comp AS (SELECT vec_id, unnest(qv) AS ev, generate_subscripts(qv, 1) AS j FROM e),
+nrm AS (SELECT vec_id, sum(CAST(ev AS HUGEINT) * ev) AS nn FROM comp GROUP BY vec_id),
+pairs AS (
+  SELECT ai.vec_id AS i, aj.vec_id AS j
+  FROM a ai JOIN a aj ON ai.cluster = aj.cluster AND aj.vec_id < ai.vec_id),
+dots AS (
+  SELECT p.i, p.j, sum(CAST(ci.ev AS HUGEINT) * cj.ev) AS dot
+  FROM pairs p JOIN comp ci ON ci.vec_id = p.i
+               JOIN comp cj ON cj.vec_id = p.j AND cj.j = ci.j
+  GROUP BY p.i, p.j),
+dup AS (
+  SELECT DISTINCT d.i
+  FROM dots d JOIN nrm na ON na.vec_id = d.i JOIN nrm nb ON nb.vec_id = d.j
+  WHERE d.dot > 0
+    AND d.dot * d.dot * 1000000 >= {thr_pm2} * na.nn * nb.nn)
+SELECT a.vec_id, a.cluster,
+       CAST(a.vec_id NOT IN (SELECT i FROM dup) AS BIGINT) AS keep
+FROM a
+ORDER BY vec_id
+"""

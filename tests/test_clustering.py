@@ -76,3 +76,74 @@ class TestKMeans:
         got = adf["cluster"].to_numpy()
         ct = pd.crosstab(planted, got).to_numpy()
         assert ct.max(axis=1).sum() >= 0.95 * len(adf)
+
+
+class TestSemDedup:
+    def _emb_ds(self, vecs, ray_session):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": np.arange(len(vecs), dtype=np.int64),
+                    "embedding": pa.array(
+                        [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+                    ),
+                }
+            )
+        )
+
+    def test_planted_near_twins_dropped_first_wins(self, ray_session):
+        rng = np.random.RandomState(5)
+        base = rng.rand(40, 8).astype(np.float32)
+        vecs = list(base)
+        vecs[17] = vecs[3] * 1.0  # exact twin -> cosine 1
+        vecs[29] = vecs[3] + 1e-4  # near twin
+        from pkd_tree_ray.clustering import semdedup
+
+        out = (
+            semdedup(self._emb_ds(vecs, ray_session), k=4, seed=11, threshold=0.99)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert out.loc[3, "keep"] == 1      # lowest id of the twin set wins
+        assert out.loc[17, "keep"] == 0
+        assert out.loc[29, "keep"] == 0
+        assert out["keep"].sum() >= 30      # random vectors mostly kept
+
+    def test_sql_oracle_parity(self, ray_session):
+        import duckdb
+        import pandas as pd
+
+        from pkd_tree_ray.clustering import semdedup, sql_semdedup
+
+        rng = np.random.RandomState(9)
+        base = rng.rand(60, 8).astype(np.float32)
+        vecs = list(base)
+        for i in range(0, 60, 10):   # planted near-dup pairs
+            vecs[i + 1] = vecs[i] + rng.rand(8).astype(np.float32) * 1e-3
+        got = (
+            semdedup(self._emb_ds(vecs, ray_session), k=6, seed=11, threshold=0.95)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        df = pd.DataFrame(
+            {
+                "vec_id": np.arange(60, dtype=np.int64),
+                "embedding": [list(map(float, v)) for v in vecs],
+            }
+        )
+        con = duckdb.connect()
+        con.register("embeddings", df)
+        exp = (
+            con.execute(sql_semdedup(k=6, seed=11, threshold=0.95))
+            .fetchdf()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["vec_id", "cluster", "keep"]].astype("int64"),
+            exp[["vec_id", "cluster", "keep"]].astype("int64"),
+        )
