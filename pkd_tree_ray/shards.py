@@ -634,6 +634,12 @@ class ShardedQueryPool:
         self.owner: dict[int, int] = {}
         #: replicas[cell] = [primary shard, extra replica shards...]
         self.replicas: dict[int, list[int]] = {}
+        #: last measured per-cell serving work (kernel seconds), kept
+        #: STICKY across refresh() calls: an index-version refresh
+        #: (insert/delete churn) must not throw away the observed
+        #: workload balance — cells that survive the version keep
+        #: their measured weight, new cells enter on the rows term
+        self._measured: dict[int, float] = {}
         self.index: PkdIndex | None = None
         self.refresh(index)
 
@@ -668,6 +674,9 @@ class ShardedQueryPool:
         cells = [int(c) for c in index.cell_files]
         idx_of = {int(c): i for i, c in enumerate(d.starts)}
         rows_of = np.array([int(d.counts[idx_of[c]]) for c in cells], dtype=np.int64)
+        if measured:
+            self._measured = dict(measured)
+        measured = self._measured or None
         meas = None
         if measured:
             meas = np.array([float(measured.get(c, 0.0)) for c in cells])
@@ -853,6 +862,11 @@ class ShardedQueryPool:
     #: above this many final rows the cross-shard merge runs as parallel
     #: Ray tasks over qid slices instead of one driver-side lexsort
     _DRIVER_MERGE_ROWS = 400_000
+    #: target final rows per merge task — sized so the lexsort + slice
+    #: fetch per task stays ~100 ms while still fanning wide enough to
+    #: ride the pool (an n_merge sweep at 32 CPUs / 1M rows measured
+    #: 3 tasks = 192 ms, 8 = 125 ms, 32 = 186 ms)
+    _MERGE_TASK_ROWS = 131_072
 
     def knn_topk(
         self,
@@ -906,7 +920,9 @@ class ShardedQueryPool:
                 unsafe,
             )
         bref = ray.put(bounds)
-        n_merge = max(1, min(self.n_shards, m * k // self._DRIVER_MERGE_ROWS + 1))
+        n_merge = max(
+            1, min(self.n_shards, -(-m * k // self._MERGE_TASK_ROWS))
+        )
         edges = np.linspace(0, m, n_merge + 1).astype(np.int64)
         out_refs = []
         unsafe_refs = []

@@ -458,8 +458,10 @@ class TestChunkedPartials:
         )
         pool = ShardedQueryPool(idx, n_shards=4)
         idx.pool = pool
-        # force the parallel qid-slice merge path at test scale
+        # force the parallel qid-slice merge path at test scale, with
+        # multiple qid slices so cross-slice binary search is covered
         monkeypatch.setattr(ShardedQueryPool, "_DRIVER_MERGE_ROWS", 500)
+        monkeypatch.setattr(ShardedQueryPool, "_MERGE_TASK_ROWS", 500)
         k = 7
         qx, qy = x[::9].copy(), y[::9].copy()
         res = knn(idx, qx, qy, k)
