@@ -629,6 +629,73 @@ def _q_tfidf_topk(sf_dir: str):
     return tfidf_topk(_docs(sf_dir), k=5)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Exact top-20 tokens via Misra-Gries candidates + recount —
+    same answer as vocab_topk with no vocabulary shuffle."""
+    from pkd_tree_ray.sketches import heavy_hitters
+
+    return heavy_hitters(_docs(sf_dir), k=20, cap=1024)
+
+
+#: build side of the semi/anti-join queries: high-value orders.
+_SEMI_PRICE_CUT = 150000.0
+
+
+def _semi_sides(sf_dir: str):
+    import pyarrow.compute as pc
+
+    li = sources.read_parquet_clean(f"{sf_dir}/lineitem.parquet")
+
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["o_totalprice"], _SEMI_PRICE_CUT))
+
+    od = sources.read_parquet_clean(f"{sf_dir}/orders.parquet").map_batches(
+        filt, batch_format="pyarrow"
+    )
+    return li, od
+
+
+def _q_semi_join(sf_dir: str, anti: bool = False):
+    from pkd_tree_ray.membership import bloom_semi_join
+
+    li, od = _semi_sides(sf_dir)
+    out = (
+        bloom_semi_join(li, "l_orderkey", od, "o_orderkey", anti=anti)
+        .select_columns(["l_orderkey", "l_linenumber"])
+        .to_pandas()
+    )
+    return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+def _q_broadcast_join(sf_dir: str):
+    """Inner broadcast join: enrich lineitem rows with order payload
+    columns from the high-value-orders build side (no shuffle)."""
+    from pkd_tree_ray.membership import broadcast_join
+
+    li, od = _semi_sides(sf_dir)
+    out = (
+        broadcast_join(
+            li.select_columns(["l_orderkey", "l_linenumber"]),
+            "l_orderkey",
+            od,
+            "o_orderkey",
+            ["o_custkey", "o_orderpriority"],
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+def _q_topn_per_group(sf_dir: str):
+    from pkd_tree_ray.ranking import topn_per_group
+
+    docs = sources.read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    out = topn_per_group(docs, "lang", "n_chars", "doc_id", n=3).to_pandas()
+    return out.sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
 def _events(sf_dir: str):
     return sources.read_parquet_clean(f"{sf_dir}/events.parquet")
 
@@ -1095,6 +1162,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
         "vocab_topk": _q_vocab_topk,
+        "heavy_hitters": _q_heavy_hitters,
+        "semi_join": _q_semi_join,
+        "anti_join": lambda sf: _q_semi_join(sf, anti=True),
+        "broadcast_join": _q_broadcast_join,
+        "topn_per_group": _q_topn_per_group,
         "tfidf_topk": _q_tfidf_topk,
         "quantiles_nchars": _q_quantiles,
         "percentile_filter": _q_percentile_filter,
@@ -1431,7 +1503,7 @@ def oracle_sql() -> dict[str, str]:
     from pkd_tree_ray.components import sql_dedup_clusters
     from pkd_tree_ray.spans import sql_dedup_spans
     from pkd_tree_ray.lines import sql_dedup_lines, sql_repetition_scores
-    from pkd_tree_ray.sketches import sql_hll_tokens
+    from pkd_tree_ray.sketches import sql_heavy_hitters, sql_hll_tokens
     from pkd_tree_ray.quantiles import sql_percentile_filter, sql_quantiles
     from pkd_tree_ray.temporal import sql_asof_join, sql_sessionize, sql_window_agg
     from pkd_tree_ray.text import (
@@ -1447,6 +1519,8 @@ def oracle_sql() -> dict[str, str]:
         sql_tfidf_topk,
         sql_vocab_topk,
     )
+    from pkd_tree_ray.membership import sql_broadcast_join, sql_semi_join
+    from pkd_tree_ray.ranking import sql_topn_per_group
 
     pip_concave_sql = "\nUNION ALL\n".join(
         f"SELECT {i} AS poly_id, count(*) AS cnt FROM pts WHERE "
@@ -1626,6 +1700,33 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
             window=4, bench_mod=DECON_BENCH_MOD
         ),
         "vocab_topk": sql_vocab_topk(k=50),
+        "heavy_hitters": sql_heavy_hitters(k=20),
+        "semi_join": sql_semi_join(
+            "SELECT l_orderkey, l_linenumber FROM lineitem",
+            "l_orderkey",
+            f"SELECT o_orderkey FROM orders WHERE o_totalprice > {_SEMI_PRICE_CUT}",
+            "o_orderkey",
+        )
+        + " ORDER BY l_orderkey, l_linenumber",
+        "anti_join": sql_semi_join(
+            "SELECT l_orderkey, l_linenumber FROM lineitem",
+            "l_orderkey",
+            f"SELECT o_orderkey FROM orders WHERE o_totalprice > {_SEMI_PRICE_CUT}",
+            "o_orderkey",
+            anti=True,
+        )
+        + " ORDER BY l_orderkey, l_linenumber",
+        "broadcast_join": sql_broadcast_join(
+            "SELECT l_orderkey, l_linenumber FROM lineitem",
+            "l_orderkey",
+            "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders "
+            f"WHERE o_totalprice > {_SEMI_PRICE_CUT}",
+            "o_orderkey",
+            ["o_custkey", "o_orderpriority"],
+        )
+        + " ORDER BY l_orderkey, l_linenumber",
+        "topn_per_group": sql_topn_per_group("lang", "n_chars", "doc_id", n=3)
+        + ' ORDER BY lang, "rank"',
         "tfidf_topk": sql_tfidf_topk(k=5),
         "quantiles_nchars": sql_quantiles("n_chars", _QUANTILE_QS),
         "percentile_filter": sql_percentile_filter("n_chars", 0.9),

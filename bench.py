@@ -388,6 +388,47 @@ def run_suite() -> dict:
         )
         timed("text_hll_tokens", lambda: hll_tokens(docs).count())
 
+        from pkd_tree_ray.sketches import heavy_hitters
+
+        timed(
+            "text_heavy_hitters",
+            lambda: heavy_hitters(docs, k=20, cap=4096).num_rows,
+        )
+
+        from pkd_tree_ray.membership import bloom_semi_join
+        from pkd_tree_ray.ranking import topn_per_group
+
+        # Bloom semi-join: filter the amplified doc corpus by a 1-in-16
+        # doc_id blocklist built from the corpus itself (zero shuffle)
+        def _blockids(t):
+            import pyarrow.compute as pc
+
+            return t.filter(
+                pc.equal(pc.bit_wise_and(t["doc_id"], 15), 0)
+            ).select(["doc_id"])
+
+        blocklist = docs.map_batches(_blockids, batch_format="pyarrow")
+        timed(
+            "text_bloom_anti_join",
+            lambda: bloom_semi_join(
+                docs, "doc_id", blocklist, "doc_id", anti=True
+            ).count(),
+        )
+        def _with_len(t):
+            import pyarrow.compute as pc
+
+            return t.append_column(
+                "n_chars", pc.cast(pc.utf8_length(t["text"]), "int64")
+            )
+
+        docs_len = docs.map_batches(_with_len, batch_format="pyarrow")
+        timed(
+            "text_topn_per_group",
+            lambda: topn_per_group(
+                docs_len, "lang", "n_chars", "doc_id", n=100
+            ).count(),
+        )
+
         from pkd_tree_ray.text import redact_pii
 
         timed("text_redact_pii", lambda: redact_pii(docs).count())
