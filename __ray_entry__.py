@@ -1111,6 +1111,20 @@ def _q_image_ahash_neardup(sf_dir: str):
     return out.sort_values(["img_a", "img_b"]).reset_index(drop=True)
 
 
+def _q_image_mse_neardup(sf_dir: str):
+    """Pixel-exact image near-dup: aHash block-LSH candidates verified
+    on the EXACT integer sum-of-squared-errors of the decoded pixels —
+    PSNR >= 20 dB keeps the planted high-bit-flip dups (28.8 dB) and
+    rejects unrelated images (~5 dB apart)."""
+    from pkd_tree_ray.fixtures import image_table_dataset
+    from pkd_tree_ray.multimodal import image_mse_neardup
+
+    n = _image_n(sf_dir)
+    images = image_table_dataset(n, dup_every=16)
+    out = image_mse_neardup(images, min_psnr_db=20).to_pandas()
+    return out.sort_values(["img_a", "img_b"]).reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship: build the spatial index over sf0.001 lineitem-derived
     points, run the k=10 kNN batch, return the result Dataset."""
@@ -1180,6 +1194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_knn": _q_image_knn,
         "image_decode_stats": _q_image_decode_stats,
         "image_ahash_neardup": _q_image_ahash_neardup,
+        "image_mse_neardup": _q_image_mse_neardup,
         "sample_per_lang": _q_sample_per_lang,
         "pack_sequences": _q_pack_sequences,
         "kmeans_assign": _q_kmeans_assign,
@@ -1481,6 +1496,82 @@ ORDER BY img_a, img_b
 """
 
 
+def _image_mse_neardup_sql(
+    cap: int = 64, dup_every: int = 16, psnr_db: int = 20
+) -> str:
+    """Bit-exact DuckDB mirror of :func:`_q_image_mse_neardup`:
+    re-derive the byte stream per POSITION (0..191) including the
+    planted-dup perturbation, the integer aHash + block LSH + capped
+    pairs (same CTEs as the aHash oracle), then join the two byte
+    streams of each candidate pair on position and keep pairs with
+    sse * 10^(p/10) <= 255^2 * n_values — all int64 arithmetic."""
+    from pkd_tree_ray.hashing import sql_splitmix64
+    from pkd_tree_ray.pairjoin import sql_capped_pairs_ctes
+
+    scale = 10 ** (int(psnr_db) // 10)
+    qv = sql_splitmix64("ids.i", 55)
+    wv = sql_splitmix64("imgs.base * 1000 + wj.j", 49)
+    shifts = ", ".join(f"({kk}, {1 << (8 * kk)})" for kk in range(8))
+    pw_rows = ", ".join(f"({p}, CAST({1 << p} AS HUGEINT))" for p in range(64))
+    dv_rows = ", ".join(
+        f"({bi}, CAST({1 << (16 * bi)} AS HUGEINT))" for bi in range(4)
+    )
+    de = int(dup_every)
+    return f"""
+WITH {_image_ids_ctes()},
+imgs AS (
+  SELECT ids.i AS i,
+         CASE WHEN ids.i > 0 AND ids.i % {de} = {de - 1}
+              THEN ids.i - 1 ELSE ids.i END AS base,
+         CASE WHEN ids.i > 0 AND ids.i % {de} = {de - 1}
+              THEN CAST(({qv}) % 192 AS BIGINT) ELSE -1 END AS q
+  FROM ids
+),
+words AS (
+  SELECT imgs.i AS img, imgs.q AS q, wj.j AS j, {wv} AS wvv
+  FROM imgs CROSS JOIN range(0, 24) wj(j)
+),
+bytes_v AS (
+  SELECT img, 8 * j + bk.k AS pos,
+         CASE WHEN 8 * j + bk.k = q
+              THEN CASE WHEN (wvv // bk.dv) % 256 >= 128
+                        THEN (wvv // bk.dv) % 256 - 128
+                        ELSE (wvv // bk.dv) % 256 + 128 END
+              ELSE (wvv // bk.dv) % 256 END AS v
+  FROM words CROSS JOIN (VALUES {shifts}) AS bk(k, dv)
+),
+gray AS (SELECT img, pos // 3 AS px, sum(v) AS g FROM bytes_v GROUP BY img, pos // 3),
+tot AS (SELECT img, sum(g) AS t FROM gray GROUP BY img),
+ah AS (
+  SELECT gray.img AS img_id,
+         sum(CASE WHEN gray.g * 64 > tot.t THEN pw.w
+                  ELSE CAST(0 AS HUGEINT) END) AS hu
+  FROM gray JOIN tot USING (img)
+       JOIN (VALUES {pw_rows}) pw(px, w) ON pw.px = gray.px
+  GROUP BY gray.img
+),
+blocks AS (
+  SELECT dv.bi AS block_id,
+         CAST((ah.hu // dv.d) % 65536 AS BIGINT) AS block_val,
+         ah.img_id
+  FROM ah CROSS JOIN (VALUES {dv_rows}) dv(bi, d)
+),
+{sql_capped_pairs_ctes('blocks', ('block_id', 'block_val'), 'img_id', cap)},
+sse_t AS (
+  SELECT c.a AS img_a, c.b AS img_b,
+         CAST(sum((ba.v - bb.v) * (ba.v - bb.v)) AS BIGINT) AS sse,
+         count(*) AS nv
+  FROM cand c
+  JOIN bytes_v ba ON ba.img = c.a
+  JOIN bytes_v bb ON bb.img = c.b AND bb.pos = ba.pos
+  GROUP BY c.a, c.b
+)
+SELECT img_a, img_b, sse FROM sse_t
+WHERE sse * {scale} <= 65025 * nv
+ORDER BY img_a, img_b
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from pkd_tree_ray.clustering import sql_kmeans_assign, sql_semdedup
     from pkd_tree_ray.packing import sql_pack_sequences
@@ -1674,6 +1765,7 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
         "image_knn": _image_knn_sql(10),
         "image_decode_stats": _image_decode_stats_sql(),
         "image_ahash_neardup": _image_ahash_neardup_sql(max_hamming=3, cap=64),
+        "image_mse_neardup": _image_mse_neardup_sql(cap=64, dup_every=16, psnr_db=20),
         "sample_per_lang": sql_sample_per_key(
             "documents", "lang", "doc_id", 20, seed=7,
             cols="lang, doc_id, source",

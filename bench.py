@@ -475,6 +475,16 @@ def run_suite() -> dict:
                 imgs_dup, max_hamming=3, concurrency=(1, NUM_CPUS)
             ).count(),
         )
+        # pixel-exact near-dup: same blocking, decoded-pixel integer-SSE
+        # verify (the north-rule PSNR invariant as an operator)
+        from pkd_tree_ray.multimodal import image_mse_neardup
+
+        timed(
+            "image_mse_neardup",
+            lambda: image_mse_neardup(
+                imgs_dup, min_psnr_db=20, concurrency=(1, NUM_CPUS)
+            ).count(),
+        )
 
     total = round(sum(timings.values()), 4)
     knn_qps = round(3 * len(qx) / (timings["knn_k1"] + timings["knn_k10"] + timings["knn_k100"]), 1)

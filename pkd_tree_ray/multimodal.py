@@ -223,3 +223,137 @@ def resize_images(images_ds, out_w: int, out_h: int, concurrency=(1, 8)):
         batch_size=MM_BATCH,
         concurrency=concurrency,
     )
+
+
+class ImageAHashPixels:
+    """Actor: PNG bytes -> (img_id:int64, ahash:int64, px:list<int64>).
+
+    ONE decode per image feeds BOTH the LSH blocking signature and the
+    exact pixel payload (the flat RGB byte stream) — the pixel-exact
+    near-dup pipeline never decodes twice."""
+
+    def __init__(self) -> None:
+        self.decoders = {"png": decode_png_rgb}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+        )
+        n = batch.num_rows
+        hashes = np.empty(n, dtype=np.int64)
+        flats = []
+        fmts = batch["fmt"].to_pylist()
+        data = batch["bytes"].to_pylist()
+        for i in range(n):
+            dec = self.decoders.get(fmts[i])
+            if dec is None:
+                raise NotImplementedError(
+                    f"decoder for format {fmts[i]!r} not available"
+                )
+            px = dec(data[i])
+            hashes[i] = ahash64(px)
+            flats.append(px.reshape(-1).astype(np.int64))
+        if flats:
+            vals = np.concatenate(flats)
+            offs = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum([len(f) for f in flats], out=offs[1:])
+        else:
+            vals = np.zeros(0, np.int64)
+            offs = np.zeros(1, np.int32)
+        return pa.table(
+            {
+                "img_id": ids,
+                "ahash": pa.array(hashes, pa.int64()),
+                "px": pa.ListArray.from_arrays(pa.array(offs), pa.array(vals)),
+            }
+        )
+
+
+def image_mse_neardup(
+    images_ds, min_psnr_db: int = 40, cap: int = 64, concurrency=(1, 8)
+):
+    """-> Dataset (img_a, img_b, sse): image pairs whose decoded pixels
+    match at PSNR >= ``min_psnr_db``, verified on the EXACT integer
+    sum-of-squared-errors — the north-rule per-row invariant
+    (decoded-pixel PSNR) promoted to a first-class dedup operator.
+
+    PSNR >= p dB  <=>  sse * 10^(p/10) <= 255^2 * n_values, which is
+    pure int64 arithmetic when p is a multiple of 10 (enforced) — so
+    the whole pipeline, pixels included, oracles bit-exactly in SQL
+    over the generated corpus.
+
+    100-TB shape: one actor-pool decode emits (ahash, flat byte
+    payload) per image; blocking is the SAME pigeonhole 16-bit aHash
+    block-LSH as :func:`image_ahash_neardup` (recall contract: a
+    qualifying pair must share at least one aHash block — pixel-near
+    images do, asserted on planted duplicates in pytest); the capped
+    candidate pairs then take ONE groupby payload-attach + a
+    vectorized SSE kernel (`np.add.reduceat` over the flat diffs).
+    Full images transit the exchange only for candidate pairs, never
+    for the corpus at large.
+    """
+    if int(min_psnr_db) != min_psnr_db or int(min_psnr_db) % 10:
+        raise ValueError(
+            "min_psnr_db must be a multiple of 10 for the integer-exact threshold"
+        )
+    scale = 10 ** (int(min_psnr_db) // 10)
+
+    from pkd_tree_ray.pairjoin import list_flat, pairwise_join_verify
+    from pkd_tree_ray.text import coalesce_sigs, hamming64_candidates
+
+    tbl = coalesce_sigs(
+        images_ds.map_batches(
+            ImageAHashPixels,
+            batch_format="pyarrow",
+            batch_size=MM_BATCH,
+            concurrency=concurrency,
+        ).materialize(),
+        rows_per_block=100_000,  # ~1.6 KB/row with the pixel payload
+    )
+    sigs = tbl.select_columns(["img_id", "ahash"])
+    cand = hamming64_candidates(sigs, "img_id", "ahash", "img_a", "img_b", cap)
+    payload = tbl.select_columns(["img_id", "px"])
+
+    def verify_fn(a: np.ndarray, b: np.ndarray):
+        if len(a) != len(b):
+            return None  # PSNR undefined across differing dimensions
+        d = a.astype(np.int64) - b.astype(np.int64)
+        sse = int((d * d).sum())
+        return sse if sse * scale <= 65025 * len(a) else None
+
+    def verify_batch_fn(col_a, col_b):
+        # list_flat -> (flat values, owner row index per value)
+        va, ia = list_flat(col_a)
+        vb, ib = list_flat(col_b)
+        n = len(col_a)
+        vals = np.zeros(n, np.int64)
+        keep = np.zeros(n, bool)
+        if len(va) == len(vb) and np.array_equal(ia, ib):
+            d = va.astype(np.int64) - vb.astype(np.int64)
+            np.add.at(vals, ia, d * d)
+            widths = np.bincount(ia, minlength=n).astype(np.int64)
+            keep[:] = (widths > 0) & (vals * scale <= 65025 * widths)
+        else:  # mixed image sizes in one batch: the scalar path
+            for i in range(n):
+                v = verify_fn(
+                    np.asarray(col_a[i].as_py()), np.asarray(col_b[i].as_py())
+                )
+                if v is not None:
+                    vals[i] = v
+                    keep[i] = True
+        return vals, keep
+
+    return pairwise_join_verify(
+        payload,
+        cand,
+        "img_id",
+        "img_a",
+        "img_b",
+        "px",
+        pa.int64(),
+        verify_fn,
+        "sse",
+        verify_batch_fn=verify_batch_fn,
+    )

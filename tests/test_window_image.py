@@ -200,3 +200,67 @@ class TestImageAHashNearDup:
         assert got <= planted
         assert len(got) >= 0.9 * len(planted)
         assert (out["hamming"] <= 3).all()
+
+
+class TestImageMseNearDup:
+    def test_planted_pairs_and_exact_sse(self, ray_session):
+        """20 dB keeps the planted high-bit-flip dups (sse = 128^2);
+        40 dB (the north-rule invariant) rejects them — the threshold
+        is exact integer arithmetic, not a float comparison."""
+        from pkd_tree_ray.fixtures import image_table_dataset
+        from pkd_tree_ray.multimodal import image_mse_neardup
+
+        n = 320
+        imgs = image_table_dataset(n, dup_every=16)
+        out = (
+            image_mse_neardup(imgs, min_psnr_db=20)
+            .to_pandas()
+            .sort_values(["img_a", "img_b"])
+            .reset_index(drop=True)
+        )
+        want = [(i - 1, i) for i in range(1, n) if i % 16 == 15]
+        assert list(zip(out["img_a"], out["img_b"])) == want
+        assert (out["sse"] == 128 * 128).all()
+        assert image_mse_neardup(imgs, min_psnr_db=40).count() == 0
+
+    def test_exact_duplicates_pass_40db(self, ray_session):
+        """Byte-identical images have sse = 0 and survive ANY PSNR
+        threshold (0/0 convention: 'infinite' PSNR)."""
+        import ray.data as rd
+
+        from pkd_tree_ray.fixtures import encode_png_rgb, image_pixels
+        from pkd_tree_ray.multimodal import image_mse_neardup
+
+        rows = []
+        for i in range(40):
+            base = i - 1 if i % 8 == 7 and i > 0 else i  # every 8th = copy
+            px = image_pixels(base)
+            rows.append(
+                {
+                    "image_id": f"img{i}",
+                    "bytes": encode_png_rgb(px),
+                    "w": 8,
+                    "h": 8,
+                    "fmt": "png",
+                    "caption": f"c{i}",
+                    "phash": 0,
+                }
+            )
+        imgs = rd.from_pandas(__import__("pandas").DataFrame(rows))
+        out = (
+            image_mse_neardup(imgs, min_psnr_db=40)
+            .to_pandas()
+            .sort_values(["img_a", "img_b"])
+            .reset_index(drop=True)
+        )
+        want = [(i - 1, i) for i in range(1, 40) if i % 8 == 7]
+        assert list(zip(out["img_a"], out["img_b"])) == want
+        assert (out["sse"] == 0).all()
+
+    def test_psnr_threshold_must_be_decade(self):
+        from pkd_tree_ray.multimodal import image_mse_neardup
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="multiple of 10"):
+            image_mse_neardup(None, min_psnr_db=35)
