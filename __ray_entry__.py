@@ -686,6 +686,15 @@ def _q_broadcast_join(sf_dir: str):
     return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
 
 
+def _q_curate_corpus(sf_dir: str):
+    """Composite pipeline: integer quality gate -> exact dedup of the
+    survivors (one read, one hash-only shuffle)."""
+    from pkd_tree_ray.text import curate_corpus
+
+    out = curate_corpus(_docs(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_topn_per_group(sf_dir: str):
     from pkd_tree_ray.ranking import topn_per_group
 
@@ -1159,6 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_join": _q_radius_join,
         "window_range_count": _q_window_range_count,
         "exact_dedup": _q_exact_dedup,
+        "curate_corpus": _q_curate_corpus,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
         "classifier_scores": _q_classifier_scores,
@@ -1607,6 +1617,7 @@ def oracle_sql() -> dict[str, str]:
         sql_redact_pii,
         sql_simhash,
         sql_simhash_neardup,
+        sql_curate_corpus,
         sql_tfidf_topk,
         sql_vocab_topk,
     )
@@ -1705,6 +1716,7 @@ WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
 SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
 FROM documents GROUP BY text
 """,
+        "curate_corpus": sql_curate_corpus() + " ORDER BY doc_id",
         "token_stats": r"""
 SELECT doc_id,
   len(regexp_extract_all(text, '\S+')) AS n_tokens,

@@ -1673,3 +1673,68 @@ def sql_redact_pii(docs_sql: str = "SELECT doc_id, text FROM documents") -> str:
         + ",\n".join(ctes)
         + f"\nSELECT doc_id, {names}, t{last} AS text_redacted FROM s{last}"
     )
+
+
+# ----------------------------------------------------------------------
+# composite curation pipeline: quality gate -> exact dedup
+
+
+class _QualityGate(QualityScore):
+    """Actor: drop rows below the integer quality thresholds, keeping
+    (doc_id, text) — the same permille math as :class:`QualityScore`,
+    applied as a filter instead of emitted as scores."""
+
+    def __init__(self, min_stop: int, min_uniq: int):
+        super().__init__()
+        self.min_stop = int(min_stop)
+        self.min_uniq = int(min_uniq)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        q = super().__call__(batch)
+        keep = (
+            (q["stop_permille"] >= self.min_stop)
+            & (q["uniq_permille"] >= self.min_uniq)
+        ).to_numpy()
+        return batch.loc[keep, ["doc_id", "text"]]
+
+
+def curate_corpus(docs, min_stop_permille: int = 60, min_uniq_permille: int = 300):
+    """Composite curation pipeline — the shape a real training-data
+    run takes: integer quality gate (stopword + uniqueness permille)
+    -> exact 128-bit dedup of the survivors -> (doc_id, dup_cnt), one
+    row per distinct surviving text.
+
+    100-TB shape: the gate is a pure actor-pool map; the streaming
+    executor fuses/pipes it straight into the dedup's hash pass, so
+    the corpus is read ONCE and only (hash lanes, doc_id) transit the
+    single shuffle — composition adds no extra pass and no extra
+    exchange over :func:`exact_dedup` alone."""
+    gated = docs.select_columns(["doc_id", "text"]).map_batches(
+        _QualityGate,
+        fn_constructor_kwargs={
+            "min_stop": min_stop_permille,
+            "min_uniq": min_uniq_permille,
+        },
+        batch_format="pandas",
+        concurrency=_pool_width(),
+    )
+    return exact_dedup(gated)
+
+
+def sql_curate_corpus(
+    min_stop_permille: int = 60, min_uniq_permille: int = 300
+) -> str:
+    """DuckDB SQL bit-exact vs :func:`curate_corpus`."""
+    stops = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return rf"""
+WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks
+           FROM documents),
+kept AS (
+  SELECT doc_id, text FROM t
+  WHERE (len(list_filter(toks, w -> w IN ({stops}))) * 1000)
+          // greatest(len(toks), 1) >= {int(min_stop_permille)}
+    AND (len(list_distinct(toks)) * 1000)
+          // greatest(len(toks), 1) >= {int(min_uniq_permille)}
+)
+SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt FROM kept GROUP BY text
+"""

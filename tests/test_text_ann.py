@@ -630,3 +630,48 @@ class TestAmplifiedFixtures:
         for j in (1, 2):
             d = np.abs(mats[j] - base)
             assert d.max() <= 0.05 + 1e-6 and d.max() > 0
+
+
+class TestCurateCorpus:
+    def test_gate_then_dedup_matches_brute(self, ray_session):
+        """Composite = filter(quality) then exact-dedup, verified
+        against a driver-side recomputation."""
+        import re
+
+        import pandas as pd
+        import ray.data as rd
+
+        from pkd_tree_ray.text import _STOPWORDS, curate_corpus
+
+        texts = (
+            ["the a and of to unique words here"] * 3  # high stop, dup x3
+            + ["the the the the"]  # high stop, LOW uniqueness
+            + ["alpha beta gamma delta"]  # zero stopwords
+            + ["the quick brown fox of a kind and more to come"] * 2
+        )
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        got = (
+            curate_corpus(rd.from_pandas(df), 60, 300)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+        tok = re.compile(r"\S+")
+        keep = []
+        for _, r in df.iterrows():
+            t = tok.findall(r.text)
+            n = max(len(t), 1)
+            sp = sum(w in _STOPWORDS for w in t) * 1000 // n
+            up = len(set(t)) * 1000 // n
+            if sp >= 60 and up >= 300:
+                keep.append(r)
+        kd = pd.DataFrame(keep)
+        want = (
+            kd.groupby("text")
+            .agg(doc_id=("doc_id", "min"), dup_cnt=("doc_id", "size"))
+            .reset_index(drop=True)
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got.astype(want.dtypes.to_dict()).equals(want)
