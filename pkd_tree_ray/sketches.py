@@ -247,7 +247,7 @@ def heavy_hitters(docs, k: int = 20, cap: int = MG_CAP):
     """
     import ray
 
-    from pkd_tree_ray.text import _pool_width, _table_sorted_cut
+    from pkd_tree_ray.text import _norm_term_cnt, _pool_width, _table_sorted_cut
 
     summary = (
         docs.select_columns(["text"])
@@ -262,8 +262,7 @@ def heavy_hitters(docs, k: int = 20, cap: int = MG_CAP):
     )
 
     def block_cut(t: pa.Table) -> pa.Table:
-        t = t.rename_columns(["term", "cnt"])
-        return _table_sorted_cut(t, cap)
+        return _table_sorted_cut(_norm_term_cnt(t), cap)
 
     parts = [pa.table({"term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})]
     parts += [
@@ -290,8 +289,7 @@ def heavy_hitters(docs, k: int = 20, cap: int = MG_CAP):
     )
 
     def final_cut(t: pa.Table) -> pa.Table:
-        t = t.rename_columns(["term", "cnt"])
-        return _table_sorted_cut(t, k)
+        return _table_sorted_cut(_norm_term_cnt(t), k)
 
     out = [pa.table({"term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})]
     out += [

@@ -280,10 +280,24 @@ def window_agg(events, width_s: int = 3600):
         .groupby(["event_type", "win"])
         .sum(["n_events", "sum_vx1000"])
     )
-    return agg.map_batches(
-        lambda t: t.rename_columns(["event_type", "win", "n_events", "sum_vx1000"]),
-        batch_format="pyarrow",
-    )
+    names = ["event_type", "win", "n_events", "sum_vx1000"]
+
+    def norm(t: pa.Table) -> pa.Table:
+        # Ray's streaming aggregate emits empty ZERO-COLUMN blocks at
+        # high parallelism; map them to the canonical empty schema
+        # instead of crashing the rename (same class as text._norm_term_cnt).
+        if t.num_rows == 0 or t.num_columns != len(names):
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "win": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_vx1000": pa.array([], pa.int64()),
+                }
+            )
+        return t.rename_columns(names)
+
+    return agg.map_batches(norm, batch_format="pyarrow")
 
 
 def sql_window_agg(width_s: int = 3600) -> str:

@@ -372,15 +372,45 @@ _PRIME = (1 << 61) - 1
 _ROLL_P = np.uint64(0x9E3779B97F4A7C15)
 
 
+#: bytes whose presence can make Unicode-whitespace splitting differ
+#: from RE2 ``\s+``: ASCII VT + the information separators U+001C..1F,
+#: plus the UTF-8 LEAD bytes of every >=U+0085 Unicode whitespace
+#: codepoint (C2: U+0085/U+00A0; E1: U+1680; E2: U+2000..200A, 2028,
+#: 2029, 202F, 205F; E3: U+3000).  Lead bytes 0xC2..0xE3 never occur
+#: as UTF-8 continuation bytes, so the detector has no false negatives.
+_WS_DIVERGENT = np.zeros(256, dtype=bool)
+_WS_DIVERGENT[[0x0B, 0x1C, 0x1D, 0x1E, 0x1F, 0xC2, 0xE1, 0xE2, 0xE3]] = True
+
+
+def _ws_re2_safe(arr: pa.Array) -> bool:
+    """True when ``utf8_split_whitespace`` on ``arr`` is guaranteed to
+    equal an RE2 ``\\s+`` split — one vectorized byte scan of the
+    value buffer, no per-string work."""
+    bufs = arr.buffers()
+    if len(arr) == 0 or bufs[2] is None:
+        return True
+    off = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset: arr.offset + len(arr) + 1
+    ]
+    raw = np.frombuffer(bufs[2], dtype=np.uint8)[off[0]: off[-1]]
+    return not _WS_DIVERGENT[raw].any()
+
+
 def tokenize_flat(texts) -> tuple[pa.Array, np.ndarray]:
     """Whitespace tokenization of a whole batch in one Arrow C pass ->
     (flat token array, per-doc token counts).
 
-    ``pc.utf8_split_whitespace`` keeps empty strings at run edges;
-    they are dropped vectorized via the value-buffer offsets.  Token
-    semantics match ``re.findall(r'\\S+')`` for ASCII and ordinary
-    Unicode whitespace (the documents fixture and the RE2 oracle's
-    domain); only exotic control separators (U+001C..1F) differ."""
+    Token semantics are EXACTLY ``regexp_extract_all(text, '\\S+')``
+    under RE2 (DuckDB's regex engine, ``\\s`` = ``[\\t\\n\\f\\r ]``)
+    for every input: batches whose bytes cannot diverge take the
+    cheaper ``pc.utf8_split_whitespace`` path (one LUT byte-scan
+    proves safety); any batch containing VT / U+001C..1F / U+0085 /
+    NBSP-class codepoints — where Unicode whitespace is a STRICT
+    superset of RE2 ``\\s`` — is split with
+    ``pc.split_pattern_regex(r'\\s+')``, which is RE2 itself, so the
+    kernel and the SQL oracle can never disagree on tokenization.
+    Split edges keep empty strings; they are dropped vectorized via
+    the value-buffer offsets."""
     import pyarrow.compute as pc
 
     if isinstance(texts, pd.Series):
@@ -392,7 +422,12 @@ def tokenize_flat(texts) -> tuple[pa.Array, np.ndarray]:
         arr = pa.array(list(texts), pa.string())
     if arr.null_count:
         arr = arr.fill_null("")
-    sp = pc.utf8_split_whitespace(arr)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if _ws_re2_safe(arr):
+        sp = pc.utf8_split_whitespace(arr)
+    else:
+        sp = pc.split_pattern_regex(arr, pattern=r"\s+")
     if isinstance(sp, pa.ChunkedArray):
         sp = sp.combine_chunks()
     vals = sp.values if sp.offset == 0 else sp.flatten()
@@ -1318,6 +1353,25 @@ def _table_sorted_cut(t: pa.Table, k: int) -> pa.Table:
     return t.sort_by([("cnt", "descending"), ("term", "ascending")]).slice(0, k)
 
 
+def _empty_term_cnt() -> pa.Table:
+    return pa.table(
+        {"term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+    )
+
+
+def _norm_term_cnt(t: pa.Table) -> pa.Table:
+    """Normalize one ``groupby('term').sum(...)`` output block to the
+    canonical (term, cnt) schema.  At >=32-way parallelism Ray's
+    streaming aggregate emits empty ZERO-COLUMN blocks ("Operator
+    produced a RefBundle with a different schema ... new schema: .");
+    an unconditional ``rename_columns``/``select`` on those raises —
+    map them (and any block missing the key column) to the canonical
+    empty table instead."""
+    if t.num_rows == 0 or t.num_columns != 2 or "term" not in t.schema.names:
+        return _empty_term_cnt()
+    return t.rename_columns(["term", "cnt"])
+
+
 def vocab_topk(docs, k: int = 50):
     """Global top-``k`` most frequent whitespace tokens -> pa.Table
     (term, cnt), ordered (cnt DESC, term ASC).
@@ -1351,13 +1405,15 @@ def vocab_topk(docs, k: int = 50):
     )
 
     def block_cut(t: pa.Table) -> pa.Table:
-        t = t.rename_columns(["term", "cnt"])
-        return _table_sorted_cut(t, k)
+        return _table_sorted_cut(_norm_term_cnt(t), k)
 
     cand = agg.map_batches(block_cut, batch_format="pyarrow")
-    parts = [pa.table({"term": pa.array([], pa.string()),
-                       "cnt": pa.array([], pa.int64())})]
-    parts += [ray.get(r).select(["term", "cnt"]) for r in cand.to_arrow_refs()]
+    parts = [_empty_term_cnt()]
+    parts += [
+        t.select(["term", "cnt"])
+        for t in (ray.get(r) for r in cand.to_arrow_refs())
+        if "term" in t.schema.names and t.num_rows
+    ]
     return _table_sorted_cut(pa.concat_tables(parts), k)
 
 
@@ -1429,7 +1485,8 @@ def tfidf_topk(docs, k: int = 5):
         .sum("cnt")
     )
     df_tbl = pa.concat_tables(
-        [r.rename_columns(["term", "cnt"]) for r in ray.get(agg.to_arrow_refs())]
+        [_empty_term_cnt()]
+        + [_norm_term_cnt(r) for r in ray.get(agg.to_arrow_refs())]
     )
     terms = np.asarray(df_tbl["term"].to_pandas(), dtype=str)
     dfv = df_tbl["cnt"].to_numpy().astype(np.int64)

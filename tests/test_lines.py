@@ -144,6 +144,73 @@ class TestRepetitionScores:
         assert got["top_bigram_permille"].tolist() == [2000 // 7, 600, 0]
         assert got["n_bigrams"].tolist() == [7, 5, 0]
 
+    def test_exotic_whitespace_matches_duckdb(self, ray_session):
+        """Tokenization parity on codepoints where Unicode whitespace
+        and RE2 ``\\s`` DISAGREE (VT, U+001C..1F, NBSP, U+0085,
+        U+2028, U+3000): the kernel must split exactly like the
+        oracle's ``regexp_extract_all(t, '\\S+')`` — the r4 driver
+        hash-mismatch class."""
+        import duckdb
+
+        from pkd_tree_ray.lines import repetition_scores, sql_repetition_scores
+
+        texts = [
+            "a\x0bb a\x0bb c c",            # VT joins tokens under RE2
+            "x\x1cy x\x1cy",                # file separator
+            "n m n m end",        # NBSP
+            "pq pq",            # NEL
+            "i j k　l i j k　l",
+            "plain ascii repeated plain ascii repeated",
+            "\x1f\x1e \x1f\x1e",
+            "",
+        ]
+        df = pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+        got = (
+            repetition_scores(_ds(texts, ray_session))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", df)
+        want = (
+            con.execute(sql_repetition_scores())
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for col in got.columns:
+            assert got[col].astype("int64").tolist() == want[col].astype(
+                "int64"
+            ).tolist(), col
+
+    def test_tokenize_flat_re2_identity(self):
+        """tokenize_flat == DuckDB regexp_extract_all('\\S+') token by
+        token on divergence-prone inputs (slow path) AND pure-ASCII
+        inputs (fast path)."""
+        import duckdb
+
+        from pkd_tree_ray.text import tokenize_flat
+
+        con = duckdb.connect()
+        batches = [
+            ["a\x0bb", "a\x1cb", "n m", "pq", "i j",
+             "k　l", " \x1f ", "", "mix \x0b end"],
+            ["plain", "two words", "", " x y "],
+        ]
+        for batch in batches:
+            flat, counts = tokenize_flat(pa.array(batch, pa.string()))
+            toks = flat.to_pylist()
+            pos = 0
+            for s, c in zip(batch, counts):
+                want = con.execute(
+                    "select regexp_extract_all(?, ?)", [s, r"\S+"]
+                ).fetchone()[0]
+                assert toks[pos: pos + int(c)] == want, repr(s)
+                pos += int(c)
+
     def test_matches_duckdb(self, ray_session):
         import duckdb
 
