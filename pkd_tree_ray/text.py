@@ -1443,7 +1443,7 @@ def _doc_term_counts(t: pa.Table):
     return uk // nd, uk % nd, tf.astype(np.int64), codes.dictionary
 
 
-def tfidf_topk(docs, k: int = 5):
+def tfidf_topk(docs, k: int = 5, vocab_cap: int = 4_000_000, n_buckets: int = 64):
     """Top-``k`` TF-IDF terms per document, integer-exact:
     ``idf_x1000 = (N * 1000) // df``, ``score = tf * idf_x1000``,
     ranked (score DESC, term ASC) within each doc, 1-based.
@@ -1453,13 +1453,23 @@ def tfidf_topk(docs, k: int = 5):
     100-TB shape: pass 1 folds df AND the corpus doc count into ONE
     ``groupby(term)`` shuffle — per-batch distinct-(doc, term)
     partials plus a sentinel ''-row carrying the batch's doc count.
-    The resulting (term -> idf) table is broadcast once via
-    ``ray.put`` (vocabulary grows sublinearly with corpus size; at
-    10^8 terms it is a few GB — the documented small-side assumption;
-    a corpus that breaks it needs a term-hash shuffle join instead).
-    Pass 2 streams the documents once: dictionary-encoded per-doc term
-    counts, a searchsorted IDF lookup, and a vectorized per-doc top-k
-    cut — each doc is one row, so TF and its top-k never shuffle.
+    Then two regimes, identical results:
+
+    - vocabulary <= ``vocab_cap``: the (term -> idf) table is pulled
+      to the driver and broadcast once via ``ray.put``; pass 2
+      streams the documents once — dictionary-encoded per-doc term
+      counts, a searchsorted IDF lookup, a vectorized per-doc top-k
+      cut.  Zero extra shuffles.
+    - vocabulary > ``vocab_cap`` (web-scale: ~10^9 distinct terms
+      would crush driver memory): TERM-HASH SHUFFLE JOIN fallback —
+      per-(doc, term) tf partials and the idf rows are both bucketed
+      by the 128-bit term hash into ``n_buckets`` groups, one
+      ``groupby(bucket)`` co-locates them, a vectorized searchsorted
+      attach scores each pair, and a second ``groupby`` on the
+      doc-id bucket performs the per-doc top-k cut.  Partitioning
+      assumption: one term-hash bucket (vocab/n_buckets idf rows +
+      its share of doc-term pairs) fits a worker's heap — size
+      ``n_buckets`` to the cluster.
     """
     import ray
 
@@ -1483,7 +1493,10 @@ def tfidf_topk(docs, k: int = 5):
         .map_batches(df_partial, batch_format="pyarrow")
         .groupby("term")
         .sum("cnt")
-    )
+    ).materialize()
+    n_vocab = max(0, agg.count() - 1)  # minus the aggregated sentinel row
+    if n_vocab > vocab_cap:
+        return _tfidf_topk_shuffle(docs, agg, k, n_buckets)
     df_tbl = pa.concat_tables(
         [_empty_term_cnt()]
         + [_norm_term_cnt(r) for r in ray.get(agg.to_arrow_refs())]
@@ -1531,6 +1544,143 @@ def tfidf_topk(docs, k: int = 5):
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
         tf_topk, batch_format="pyarrow"
+    )
+
+
+def _tfidf_topk_shuffle(docs, agg, k: int, n_buckets: int):
+    """Large-vocabulary arm of :func:`tfidf_topk`: term-hash-bucketed
+    shuffle join of per-(doc, term) tf partials against the idf rows,
+    then a doc-bucketed per-doc top-k cut.  Bit-identical to the
+    broadcast arm; two ``groupby`` exchanges instead of a driver
+    materialization — the full vocabulary never leaves the cluster."""
+    import pyarrow.compute as pc
+
+    # n_docs rides the aggregated sentinel row — one tiny driver read.
+    def sent_only(t: pa.Table) -> pa.Table:
+        t = _norm_term_cnt(t)
+        return t.filter(pc.equal(t["term"], _DF_SENTINEL))
+
+    sent = agg.map_batches(sent_only, batch_format="pyarrow").take_all()
+    n_docs = int(sent[0]["cnt"]) if sent else 0
+
+    def _buckets_of(terms: pa.Array) -> np.ndarray:
+        lo, _ = _text_hash128(terms)
+        return (lo.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+
+    def idf_rows(t: pa.Table) -> pa.Table:
+        t = _norm_term_cnt(t)
+        t = t.filter(pc.not_equal(t["term"], _DF_SENTINEL))
+        terms = t["term"].combine_chunks()
+        dfv = t["cnt"].to_numpy().astype(np.int64)
+        z = np.zeros(len(t), np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(_buckets_of(terms)),
+                "side": pa.array(np.ones(len(t), np.int8)),
+                "doc_id": pa.array(z - 1),
+                "term": terms,
+                "tf": pa.array(z),
+                "val": pa.array((n_docs * 1000) // np.maximum(dfv, 1)),
+            }
+        )
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        d_i, c_i, tf, dictionary = _doc_term_counts(t)
+        if not len(d_i):
+            z = pa.array([], pa.int64())
+            return pa.table(
+                {"bucket": z, "side": pa.array([], pa.int8()),
+                 "doc_id": z, "term": pa.array([], pa.string()),
+                 "tf": z, "val": z}
+            )
+        doc_ids = t["doc_id"].to_numpy()
+        buckets = _buckets_of(dictionary)[c_i]
+        return pa.table(
+            {
+                "bucket": pa.array(buckets),
+                "side": pa.array(np.zeros(len(d_i), np.int8)),
+                "doc_id": pa.array(doc_ids[d_i], pa.int64()),
+                "term": dictionary.take(pa.array(c_i)),
+                "tf": pa.array(tf),
+                "val": pa.array(np.zeros(len(d_i), np.int64)),
+            }
+        )
+
+    pairs = docs.select_columns(["doc_id", "text"]).map_batches(
+        tf_rows, batch_format="pyarrow"
+    )
+    idf = agg.map_batches(idf_rows, batch_format="pyarrow")
+
+    def attach(g: pa.Table) -> pa.Table:
+        is_idf = g["side"].to_numpy(zero_copy_only=False) == 1
+        terms = g["term"].combine_chunks()
+        term_np = np.asarray(terms.to_pandas(), dtype=str)
+        it = term_np[is_idf]
+        iv = g["val"].to_numpy()[is_idf]
+        order = np.argsort(it, kind="stable")
+        it_s, iv_s = it[order], iv[order]
+        doc_sel = ~is_idf
+        dt = term_np[doc_sel]
+        if not len(dt):
+            z = pa.array([], pa.int64())
+            return pa.table(
+                {"doc_id": z, "term": pa.array([], pa.string()),
+                 "tf": z, "score": z}
+            )
+        # every doc term exists on the idf side (df came from the same
+        # corpus pass), so the searchsorted lookup always hits
+        pos = np.searchsorted(it_s, dt)
+        tf = g["tf"].to_numpy()[doc_sel]
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy()[doc_sel], pa.int64()),
+                "term": pa.array(dt, pa.string()),
+                "tf": pa.array(tf),
+                "score": pa.array(tf * iv_s[pos]),
+            }
+        )
+
+    scored = pairs.union(idf).groupby("bucket").map_groups(
+        attach, batch_format="pyarrow"
+    )
+
+    def add_dbucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return pa.table(
+                {"dbucket": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "term": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.int64())}
+            )
+        db = t["doc_id"].to_numpy() % n_buckets
+        return t.add_column(0, "dbucket", pa.array(db, pa.int64()))
+
+    def cut(g: pa.Table) -> pa.Table:
+        d_i = g["doc_id"].to_numpy()
+        term_np = np.asarray(g["term"].combine_chunks().to_pandas(), dtype=str)
+        tf = g["tf"].to_numpy()
+        score = g["score"].to_numpy()
+        srt = np.lexsort((term_np, -score, d_i))
+        d_s = d_i[srt]
+        first = np.searchsorted(d_s, d_s, side="left")
+        rank = np.arange(len(d_s), dtype=np.int64) - first
+        keep = rank < k
+        sel = srt[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(d_s[keep], pa.int64()),
+                "term": pa.array(term_np[sel], pa.string()),
+                "tf": pa.array(tf[sel], pa.int64()),
+                "score": pa.array(score[sel], pa.int64()),
+                "rank": pa.array(rank[keep] + 1, pa.int64()),
+            }
+        )
+
+    return (
+        scored.map_batches(add_dbucket, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(cut, batch_format="pyarrow")
     )
 
 

@@ -108,6 +108,33 @@ class TestVocab:
         assert set(got["doc_id"]) == {1}
         assert len(got) == 2  # terms a, b
 
+    def test_tfidf_shuffle_fallback_identical(self, ray_session):
+        """Amplified-vocab path: vocab_cap=8 forces the term-hash
+        shuffle-join arm; it must be bit-identical to the broadcast
+        arm on the same corpus (including ties and rank order)."""
+        from pkd_tree_ray.text import tfidf_topk
+
+        rng = np.random.default_rng(13)
+        vocab = [f"tok{i:03d}" for i in range(80)]
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(0, 25)))
+            for _ in range(70)
+        ] + ["", "   ", "tok000 tok000 tok001"]
+
+        def run(**kw):
+            return (
+                tfidf_topk(_docs_ds(texts), k=4, **kw)
+                .to_pandas()
+                .sort_values(["doc_id", "rank"])
+                .reset_index(drop=True)
+            )
+
+        broadcast = run()                       # vocab 80 << default cap
+        shuffled = run(vocab_cap=8, n_buckets=5)
+        pd.testing.assert_frame_equal(
+            shuffled[broadcast.columns.tolist()], broadcast
+        )
+
 
 class TestAsofJoin:
     def test_matches_bruteforce(self, ray_session):
