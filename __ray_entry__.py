@@ -1134,6 +1134,255 @@ def _q_image_mse_neardup(sf_dir: str):
     return out.sort_values(["img_a", "img_b"]).reset_index(drop=True)
 
 
+# ----------------------------------------------------------------------
+# variant folding: the driver's correctness pass populates a bounded
+# number of registry rows (50 in r4), so redundant per-variant entries
+# are folded into single multi-variant queries — each variant's result
+# is tagged with a discriminator column and unioned, and the oracle SQL
+# is the matching UNION ALL.  Every operator family now fits inside the
+# driver's window; nothing loses oracle coverage.
+# ----------------------------------------------------------------------
+
+def _to_table(obj) -> pa.Table:
+    """Materialize a query result (pa.Table / pandas / Dataset) as one
+    Arrow table, preserving Arrow dtypes.  Folded variants are
+    driver-side-small by construction (counts, top-k, capped pairs)."""
+    import pandas as pd
+
+    import ray
+
+    if isinstance(obj, pa.Table):
+        return obj
+    if isinstance(obj, pd.DataFrame):
+        return pa.Table.from_pandas(obj, preserve_index=False)
+    tabs = [t for t in ray.get(obj.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tabs, promote_options="default")
+
+
+def _tag_cols(t: pa.Table, tag_col: str, tag, cols, casts=None) -> pa.Table:
+    """(tag, *cols) projection of ``t`` with optional per-column casts."""
+    tag_arr = (
+        pa.array(np.full(t.num_rows, tag, dtype=np.int64))
+        if isinstance(tag, int)
+        else pa.array([tag] * t.num_rows, pa.string())
+    )
+    out = {tag_col: tag_arr}
+    for spec in cols:
+        name, src = (spec, spec) if isinstance(spec, str) else spec
+        col = t[src]
+        if casts and name in casts:
+            col = pc.cast(col, casts[name])
+        out[name] = col
+    return pa.table(out)
+
+
+def _q_knn_multi(sf_dir: str) -> pa.Table:
+    """kNN k in {1, 10, 100} over ONE shared base index, k-tagged."""
+    return pa.concat_tables(
+        _tag_cols(_to_table(_q_knn(sf_dir, k)), "k", k,
+                  ["qid", "rank", "neighbor", "dist2"])
+        for k in (1, 10, 100)
+    )
+
+
+def _q_knn_k10_variants(sf_dir: str) -> pa.Table:
+    """k=10 kNN across the dimension/coordinate-type variants (d3,
+    grid-quantized float, native IEEE float); dist2 cast to double so
+    the integer variants union with the float-native one (dist2 <=
+    3e12 << 2^53, exact)."""
+    parts = [
+        ("d3", _q_knn_d3(sf_dir, 10)),
+        ("float", _q_knn_float(sf_dir, 10)),
+        ("float_native", _q_knn_float_native(sf_dir, 10)),
+    ]
+    return pa.concat_tables(
+        _tag_cols(_to_table(obj), "variant", tag,
+                  ["qid", "rank", "neighbor", "dist2"],
+                  casts={"dist2": pa.float64()})
+        for tag, obj in parts
+    )
+
+
+def _q_range_count_variants(sf_dir: str) -> pa.Table:
+    parts = [
+        ("d3", _q_range_count_d3(sf_dir)),
+        ("float", _q_range_count_float(sf_dir)),
+        ("float_native", _q_range_count_float_native(sf_dir)),
+    ]
+    return pa.concat_tables(
+        _tag_cols(_to_table(obj), "variant", tag, ["qid", "cnt"])
+        for tag, obj in parts
+    )
+
+
+def _q_circle_count_multi(sf_dir: str) -> pa.Table:
+    parts = [("d2", _q_circle_count(sf_dir)), ("d3", _q_circle_count_d3(sf_dir))]
+    return pa.concat_tables(
+        _tag_cols(_to_table(obj), "variant", tag, ["qid", "cnt"])
+        for tag, obj in parts
+    )
+
+
+def _q_update_range_count(sf_dir: str) -> pa.Table:
+    """The three update lifecycles (batch insert; strict batch delete;
+    delete past the compaction threshold) verified by the same
+    range-count workload, phase-tagged."""
+    parts = [
+        ("insert", _q_insert_range_count(sf_dir)),
+        ("delete", _q_delete_range_count(sf_dir)),
+        ("compact", _q_delete_compact_range_count(sf_dir)),
+    ]
+    return pa.concat_tables(
+        _tag_cols(_to_table(obj), "phase", tag, ["qid", "cnt"])
+        for tag, obj in parts
+    )
+
+
+def _q_pip_count_multi(sf_dir: str) -> pa.Table:
+    parts = [
+        ("convex", _q_pip_count(sf_dir)),
+        ("concave", _q_pip_concave_count(sf_dir)),
+    ]
+    return pa.concat_tables(
+        _tag_cols(_to_table(obj), "shape", tag, ["poly_id", "cnt"])
+        for tag, obj in parts
+    )
+
+
+def _q_membership_join(sf_dir: str) -> pa.Table:
+    parts = [
+        ("semi", _q_semi_join(sf_dir)),
+        ("anti", _q_semi_join(sf_dir, anti=True)),
+    ]
+    return pa.concat_tables(
+        _tag_cols(_to_table(obj), "mode", tag, ["l_orderkey", "l_linenumber"])
+        for tag, obj in parts
+    )
+
+
+def _q_text_neardup(sf_dir: str) -> pa.Table:
+    """The three text near-dup detectors, method-tagged; ``metric`` is
+    each method's own integer score (jaccard permille / Hamming)."""
+    parts = [
+        ("minhash", _q_minhash_neardup(sf_dir), "jaccard_permille"),
+        ("simhash", _q_simhash_neardup(sf_dir), "hamming"),
+        ("ngram", _q_ngram_jaccard_neardup(sf_dir), "jaccard_permille"),
+    ]
+    return pa.concat_tables(
+        _tag_cols(_to_table(obj), "method", tag,
+                  ["doc_a", "doc_b", ("metric", src)])
+        for tag, obj, src in parts
+    )
+
+
+def _q_image_neardup(sf_dir: str) -> pa.Table:
+    parts = [
+        ("ahash", _q_image_ahash_neardup(sf_dir), "hamming"),
+        ("mse", _q_image_mse_neardup(sf_dir), "sse"),
+    ]
+    return pa.concat_tables(
+        _tag_cols(_to_table(obj), "method", tag,
+                  ["img_a", "img_b", ("metric", src)])
+        for tag, obj, src in parts
+    )
+
+
+def _q_ann_exact(sf_dir: str) -> pa.Table:
+    """Brute-force exact top-5 AND exhaustive-probe IVF (which must
+    reproduce it bit-for-bit), method-tagged — one row set proves the
+    scan kernel, the other that IVF partition->scan->merge is
+    lossless."""
+    parts = [
+        ("brute", _q_ann_l2q(sf_dir)),
+        ("ivf_exact", _q_ann_ivf_exact(sf_dir)),
+    ]
+    return pa.concat_tables(
+        _tag_cols(_to_table(obj), "method", tag,
+                  ["qid", "rank", "neighbor", "score"])
+        for tag, obj in parts
+    )
+
+
+def _q_doc_signatures(sf_dir: str) -> pa.Table:
+    """Per-doc signature kit in long form (doc_id, kind, sig):
+    simhash + its 16-bit LSH block and the rolling-window
+    fingerprint."""
+    sh = _to_table(_q_simhash(sf_dir))
+    fp = _to_table(_q_fingerprints(sf_dir))
+    return pa.concat_tables(
+        [
+            _tag_cols(sh, "kind", "simhash", ["doc_id", ("sig", "simhash")]),
+            _tag_cols(sh, "kind", "bucket16", ["doc_id", ("sig", "bucket16")]),
+            _tag_cols(fp, "kind", "fingerprint", ["doc_id", ("sig", "fingerprint")]),
+        ]
+    )
+
+
+def _q_doc_profile(sf_dir: str):
+    """Per-doc scalar profiling suite in long form (doc_id, metric,
+    value): token stats, quality heuristics, the linear classifier and
+    language-ID — four map-only pipelines unioned as Datasets (no
+    driver materialization; each stays a streaming actor-pool map)."""
+
+    def to_long(metrics, rename=None):
+        def f(t: pa.Table) -> pa.Table:
+            parts = []
+            for m in metrics:
+                out_name = (rename or {}).get(m, m)
+                col = t[m]
+                if not pa.types.is_string(col.type):
+                    col = pc.cast(col, pa.string())
+                parts.append(
+                    pa.table(
+                        {
+                            "doc_id": t["doc_id"],
+                            "metric": pa.array([out_name] * t.num_rows, pa.string()),
+                            "value": col,
+                        }
+                    )
+                )
+            return pa.concat_tables(parts)
+
+        return f
+
+    from pkd_tree_ray.text import classifier_scores, lang_id, quality_scores, token_stats
+
+    docs = _docs(sf_dir)
+    ds = (
+        token_stats(docs)
+        .map_batches(to_long(["n_tokens", "n_uniq", "n_alpha", "n_bpe"]),
+                     batch_format="pyarrow")
+        .union(
+            quality_scores(docs).map_batches(
+                to_long(["stop_permille", "uniq_permille"]),
+                batch_format="pyarrow",
+            ),
+            classifier_scores(docs).map_batches(
+                to_long(["n_tokens", "logit", "keep"],
+                        rename={"n_tokens": "cls_n_tokens"}),
+                batch_format="pyarrow",
+            ),
+            lang_id(docs).map_batches(
+                to_long(["pred_lang"]), batch_format="pyarrow"
+            ),
+        )
+    )
+    return ds
+
+
+def _q_quantile_suite(sf_dir: str) -> pa.Table:
+    """Exact distributed quantiles + the p90 percentile filter in one
+    (kind, id, value) long-form row set."""
+    q = _to_table(_q_quantiles(sf_dir))
+    f = _to_table(_q_percentile_filter(sf_dir))
+    return pa.concat_tables(
+        [
+            _tag_cols(q, "kind", "q", [("id", "q_permille"), "value"]),
+            _tag_cols(f, "kind", "doc", [("id", "doc_id"), ("value", "n_chars")]),
+        ]
+    )
+
+
 def entry() -> Any:
     """Flagship: build the spatial index over sf0.001 lineitem-derived
     points, run the k=10 kNN batch, return the result Dataset."""
@@ -1141,70 +1390,57 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """49 entries — every operator family inside the driver's 50-row
+    correctness window (r4 populated only the first 50 of 69, leaving
+    the ANN/image/temporal/sampling tail unchecked).  Redundant
+    per-variant entries are FOLDED into tagged multi-variant queries
+    (see the ``_q_*_variants`` / ``*_multi`` helpers); each fold keeps
+    full oracle coverage via a matching UNION ALL in
+    :func:`oracle_sql`."""
     return {
         "selfcheck": _q_selfcheck,
         "build_summary": _q_build_summary,
         "range_count": _q_range_count,
         "range_report": _q_range_report,
-        "circle_count": _q_circle_count,
-        "knn_k1": lambda sf: _q_knn(sf, 1),
-        "knn_k10": lambda sf: _q_knn(sf, 10),
-        "knn_k100": lambda sf: _q_knn(sf, 100),
-        "knn_k10_d3": lambda sf: _q_knn_d3(sf, 10),
-        "range_count_d3": _q_range_count_d3,
-        "circle_count_d3": _q_circle_count_d3,
-        "knn_k10_float": lambda sf: _q_knn_float(sf, 10),
-        "range_count_float": _q_range_count_float,
-        "knn_k10_float_native": lambda sf: _q_knn_float_native(sf, 10),
-        "range_count_float_native": _q_range_count_float_native,
-        "insert_range_count": _q_insert_range_count,
-        "delete_range_count": _q_delete_range_count,
-        "delete_compact_range_count": _q_delete_compact_range_count,
+        "circle_count": _q_circle_count_multi,
+        "knn_multi": _q_knn_multi,
+        "knn_k10_variants": _q_knn_k10_variants,
+        "range_count_variants": _q_range_count_variants,
+        "update_range_count": _q_update_range_count,
         "tile_counts": _q_tile_counts,
-        "pip_count": _q_pip_count,
+        "pip_count": _q_pip_count_multi,
         "pip_join": _q_pip_join,
-        "pip_concave_count": _q_pip_concave_count,
         "knn_join": _q_knn_join,
         "radius_join": _q_radius_join,
         "window_range_count": _q_window_range_count,
         "exact_dedup": _q_exact_dedup,
         "curate_corpus": _q_curate_corpus,
-        "token_stats": _q_token_stats,
-        "quality_scores": _q_quality,
-        "classifier_scores": _q_classifier_scores,
-        "lang_id": _q_lang_id,
+        "doc_profile": _q_doc_profile,
         "redact_pii": _q_redact_pii,
         "dedup_lines": _q_dedup_lines,
         "repetition_scores": _q_repetition_scores,
         "hll_tokens": _q_hll_tokens,
-        "simhash": _q_simhash,
-        "fingerprints": _q_fingerprints,
-        "minhash_neardup": _q_minhash_neardup,
-        "simhash_neardup": _q_simhash_neardup,
-        "ngram_jaccard_neardup": _q_ngram_jaccard_neardup,
+        "doc_signatures": _q_doc_signatures,
+        "text_neardup": _q_text_neardup,
         "dedup_spans": _q_dedup_spans,
         "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
         "vocab_topk": _q_vocab_topk,
         "heavy_hitters": _q_heavy_hitters,
-        "semi_join": _q_semi_join,
-        "anti_join": lambda sf: _q_semi_join(sf, anti=True),
+        "membership_join": _q_membership_join,
         "broadcast_join": _q_broadcast_join,
         "topn_per_group": _q_topn_per_group,
         "tfidf_topk": _q_tfidf_topk,
-        "quantiles_nchars": _q_quantiles,
-        "percentile_filter": _q_percentile_filter,
+        "quantile_suite": _q_quantile_suite,
         "asof_join": _q_asof_join,
         "sessionize": _q_sessionize,
         "window_agg": _q_window_agg,
-        "ann_l2q": _q_ann_l2q,
+        "ann_exact": _q_ann_exact,
         "ann_ivf": _q_ann_ivf,
-        "ann_ivf_exact": _q_ann_ivf_exact,
         "embedding_neardup": _q_embedding_neardup,
         "image_knn": _q_image_knn,
         "image_decode_stats": _q_image_decode_stats,
-        "image_ahash_neardup": _q_image_ahash_neardup,
-        "image_mse_neardup": _q_image_mse_neardup,
+        "image_neardup": _q_image_neardup,
         "sample_per_lang": _q_sample_per_lang,
         "pack_sequences": _q_pack_sequences,
         "kmeans_assign": _q_kmeans_assign,
@@ -1582,6 +1818,63 @@ ORDER BY img_a, img_b
 """
 
 
+_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+  len(list_distinct(regexp_extract_all(text, '\S+'))) AS n_uniq,
+  length(regexp_replace(text, '\s', '', 'g')) AS n_alpha,
+  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]{1,3}|[^\sa-zA-Z0-9]+')) AS n_bpe
+FROM documents
+"""
+
+_QUALITY_SQL = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+SELECT doc_id,
+  (len(list_filter(toks, w -> w IN ('the','a','and','of','to'))) * 1000)
+    // greatest(len(toks), 1) AS stop_permille,
+  (len(list_distinct(toks)) * 1000) // greatest(len(toks), 1) AS uniq_permille
+FROM t
+"""
+
+
+def _doc_profile_sql() -> str:
+    """Long-form (doc_id, metric, value) union of the four per-doc
+    profiling oracles — the SQL twin of :func:`_q_doc_profile`
+    (integers CAST to VARCHAR identically on both sides)."""
+    from pkd_tree_ray.text import sql_classifier_scores, sql_lang_id
+
+    def unpivot(sql: str, metrics, rename=None):
+        return [
+            f"SELECT doc_id, '{(rename or {}).get(m, m)}' AS metric, "
+            f"CAST({m} AS VARCHAR) AS value FROM ({sql})"
+            for m in metrics
+        ]
+
+    parts = (
+        unpivot(_TOKEN_STATS_SQL, ["n_tokens", "n_uniq", "n_alpha", "n_bpe"])
+        + unpivot(_QUALITY_SQL, ["stop_permille", "uniq_permille"])
+        + unpivot(
+            sql_classifier_scores(),
+            ["n_tokens", "logit", "keep"],
+            {"n_tokens": "cls_n_tokens"},
+        )
+        + [
+            "SELECT doc_id, 'pred_lang' AS metric, pred_lang AS value "
+            f"FROM ({sql_lang_id()})"
+        ]
+    )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _sql_tagged(tagcol: str, parts) -> str:
+    """UNION ALL of ``(tag_literal, select_body, inner_sql)`` triples —
+    the SQL twin of the Ray-side variant folds (``_tag_cols``)."""
+    return "\nUNION ALL\n".join(
+        f"SELECT {tag} AS {tagcol}, {body} FROM ({sql})"
+        for tag, body, sql in parts
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from pkd_tree_ray.clustering import sql_kmeans_assign, sql_semdedup
     from pkd_tree_ray.packing import sql_pack_sequences
@@ -1646,7 +1939,10 @@ SELECT q.qid, p.point_id, p.x, p.y
 FROM pts p JOIN q
   ON p.x BETWEEN q.min_x AND q.max_x AND p.y BETWEEN q.min_y AND q.max_y
 """,
-        "circle_count": f"""
+        "circle_count": _sql_tagged(
+            "variant",
+            [
+                ("'d2'", "qid, cnt", f"""
 WITH pts AS ({sources.sql_lineitem_points()}),
 q AS (SELECT * FROM {workloads.sql_values_circles(circ)})
 SELECT q.qid,
@@ -1654,25 +1950,51 @@ SELECT q.qid,
         WHERE (p.x - q.cx) * (p.x - q.cx) + (p.y - q.cy) * (p.y - q.cy)
               <= CAST(q.r AS BIGINT) * q.r) AS cnt
 FROM q
-""",
-        "knn_k1": _knn_sql(1),
-        "knn_k10": _knn_sql(10),
-        "knn_k100": _knn_sql(100),
-        "knn_k10_d3": _knn_d3_sql(10),
-        "range_count_d3": _range_count_d3_sql(),
-        "circle_count_d3": _circle_count_d3_sql(),
-        "knn_k10_float": _knn_float_sql(10),
-        "range_count_float": _range_count_float_sql(),
-        "knn_k10_float_native": _knn_float_native_sql(10),
-        "range_count_float_native": _range_count_float_native_sql(),
-        "insert_range_count": _range_count_sql(
-            f"{sources.sql_lineitem_points()} UNION ALL {sources.sql_orders_points()}"
+"""),
+                ("'d3'", "qid, cnt", _circle_count_d3_sql()),
+            ],
         ),
-        "delete_range_count": _range_count_sql(
-            f"SELECT * FROM ({sources.sql_lineitem_points()}) WHERE point_id % 10 <> 0"
+        "knn_multi": _sql_tagged(
+            "k",
+            [
+                (f"CAST({k} AS BIGINT)", 'qid, "rank", neighbor, dist2', _knn_sql(k))
+                for k in (1, 10, 100)
+            ],
         ),
-        "delete_compact_range_count": _range_count_sql(
-            f"SELECT * FROM ({sources.sql_lineitem_points()}) WHERE point_id % 5 > 1"
+        "knn_k10_variants": _sql_tagged(
+            "variant",
+            [
+                (f"'{tag}'",
+                 'qid, "rank", neighbor, CAST(dist2 AS DOUBLE) AS dist2',
+                 sql)
+                for tag, sql in [
+                    ("d3", _knn_d3_sql(10)),
+                    ("float", _knn_float_sql(10)),
+                    ("float_native", _knn_float_native_sql(10)),
+                ]
+            ],
+        ),
+        "range_count_variants": _sql_tagged(
+            "variant",
+            [
+                ("'d3'", "qid, cnt", _range_count_d3_sql()),
+                ("'float'", "qid, cnt", _range_count_float_sql()),
+                ("'float_native'", "qid, cnt", _range_count_float_native_sql()),
+            ],
+        ),
+        "update_range_count": _sql_tagged(
+            "phase",
+            [
+                ("'insert'", "qid, cnt", _range_count_sql(
+                    f"{sources.sql_lineitem_points()} UNION ALL {sources.sql_orders_points()}"
+                )),
+                ("'delete'", "qid, cnt", _range_count_sql(
+                    f"SELECT * FROM ({sources.sql_lineitem_points()}) WHERE point_id % 10 <> 0"
+                )),
+                ("'compact'", "qid, cnt", _range_count_sql(
+                    f"SELECT * FROM ({sources.sql_lineitem_points()}) WHERE point_id % 5 > 1"
+                )),
+            ],
         ),
         "tile_counts": f"""
 WITH pts AS ({sources.sql_lineitem_points()})
@@ -1680,8 +2002,15 @@ SELECT x // {workloads.TILE_SHIFT} AS tile_x, y // {workloads.TILE_SHIFT} AS til
        count(*) AS cnt
 FROM pts GROUP BY 1, 2
 """,
-        "pip_count": f"WITH pts AS ({sources.sql_lineitem_points()})\n" + pip_count_sql,
-        "pip_concave_count": f"WITH pts AS ({sources.sql_lineitem_points()})\n" + pip_concave_sql,
+        "pip_count": _sql_tagged(
+            "shape",
+            [
+                ("'convex'", "poly_id, cnt",
+                 f"WITH pts AS ({sources.sql_lineitem_points()})\n" + pip_count_sql),
+                ("'concave'", "poly_id, cnt",
+                 f"WITH pts AS ({sources.sql_lineitem_points()})\n" + pip_concave_sql),
+            ],
+        ),
         "pip_join": f"WITH pts AS ({sources.sql_lineitem_points()})\n" + pip_join_sql,
         "knn_join": f"""
 WITH pts AS ({sources.sql_lineitem_points()}),
@@ -1717,22 +2046,7 @@ SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
 FROM documents GROUP BY text
 """,
         "curate_corpus": sql_curate_corpus() + " ORDER BY doc_id",
-        "token_stats": r"""
-SELECT doc_id,
-  len(regexp_extract_all(text, '\S+')) AS n_tokens,
-  len(list_distinct(regexp_extract_all(text, '\S+'))) AS n_uniq,
-  length(regexp_replace(text, '\s', '', 'g')) AS n_alpha,
-  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]{1,3}|[^\sa-zA-Z0-9]+')) AS n_bpe
-FROM documents
-""",
-        "quality_scores": r"""
-WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
-SELECT doc_id,
-  (len(list_filter(toks, w -> w IN ('the','a','and','of','to'))) * 1000)
-    // greatest(len(toks), 1) AS stop_permille,
-  (len(list_distinct(toks)) * 1000) // greatest(len(toks), 1) AS uniq_permille
-FROM t
-""",
+        "doc_profile": _doc_profile_sql(),
         # quantized-L2 exact top-5: scores are integers exactly
         # representable in DOUBLE (|q|<=1000-ish, d=64), so
         # list_dot_product arithmetic is bit-exact
@@ -1776,8 +2090,15 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
 """,
         "image_knn": _image_knn_sql(10),
         "image_decode_stats": _image_decode_stats_sql(),
-        "image_ahash_neardup": _image_ahash_neardup_sql(max_hamming=3, cap=64),
-        "image_mse_neardup": _image_mse_neardup_sql(cap=64, dup_every=16, psnr_db=20),
+        "image_neardup": _sql_tagged(
+            "method",
+            [
+                ("'ahash'", "img_a, img_b, hamming AS metric",
+                 _image_ahash_neardup_sql(max_hamming=3, cap=64)),
+                ("'mse'", "img_a, img_b, sse AS metric",
+                 _image_mse_neardup_sql(cap=64, dup_every=16, psnr_db=20)),
+            ],
+        ),
         "sample_per_lang": sql_sample_per_key(
             "documents", "lang", "doc_id", 20, seed=7,
             cols="lang, doc_id, source",
@@ -1785,17 +2106,29 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
         "pack_sequences": sql_pack_sequences(2048) + " ORDER BY doc_id",
         "kmeans_assign": sql_kmeans_assign(k=8, seed=11),
         "semdedup": sql_semdedup(k=8, seed=11, threshold=0.95),
-        "lang_id": sql_lang_id(),
         "redact_pii": sql_redact_pii(_PII_DOCS_SQL),
         "dedup_lines": sql_dedup_lines(docs_sql=_LINES_DOCS_SQL),
         "repetition_scores": sql_repetition_scores(docs_sql=_LINES_DOCS_SQL),
         "hll_tokens": sql_hll_tokens(),
-        "classifier_scores": sql_classifier_scores(),
-        "fingerprints": sql_fingerprints(),
-        "simhash": sql_simhash(),
-        "minhash_neardup": sql_minhash_neardup(threshold=0.5),
-        "simhash_neardup": sql_simhash_neardup(max_hamming=3),
-        "ngram_jaccard_neardup": sql_ngram_jaccard_neardup(threshold=0.5),
+        "doc_signatures": _sql_tagged(
+            "kind",
+            [
+                ("'simhash'", "doc_id, simhash AS sig", sql_simhash()),
+                ("'bucket16'", "doc_id, bucket16 AS sig", sql_simhash()),
+                ("'fingerprint'", "doc_id, fingerprint AS sig", sql_fingerprints()),
+            ],
+        ),
+        "text_neardup": _sql_tagged(
+            "method",
+            [
+                ("'minhash'", "doc_a, doc_b, jaccard_permille AS metric",
+                 sql_minhash_neardup(threshold=0.5)),
+                ("'simhash'", "doc_a, doc_b, hamming AS metric",
+                 sql_simhash_neardup(max_hamming=3)),
+                ("'ngram'", "doc_a, doc_b, jaccard_permille AS metric",
+                 sql_ngram_jaccard_neardup(threshold=0.5)),
+            ],
+        ),
         "dedup_spans": sql_dedup_spans(window=4),
         "dedup_clusters": sql_dedup_clusters(
             sql_ngram_jaccard_neardup(threshold=0.5)
@@ -1805,21 +2138,24 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
         ),
         "vocab_topk": sql_vocab_topk(k=50),
         "heavy_hitters": sql_heavy_hitters(k=20),
-        "semi_join": sql_semi_join(
-            "SELECT l_orderkey, l_linenumber FROM lineitem",
-            "l_orderkey",
-            f"SELECT o_orderkey FROM orders WHERE o_totalprice > {_SEMI_PRICE_CUT}",
-            "o_orderkey",
-        )
-        + " ORDER BY l_orderkey, l_linenumber",
-        "anti_join": sql_semi_join(
-            "SELECT l_orderkey, l_linenumber FROM lineitem",
-            "l_orderkey",
-            f"SELECT o_orderkey FROM orders WHERE o_totalprice > {_SEMI_PRICE_CUT}",
-            "o_orderkey",
-            anti=True,
-        )
-        + " ORDER BY l_orderkey, l_linenumber",
+        "membership_join": _sql_tagged(
+            "mode",
+            [
+                ("'semi'", "l_orderkey, l_linenumber", sql_semi_join(
+                    "SELECT l_orderkey, l_linenumber FROM lineitem",
+                    "l_orderkey",
+                    f"SELECT o_orderkey FROM orders WHERE o_totalprice > {_SEMI_PRICE_CUT}",
+                    "o_orderkey",
+                )),
+                ("'anti'", "l_orderkey, l_linenumber", sql_semi_join(
+                    "SELECT l_orderkey, l_linenumber FROM lineitem",
+                    "l_orderkey",
+                    f"SELECT o_orderkey FROM orders WHERE o_totalprice > {_SEMI_PRICE_CUT}",
+                    "o_orderkey",
+                    anti=True,
+                )),
+            ],
+        ),
         "broadcast_join": sql_broadcast_join(
             "SELECT l_orderkey, l_linenumber FROM lineitem",
             "l_orderkey",
@@ -1832,13 +2168,28 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
         "topn_per_group": sql_topn_per_group("lang", "n_chars", "doc_id", n=3)
         + ' ORDER BY lang, "rank"',
         "tfidf_topk": sql_tfidf_topk(k=5),
-        "quantiles_nchars": sql_quantiles("n_chars", _QUANTILE_QS),
-        "percentile_filter": sql_percentile_filter("n_chars", 0.9),
+        "quantile_suite": _sql_tagged(
+            "kind",
+            [
+                ("'q'", "q_permille AS id, value",
+                 sql_quantiles("n_chars", _QUANTILE_QS)),
+                ("'doc'", "doc_id AS id, n_chars AS value",
+                 sql_percentile_filter("n_chars", 0.9)),
+            ],
+        ),
         "asof_join": sql_asof_join("purchase", "click"),
         "sessionize": sql_sessionize(gap_s=1800),
         "window_agg": sql_window_agg(width_s=3600),
         "embedding_neardup": _embedding_neardup_sql(),
     }
-    # exhaustive-probe IVF must reproduce brute force bit-for-bit
-    out["ann_ivf_exact"] = out["ann_l2q"]
+    # exhaustive-probe IVF must reproduce brute force bit-for-bit, so
+    # both arms of ann_exact share the brute-force SQL
+    out["ann_exact"] = _sql_tagged(
+        "method",
+        [
+            ("'brute'", 'qid, "rank", neighbor, score', out["ann_l2q"]),
+            ("'ivf_exact'", 'qid, "rank", neighbor, score', out["ann_l2q"]),
+        ],
+    )
+    del out["ann_l2q"]
     return out
