@@ -103,6 +103,44 @@ class TestGeometry:
         got = points_in_polygon(x, y, L).tolist()
         assert got[:5] == [True, True, False, True, False]
 
+    def test_polygon_coordinate_magnitude_guard(self):
+        """|coords| just under 2^30 stay int64-exact (verified against
+        an arbitrary-precision Python reference); at the bound the
+        guard raises instead of letting numpy wrap silently while the
+        DuckDB twin errors — the two oracle sides must never diverge."""
+        import pytest
+
+        from pkd_tree_ray.geometry import points_in_polygon
+
+        lim = 1 << 30
+        big = lim - 1
+        verts = np.array(
+            [[-big, -big], [big, -big + 7], [big - 3, big], [-big + 5, big - 2]]
+        )
+        x = np.array([0, big - 10, -big, big], dtype=np.int64)
+        y = np.array([0, big - 10, -big, big], dtype=np.int64)
+        got = points_in_polygon(x, y, verts)
+
+        def ref_point(qx: int, qy: int) -> bool:
+            inside = False
+            k = len(verts)
+            for i in range(k):
+                x1, y1 = map(int, verts[i])
+                x2, y2 = map(int, verts[(i + 1) % k])
+                spans = (y1 > qy) != (y2 > qy)
+                lhs = (qx - x1) * (y2 - y1)  # exact: Python ints
+                rhs = (x2 - x1) * (qy - y1)
+                crosses = lhs < rhs if y2 > y1 else lhs > rhs
+                inside ^= spans and crosses
+            return inside
+
+        assert got.tolist() == [ref_point(int(a), int(b)) for a, b in zip(x, y)]
+        with pytest.raises(ValueError, match="2\\^30"):
+            points_in_polygon(np.array([lim]), np.array([0]), verts)
+        with pytest.raises(ValueError, match="2\\^30"):
+            points_in_polygon(x[:1], y[:1],
+                              np.array([[0, 0], [lim, 0], [0, lim]]))
+
     def test_concave_containment_shortcut_matches_full_scan(self, ray_session, tmp_path):
         """point_in_polygon_count over a non-convex polygon must equal
         the brute per-point count — the edge-vs-bbox contained-cell
