@@ -1159,6 +1159,17 @@ def _to_table(obj) -> pa.Table:
     return pa.concat_tables(tabs, promote_options="default")
 
 
+def _parallel_results(thunks):
+    """Run independent variant pipelines CONCURRENTLY from driver
+    threads — each thunk owns its own Dataset execution, so a folded
+    entry pays one pipeline's fixed orchestration latency instead of
+    the sum (text_neardup: 3 near-dup pipelines at ~6-8 s each)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        return [f.result() for f in [ex.submit(t) for t in thunks]]
+
+
 def _tag_cols(t: pa.Table, tag_col: str, tag, cols, casts=None) -> pa.Table:
     """(tag, *cols) projection of ``t`` with optional per-column casts."""
     tag_arr = (
@@ -1263,10 +1274,17 @@ def _q_membership_join(sf_dir: str) -> pa.Table:
 def _q_text_neardup(sf_dir: str) -> pa.Table:
     """The three text near-dup detectors, method-tagged; ``metric`` is
     each method's own integer score (jaccard permille / Hamming)."""
+    results = _parallel_results(
+        [
+            lambda: _q_minhash_neardup(sf_dir),
+            lambda: _q_simhash_neardup(sf_dir),
+            lambda: _q_ngram_jaccard_neardup(sf_dir),
+        ]
+    )
     parts = [
-        ("minhash", _q_minhash_neardup(sf_dir), "jaccard_permille"),
-        ("simhash", _q_simhash_neardup(sf_dir), "hamming"),
-        ("ngram", _q_ngram_jaccard_neardup(sf_dir), "jaccard_permille"),
+        ("minhash", results[0], "jaccard_permille"),
+        ("simhash", results[1], "hamming"),
+        ("ngram", results[2], "jaccard_permille"),
     ]
     return pa.concat_tables(
         _tag_cols(_to_table(obj), "method", tag,
@@ -1276,10 +1294,13 @@ def _q_text_neardup(sf_dir: str) -> pa.Table:
 
 
 def _q_image_neardup(sf_dir: str) -> pa.Table:
-    parts = [
-        ("ahash", _q_image_ahash_neardup(sf_dir), "hamming"),
-        ("mse", _q_image_mse_neardup(sf_dir), "sse"),
-    ]
+    results = _parallel_results(
+        [
+            lambda: _q_image_ahash_neardup(sf_dir),
+            lambda: _q_image_mse_neardup(sf_dir),
+        ]
+    )
+    parts = [("ahash", results[0], "hamming"), ("mse", results[1], "sse")]
     return pa.concat_tables(
         _tag_cols(_to_table(obj), "method", tag,
                   ["img_a", "img_b", ("metric", src)])
@@ -1292,10 +1313,10 @@ def _q_ann_exact(sf_dir: str) -> pa.Table:
     reproduce it bit-for-bit), method-tagged — one row set proves the
     scan kernel, the other that IVF partition->scan->merge is
     lossless."""
-    parts = [
-        ("brute", _q_ann_l2q(sf_dir)),
-        ("ivf_exact", _q_ann_ivf_exact(sf_dir)),
-    ]
+    results = _parallel_results(
+        [lambda: _q_ann_l2q(sf_dir), lambda: _q_ann_ivf_exact(sf_dir)]
+    )
+    parts = [("brute", results[0]), ("ivf_exact", results[1])]
     return pa.concat_tables(
         _tag_cols(_to_table(obj), "method", tag,
                   ["qid", "rank", "neighbor", "score"])
