@@ -23,6 +23,18 @@ from pkd_tree_ray.fixtures import decode_png_rgb, encode_png_rgb
 MM_BATCH = 256  # payload rows per batch: keep batch x pool in worker heap
 
 
+def _mm_pool(concurrency):
+    """Resolve an actor-pool bound for the payload stages: scale to the
+    cluster's CPUs like the text pools (a hard (1, 8) cap left 3/4 of
+    a 32-CPU node idle on the decode stages); explicit tuples pass
+    through for tests and memory-constrained deployments."""
+    if concurrency is not None:
+        return concurrency
+    from pkd_tree_ray.text import _pool_width
+
+    return _pool_width()
+
+
 class DecodeImage:
     """Actor: bytes -> decoded pixel stats (+ optionally pixels).
 
@@ -117,19 +129,19 @@ class ImageAHash:
         return pa.table({"img_id": ids, "ahash": pa.array(hashes, pa.int64())})
 
 
-def image_ahashes(images_ds, concurrency=(1, 8)):
+def image_ahashes(images_ds, concurrency=None):
     """images table -> (img_id, ahash) rows (actor pool, small batches
     for the binary payload column)."""
     return images_ds.map_batches(
         ImageAHash,
         batch_format="pyarrow",
         batch_size=MM_BATCH,
-        concurrency=concurrency,
+        concurrency=_mm_pool(concurrency),
     )
 
 
 def image_ahash_neardup(
-    images_ds, max_hamming: int = 3, cap: int = 64, concurrency=(1, 8)
+    images_ds, max_hamming: int = 3, cap: int = 64, concurrency=None
 ):
     """-> Dataset (img_a, img_b, hamming): image pairs whose 64-bit
     average-hash differs in at most ``max_hamming`` bits.
@@ -204,24 +216,24 @@ class SampleFrames:
         )
 
 
-def decode_features(images_ds, concurrency=(1, 8)):
+def decode_features(images_ds, concurrency=None):
     """images table -> per-image decoded feature rows (actor pool,
     small batches for wide payload rows)."""
     return images_ds.map_batches(
         DecodeImage,
         batch_format="pyarrow",
         batch_size=MM_BATCH,
-        concurrency=concurrency,
+        concurrency=_mm_pool(concurrency),
     )
 
 
-def resize_images(images_ds, out_w: int, out_h: int, concurrency=(1, 8)):
+def resize_images(images_ds, out_w: int, out_h: int, concurrency=None):
     return images_ds.map_batches(
         ResizeImage,
         fn_constructor_args=(out_w, out_h),
         batch_format="pyarrow",
         batch_size=MM_BATCH,
-        concurrency=concurrency,
+        concurrency=_mm_pool(concurrency),
     )
 
 
@@ -272,7 +284,7 @@ class ImageAHashPixels:
 
 
 def image_mse_neardup(
-    images_ds, min_psnr_db: int = 40, cap: int = 64, concurrency=(1, 8)
+    images_ds, min_psnr_db: int = 40, cap: int = 64, concurrency=None
 ):
     """-> Dataset (img_a, img_b, sse): image pairs whose decoded pixels
     match at PSNR >= ``min_psnr_db``, verified on the EXACT integer
@@ -308,7 +320,7 @@ def image_mse_neardup(
             ImageAHashPixels,
             batch_format="pyarrow",
             batch_size=MM_BATCH,
-            concurrency=concurrency,
+            concurrency=_mm_pool(concurrency),
         ).materialize(),
         rows_per_block=100_000,  # ~1.6 KB/row with the pixel payload
     )
