@@ -1342,53 +1342,12 @@ def _q_doc_signatures(sf_dir: str) -> pa.Table:
 def _q_doc_profile(sf_dir: str):
     """Per-doc scalar profiling suite in long form (doc_id, metric,
     value): token stats, quality heuristics, the linear classifier and
-    language-ID — four map-only pipelines unioned as Datasets (no
-    driver materialization; each stays a streaming actor-pool map)."""
+    language-ID from ONE streaming corpus pass
+    (:func:`pkd_tree_ray.text.doc_profile` fuses the four standalone
+    kernels into a single actor, so the corpus is read once)."""
+    from pkd_tree_ray.text import doc_profile
 
-    def to_long(metrics, rename=None):
-        def f(t: pa.Table) -> pa.Table:
-            parts = []
-            for m in metrics:
-                out_name = (rename or {}).get(m, m)
-                col = t[m]
-                if not pa.types.is_string(col.type):
-                    col = pc.cast(col, pa.string())
-                parts.append(
-                    pa.table(
-                        {
-                            "doc_id": t["doc_id"],
-                            "metric": pa.array([out_name] * t.num_rows, pa.string()),
-                            "value": col,
-                        }
-                    )
-                )
-            return pa.concat_tables(parts)
-
-        return f
-
-    from pkd_tree_ray.text import classifier_scores, lang_id, quality_scores, token_stats
-
-    docs = _docs(sf_dir)
-    ds = (
-        token_stats(docs)
-        .map_batches(to_long(["n_tokens", "n_uniq", "n_alpha", "n_bpe"]),
-                     batch_format="pyarrow")
-        .union(
-            quality_scores(docs).map_batches(
-                to_long(["stop_permille", "uniq_permille"]),
-                batch_format="pyarrow",
-            ),
-            classifier_scores(docs).map_batches(
-                to_long(["n_tokens", "logit", "keep"],
-                        rename={"n_tokens": "cls_n_tokens"}),
-                batch_format="pyarrow",
-            ),
-            lang_id(docs).map_batches(
-                to_long(["pred_lang"]), batch_format="pyarrow"
-            ),
-        )
-    )
-    return ds
+    return doc_profile(_docs(sf_dir))
 
 
 def _q_quantile_suite(sf_dir: str) -> pa.Table:

@@ -323,6 +323,73 @@ def lang_id(docs):
     )
 
 
+class DocProfile:
+    """Actor: the full per-doc scalar profiling suite in ONE corpus
+    pass — token stats, quality heuristics, classifier logits and
+    language-ID computed per batch by the SAME kernels as their
+    standalone operators (so values are identical by construction),
+    emitted long-form (doc_id, metric, value:string).
+
+    100-TB shape: a curation pipeline wants all of these signals per
+    document; fusing them into one actor reads the corpus once instead
+    of four times and shares the model-load / regex-compile setup."""
+
+    def __init__(self, weights_ref):
+        self.stats = TextStats()
+        self.quality = QualityScore()
+        self.cls = ClassifierScore(weights_ref)
+        self.lang = LangId()
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        import pyarrow.compute as pc
+
+        frames = [
+            (self.stats(batch), ["n_tokens", "n_uniq", "n_alpha", "n_bpe"], {}),
+            (self.quality(batch), ["stop_permille", "uniq_permille"], {}),
+            (self.cls(batch), ["n_tokens", "logit", "keep"],
+             {"n_tokens": "cls_n_tokens"}),
+            (self.lang(batch), ["pred_lang"], {}),
+        ]
+        parts = []
+        for df, metrics, rename in frames:
+            ids = pa.array(df["doc_id"].to_numpy(), pa.int64())
+            for m in metrics:
+                col = df[m]
+                vals = (
+                    pa.array(col.to_numpy(), pa.string())
+                    if col.dtype == object
+                    else pc.cast(pa.array(col.to_numpy()), pa.string())
+                )
+                parts.append(
+                    pa.table(
+                        {
+                            "doc_id": ids,
+                            "metric": pa.array(
+                                [rename.get(m, m)] * len(df), pa.string()
+                            ),
+                            "value": vals,
+                        }
+                    )
+                )
+        return pa.concat_tables(parts)
+
+
+def doc_profile(docs, weights: np.ndarray | None = None):
+    """-> Dataset (doc_id, metric, value): every per-doc scalar signal
+    (token stats, quality heuristics, classifier score, language-ID)
+    from ONE streaming pass over the corpus — see :class:`DocProfile`.
+    Pure map, no shuffle; the classifier weights broadcast once."""
+    import ray
+
+    ref = ray.put(classifier_weights() if weights is None else weights)
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        DocProfile,
+        fn_constructor_args=(ref,),
+        batch_format="pandas",
+        concurrency=_pool_width(),
+    )
+
+
 def sql_lang_id() -> str:
     """DuckDB SQL reproducing :class:`LangId` exactly over the
     ``documents`` view.  DuckDB's RE2 lacks lookarounds, so the

@@ -107,6 +107,7 @@ def _doc_ops():
         ).to_pandas(),
         "dedup_lines": lambda d: lines.dedup_lines(d).to_pandas(),
         "repetition_scores": lambda d: lines.repetition_scores(d).to_pandas(),
+        "doc_profile": lambda d: text.doc_profile(d).to_pandas(),
     }
 
 

@@ -189,6 +189,55 @@ class TestTextStats:
         df = lang_id(_docs_ds(texts, ray_session)).to_pandas().sort_values("doc_id")
         assert df["pred_lang"].tolist() == ["en", "de", "fr", "zh"]
 
+    def test_doc_profile_matches_standalone_ops(self, ray_session):
+        """The fused one-pass profiler must emit exactly the standalone
+        operators' values, reshaped long-form."""
+        import pandas as pd
+
+        from pkd_tree_ray.text import (
+            classifier_scores,
+            doc_profile,
+            lang_id,
+            quality_scores,
+            token_stats,
+        )
+
+        texts = [
+            "the cat and the dog is here to stay",
+            "der hund und die katze ist da",
+            "numbers 123456789 and punct!!! runs",
+            "",
+            "   ",
+        ]
+        got = (
+            doc_profile(_docs_ds(texts, ray_session))
+            .to_pandas()
+            .sort_values(["doc_id", "metric"])
+            .reset_index(drop=True)
+        )
+        ds = _docs_ds(texts, ray_session)
+        want_rows = []
+        for df, metrics, rename in [
+            (token_stats(ds).to_pandas(),
+             ["n_tokens", "n_uniq", "n_alpha", "n_bpe"], {}),
+            (quality_scores(ds).to_pandas(),
+             ["stop_permille", "uniq_permille"], {}),
+            (classifier_scores(ds).to_pandas(),
+             ["n_tokens", "logit", "keep"], {"n_tokens": "cls_n_tokens"}),
+            (lang_id(ds).to_pandas(), ["pred_lang"], {}),
+        ]:
+            for _, row in df.iterrows():
+                for m in metrics:
+                    want_rows.append(
+                        (int(row["doc_id"]), rename.get(m, m), str(row[m]))
+                    )
+        want = (
+            pd.DataFrame(want_rows, columns=["doc_id", "metric", "value"])
+            .sort_values(["doc_id", "metric"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
     def test_redact_pii(self, ray_session):
         from pkd_tree_ray.text import redact_pii
 
