@@ -1066,6 +1066,19 @@ def _q_sample_per_lang(sf_dir: str):
     )
 
 
+def _q_corpus_split(sf_dir: str):
+    """Deterministic train/holdout split (10% holdout by seeded id
+    hash) — the stable split every pretraining pipeline runs before
+    training; re-runs and resumed shards select identical membership."""
+    from pkd_tree_ray.sampling import hash_split
+
+    docs = sources.read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    out = hash_split(docs, "doc_id", holdout_permille=100, seed=21).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Concat-and-chunk sequence packing into 2048-token budgets —
     doc -> (seq_id, tok_offset) via a distributed prefix sum (bucketed
@@ -1422,6 +1435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_stats": _q_image_decode_stats,
         "image_neardup": _q_image_neardup,
         "sample_per_lang": _q_sample_per_lang,
+        "corpus_split": _q_corpus_split,
         "pack_sequences": _q_pack_sequences,
         "kmeans_assign": _q_kmeans_assign,
         "semdedup": _q_semdedup,
@@ -1858,7 +1872,7 @@ def _sql_tagged(tagcol: str, parts) -> str:
 def oracle_sql() -> dict[str, str]:
     from pkd_tree_ray.clustering import sql_kmeans_assign, sql_semdedup
     from pkd_tree_ray.packing import sql_pack_sequences
-    from pkd_tree_ray.sampling import sql_sample_per_key
+    from pkd_tree_ray.sampling import sql_hash_split, sql_sample_per_key
 
     boxes_rep = workloads.report_boxes()
     circ = workloads.circles()
@@ -2083,6 +2097,9 @@ SELECT qid, "rank", neighbor, score FROM d WHERE "rank" <= 5
             "documents", "lang", "doc_id", 20, seed=7,
             cols="lang, doc_id, source",
         ) + " ORDER BY lang, doc_id",
+        "corpus_split": sql_hash_split(
+            "documents", "doc_id", 100, seed=21, cols="doc_id, lang"
+        ) + " ORDER BY doc_id",
         "pack_sequences": sql_pack_sequences(2048) + " ORDER BY doc_id",
         "kmeans_assign": sql_kmeans_assign(k=8, seed=11),
         "semdedup": sql_semdedup(k=8, seed=11, threshold=0.95),

@@ -95,6 +95,46 @@ def sample_per_key(
     )
 
 
+def hash_split(ds, id_col: str, holdout_permille: int, seed: int = 0):
+    """Deterministic train/holdout corpus split: a row is ``holdout``
+    iff ``splitmix64(id, seed) % 1000 < holdout_permille`` — membership
+    is a pure function of (id, seed), so the split is identical across
+    re-runs, resumed shards and cluster sizes, train/holdout never
+    overlap, and no shuffle is needed (pure streaming map; the split
+    column prunes at read time when written as a partition key).
+
+    -> input columns + ``split``:string (``train`` | ``holdout``)."""
+    p = int(holdout_permille)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        hv = splitmix64(ids.view(np.uint64), seed) % np.uint64(1000)
+        split = np.where(hv < np.uint64(p), "holdout", "train")
+        return batch.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def sql_hash_split(
+    table: str,
+    id_col: str,
+    holdout_permille: int,
+    seed: int = 0,
+    cols: str | None = None,
+) -> str:
+    """DuckDB SQL bit-exact vs :func:`hash_split`."""
+    from pkd_tree_ray.hashing import sql_splitmix64
+
+    hv = sql_splitmix64(id_col, seed)
+    cols = cols or id_col
+    return f"""
+SELECT {cols},
+       CASE WHEN ({hv}) % 1000 < {int(holdout_permille)}
+            THEN 'holdout' ELSE 'train' END AS split
+FROM {table}
+"""
+
+
 def sql_sample_per_key(
     table: str,
     key_col: str,

@@ -75,3 +75,44 @@ class TestSamplePerKey:
         want = _oracle(tbl, 2, seed=5)
         got = out.sort_values(["k", "doc_id"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got[["doc_id", "k"]], want[["doc_id", "k"]])
+
+
+class TestHashSplit:
+    def test_deterministic_and_disjoint(self, ray_session):
+        from pkd_tree_ray.sampling import hash_split
+
+        ids = np.arange(5000, dtype=np.int64)
+        tbl = pa.table({"doc_id": ids, "payload": ids * 3})
+        ds = rd.from_arrow(tbl).repartition(8)
+        a = hash_split(ds, "doc_id", 100, seed=21).to_pandas()
+        b = hash_split(ds, "doc_id", 100, seed=21).to_pandas()
+        a = a.sort_values("doc_id").reset_index(drop=True)
+        b = b.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)  # re-runs identical
+        frac = (a["split"] == "holdout").mean()
+        assert 0.07 < frac < 0.13  # ~10% holdout
+        # payload untouched, all rows present exactly once
+        assert len(a) == 5000 and (a["payload"] == a["doc_id"] * 3).all()
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from pkd_tree_ray.sampling import hash_split, sql_hash_split
+
+        ids = np.arange(0, 3000, 7, dtype=np.int64)
+        tbl = pa.table({"doc_id": ids})
+        got = (
+            hash_split(rd.from_arrow(tbl).repartition(5), "doc_id", 250, seed=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", tbl.to_pandas())
+        want = (
+            con.execute(sql_hash_split("documents", "doc_id", 250, seed=3))
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["split"].tolist() == want["split"].tolist()
