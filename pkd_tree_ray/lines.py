@@ -324,10 +324,10 @@ def repetition_scores(docs):
     """-> (doc_id, dup_line_permille, dup_line_char_permille,
     top_bigram_permille, n_lines, n_bigrams): Gopher-style repetition
     quality signals, pure per-batch map (no shuffle)."""
-    from pkd_tree_ray.text import _pool_width
+    from pkd_tree_ray.text import worker_cached
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        RepetitionScores, batch_format="pyarrow", concurrency=_pool_width()
+        worker_cached(RepetitionScores), batch_format="pyarrow"
     )
 
 

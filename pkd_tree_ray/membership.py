@@ -122,7 +122,7 @@ def bloom_semi_join(
     import pyarrow.compute as pc
     import ray
 
-    from pkd_tree_ray.text import _pool_width
+    from pkd_tree_ray.text import worker_cached
 
     def distinct_partial(t: pa.Table) -> pa.Table:
         return pa.table({"k": pc.unique(t[small_key_col]).cast(pa.int64())})
@@ -144,10 +144,8 @@ def bloom_semi_join(
     state_ref = ray.put(build_bloom(keys, bits_per_key=bits_per_key, kh=kh))
 
     return big.map_batches(
-        _BloomProbe,
-        fn_constructor_kwargs={"state_ref": state_ref, "key_col": key_col, "anti": anti},
+        worker_cached(_BloomProbe, state_ref=state_ref, key_col=key_col, anti=anti),
         batch_format="pyarrow",
-        concurrency=_pool_width(),
     )
 
 
@@ -221,7 +219,7 @@ def broadcast_join(
     """
     import ray
 
-    from pkd_tree_ray.text import _pool_width
+    from pkd_tree_ray.text import worker_cached
 
     if how not in ("inner", "left"):
         raise ValueError(f"broadcast_join: how={how!r} must be 'inner' or 'left'")
@@ -258,10 +256,8 @@ def broadcast_join(
     state_ref = ray.put((keys, payload))
 
     return big.map_batches(
-        _BroadcastJoinProbe,
-        fn_constructor_kwargs={"state_ref": state_ref, "key_col": key_col, "how": how},
+        worker_cached(_BroadcastJoinProbe, state_ref=state_ref, key_col=key_col, how=how),
         batch_format="pyarrow",
-        concurrency=_pool_width(),
     )
 
 

