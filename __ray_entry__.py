@@ -1168,8 +1168,19 @@ def _to_table(obj) -> pa.Table:
         return obj
     if isinstance(obj, pd.DataFrame):
         return pa.Table.from_pandas(obj, preserve_index=False)
-    tabs = [t for t in ray.get(obj.to_arrow_refs()) if t.num_rows]
-    return pa.concat_tables(tabs, promote_options="default")
+    all_tabs = ray.get(obj.to_arrow_refs())
+    tabs = [t for t in all_tabs if t.num_rows]
+    if tabs:
+        return pa.concat_tables(tabs, promote_options="default")
+    # legitimately-empty result (e.g. a near-dup arm with no pairs):
+    # return an empty table that still CARRIES the schema so the
+    # tagged projection downstream works; zero-column blocks (the
+    # high-parallelism aggregate artifact) are skipped in favor of any
+    # schema-bearing block
+    for t in all_tabs:
+        if t.num_columns:
+            return t
+    return pa.table({})
 
 
 def _parallel_results(thunks):
@@ -1383,12 +1394,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """49 entries — every operator family inside the driver's 50-row
-    correctness window (r4 populated only the first 50 of 69, leaving
-    the ANN/image/temporal/sampling tail unchecked).  Redundant
-    per-variant entries are FOLDED into tagged multi-variant queries
-    (see the ``_q_*_variants`` / ``*_multi`` helpers); each fold keeps
-    full oracle coverage via a matching UNION ALL in
+    """EXACTLY 50 entries — every operator family inside the driver's
+    50-row correctness window (r4 populated only the first 50 of 69,
+    leaving the ANN/image/temporal/sampling tail unchecked).  The
+    window is FULL: adding a query requires folding an existing pair
+    first, or the new entry silently falls outside the checked window.
+    Redundant per-variant entries are FOLDED into tagged multi-variant
+    queries (see the ``_q_*_variants`` / ``*_multi`` helpers); each
+    fold keeps full oracle coverage via a matching UNION ALL in
     :func:`oracle_sql`."""
     return {
         "selfcheck": _q_selfcheck,
@@ -1812,17 +1825,20 @@ ORDER BY img_a, img_b
 """
 
 
+# explicit whitespace classes (identical to text._TOKEN_RE /
+# TextStats.BPE_RE) so the Python-re kernels and the RE2 oracle can
+# never disagree on a codepoint's whitespace-ness
 _TOKEN_STATS_SQL = r"""
 SELECT doc_id,
-  len(regexp_extract_all(text, '\S+')) AS n_tokens,
-  len(list_distinct(regexp_extract_all(text, '\S+'))) AS n_uniq,
-  length(regexp_replace(text, '\s', '', 'g')) AS n_alpha,
-  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]{1,3}|[^\sa-zA-Z0-9]+')) AS n_bpe
+  len(regexp_extract_all(text, '[^\t\n\f\r ]+')) AS n_tokens,
+  len(list_distinct(regexp_extract_all(text, '[^\t\n\f\r ]+'))) AS n_uniq,
+  length(regexp_replace(text, '[\t\n\f\r ]', '', 'g')) AS n_alpha,
+  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]{1,3}|[^\t\n\f\r a-zA-Z0-9]+')) AS n_bpe
 FROM documents
 """
 
 _QUALITY_SQL = r"""
-WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '[^\t\n\f\r ]+') AS toks FROM documents)
 SELECT doc_id,
   (len(list_filter(toks, w -> w IN ('the','a','and','of','to'))) * 1000)
     // greatest(len(toks), 1) AS stop_permille,

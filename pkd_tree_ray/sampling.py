@@ -103,11 +103,21 @@ def hash_split(ds, id_col: str, holdout_permille: int, seed: int = 0):
     overlap, and no shuffle is needed (pure streaming map; the split
     column prunes at read time when written as a partition key).
 
-    -> input columns + ``split``:string (``train`` | ``holdout``)."""
+    -> input columns + ``split``:string (``train`` | ``holdout``).
+
+    Ids must be non-negative: the Python side would wrap a negative id
+    through the uint64 view while the SQL twin keeps it negative in
+    HUGEINT arithmetic — rather than silently diverge, the kernel
+    rejects negative ids."""
     p = int(holdout_permille)
 
     def tag(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy().astype(np.int64)
+        if len(ids) and ids.min() < 0:
+            raise ValueError(
+                f"hash_split: {id_col} must be non-negative (the SQL "
+                "oracle's integer arithmetic diverges on negatives)"
+            )
         hv = splitmix64(ids.view(np.uint64), seed) % np.uint64(1000)
         split = np.where(hv < np.uint64(p), "holdout", "train")
         return batch.append_column("split", pa.array(split, pa.string()))

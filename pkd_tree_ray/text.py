@@ -20,7 +20,14 @@ import pyarrow as pa
 
 from pkd_tree_ray.hashing import splitmix64, token_hash64
 
-_TOKEN_RE = r"\S+"  # token = maximal run of non-whitespace (SQL: regexp_extract_all)
+#: token = maximal run of non-whitespace under RE2 semantics, spelled
+#: as an EXPLICIT character class: Python ``re`` reads ``\s`` as
+#: Unicode whitespace while DuckDB's RE2 reads ``[\t\n\f\r ]``, so a
+#: literal ``\S+`` silently diverges on VT/NBSP/U+001C-class input —
+#: the explicit class means every engine tokenizes identically
+#: (kernels that Arrow-tokenize use :func:`tokenize_flat`, which
+#: enforces the same semantics).
+_TOKEN_RE = r"[^\t\n\f\r ]+"
 
 # token-hash seeds per operator (distinct lanes of the SQL-reproducible
 # splitmix64(poly64) token hash, pkd_tree_ray.hashing.token_hash64 —
@@ -100,11 +107,13 @@ class TextStats:
     #: BPE-ish subword chunking (RE2-safe, so DuckDB's regexp_extract_all
     #: reproduces it exactly): alpha runs, <=3-digit number chunks (how
     #: modern BPE vocabularies chunk long numbers), punctuation runs.
-    BPE_RE = r"[a-zA-Z]+|[0-9]{1,3}|[^\sa-zA-Z0-9]+"
+    #: Explicit whitespace class for the same Python-re/RE2 agreement
+    #: as _TOKEN_RE.
+    BPE_RE = r"[a-zA-Z]+|[0-9]{1,3}|[^\t\n\f\r a-zA-Z0-9]+"
 
     def __init__(self):
         self.token = re.compile(_TOKEN_RE)
-        self.ws = re.compile(r"\s")
+        self.ws = re.compile(r"[\t\n\f\r ]")
         self.bpe = re.compile(self.BPE_RE)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -153,7 +162,15 @@ def worker_cached(cls, *ctor_args, **ctor_kwargs):
     6.9 s with two (1, 32) autoscaling actor pools -> 0.9 s stateless
     (pool ramp-up dominated both passes).  Keep REAL actor pools for
     kernels whose per-actor state is expensive to build (large model
-    load), not merely nonzero."""
+    load), not merely nonzero.
+
+    Memory: cached instances live in the worker until evicted — a
+    bounded cache of this module's own (never shared with queries.py's
+    shard/index worker state, so the two can't evict each other).
+    Broadcast payloads the kernels ``ray.get`` are plasma-backed
+    zero-copy views, so the per-worker HEAP cost is the instance
+    shell; the cache bound caps how many plasma objects a worker
+    keeps pinned."""
     key = (
         cls.__module__,
         cls.__qualname__,
@@ -165,17 +182,21 @@ def worker_cached(cls, *ctor_args, **ctor_kwargs):
     )
 
     def run(batch):
-        from pkd_tree_ray.queries import _WORKER_STATE
-
-        inst = _WORKER_STATE.get(key)
+        inst = _KERNEL_CACHE.get(key)
         if inst is None:
-            if len(_WORKER_STATE) > 64:
-                _WORKER_STATE.clear()
+            if len(_KERNEL_CACHE) > 32:
+                _KERNEL_CACHE.clear()
             inst = cls(*ctor_args, **ctor_kwargs)
-            _WORKER_STATE[key] = inst
+            _KERNEL_CACHE[key] = inst
         return inst(batch)
 
     return run
+
+
+#: per-worker cache of worker_cached kernel instances (each worker
+#: process imports this module independently, so the dict is
+#: per-worker state, not shared)
+_KERNEL_CACHE: dict = {}
 
 
 _STOPWORDS = ("the", "a", "and", "of", "to")

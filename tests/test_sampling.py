@@ -116,3 +116,10 @@ class TestHashSplit:
             .reset_index(drop=True)
         )
         assert got["split"].tolist() == want["split"].tolist()
+
+    def test_negative_ids_rejected(self, ray_session):
+        from pkd_tree_ray.sampling import hash_split
+
+        tbl = pa.table({"doc_id": pa.array([-1, 2, 3], pa.int64())})
+        with pytest.raises(Exception, match="non-negative"):
+            hash_split(rd.from_arrow(tbl), "doc_id", 100).to_pandas()

@@ -238,6 +238,41 @@ class TestTextStats:
         )
         pd.testing.assert_frame_equal(got, want)
 
+    def test_doc_profile_exotic_whitespace_matches_duckdb(self, ray_session):
+        """TextStats/QualityScore (Python re) vs the RE2 SQL oracle on
+        codepoints where Python's Unicode \\s and RE2's ASCII \\s
+        disagree (VT, NBSP, U+001C): the explicit character classes in
+        _TOKEN_RE/BPE_RE make the two engines tokenize identically."""
+        import duckdb
+        import pandas as pd
+
+        import __ray_entry__ as entrymod
+        from pkd_tree_ray.text import doc_profile
+
+        texts = [
+            "a\x0bb the a\x0bb",      # VT inside tokens
+            "n\xa0m the n\xa0m end",  # NBSP
+            "x\x1cy \x1f\x1e",        # information separators
+            "plain the text",
+            "",
+        ]
+        ids = np.arange(len(texts), dtype=np.int64)
+        got = (
+            doc_profile(_docs_ds(texts, ray_session))
+            .to_pandas()
+            .sort_values(["doc_id", "metric"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame({"doc_id": ids, "text": texts}))
+        want = (
+            con.execute(entrymod._doc_profile_sql())
+            .df()
+            .sort_values(["doc_id", "metric"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
     def test_redact_pii(self, ray_session):
         from pkd_tree_ray.text import redact_pii
 
