@@ -138,19 +138,6 @@ def token_stats(docs):
     )
 
 
-def _pool_width() -> tuple[int, int]:
-    """Actor-pool bounds for the stateless text kernels: scale to the
-    cluster's CPUs (a hard cap of 8 left 3/4 of a 32-CPU node idle on
-    bench-amplified corpora; autoscaling keeps small corpora at 1)."""
-    import ray
-
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:  # pragma: no cover — uninitialized session
-        cpus = 8
-    return (1, max(8, cpus))
-
-
 def worker_cached(cls, *ctor_args, **ctor_kwargs):
     """``map_batches`` adapter: run a callable-class kernel as
     STATELESS TASKS with a per-worker instance cache instead of an
