@@ -1174,12 +1174,14 @@ def _to_table(obj) -> pa.Table:
         return pa.concat_tables(tabs, promote_options="default")
     # legitimately-empty result (e.g. a near-dup arm with no pairs):
     # return an empty table that still CARRIES the schema so the
-    # tagged projection downstream works; zero-column blocks (the
-    # high-parallelism aggregate artifact) are skipped in favor of any
-    # schema-bearing block
-    for t in all_tabs:
-        if t.num_columns:
-            return t
+    # tagged projection downstream works.  Concat ALL schema-bearing
+    # empty blocks with promotion (mirroring the non-empty path) so a
+    # multi-schema fold surfaces the promoted union, not whichever
+    # arm's block happened first; zero-column blocks (the
+    # high-parallelism aggregate artifact) are dropped.
+    schema_bearing = [t for t in all_tabs if t.num_columns]
+    if schema_bearing:
+        return pa.concat_tables(schema_bearing, promote_options="default")
     return pa.table({})
 
 

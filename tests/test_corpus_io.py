@@ -86,3 +86,69 @@ class TestWriteCorpus:
         assert man["n_rows"] == 120
         back = read_corpus(root).to_pandas().sort_values("doc_id")
         assert back["doc_id"].tolist() == list(range(120))
+
+    def test_stale_tmp_never_reaches_readers(self, ray_session, tmp_path):
+        """A killed writer's torn .tmp must not crash or duplicate rows
+        on read, and a resumed run removes it."""
+        tbl = _corpus(100)
+        root = str(tmp_path / "torn")
+        ds = rd.from_arrow(tbl).repartition(2)
+        write_corpus(ds, root, partition_cols=("split",))
+        torn = os.path.join(root, "split=train", "part-deadbeef.parquet.tmp")
+        with open(torn, "wb") as f:
+            f.write(b"not parquet")
+        # reader ignores tmp files outright
+        assert len(read_corpus(root).to_pandas()) == 100
+        # resumed run vacuums it (not in the manifest's live set)
+        write_corpus(ds, root, partition_cols=("split",))
+        assert not os.path.exists(torn)
+
+    def test_changed_content_rewrites_parts(self, ray_session, tmp_path):
+        """Same ids, different row content -> different fingerprints:
+        the new data is written and the stale parts vacuumed, never
+        silently skipped."""
+        root = str(tmp_path / "chg")
+        ids = np.arange(60, dtype=np.int64)
+
+        def mk(suffix):
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": ids,
+                        "text": pa.array([f"doc {i} {suffix}" for i in ids]),
+                    }
+                )
+            ).repartition(2)
+
+        write_corpus(mk("v1"), root)
+        man2 = write_corpus(mk("v2"), root)
+        assert man2["n_skipped"] == 0  # content changed -> all rewritten
+        back = read_corpus(root).to_pandas().sort_values("doc_id")
+        assert len(back) == 60  # stale v1 parts vacuumed, no duplicates
+        assert back["text"].iloc[0].endswith("v2")
+
+    def test_partition_value_validation(self, ray_session, tmp_path):
+        import pytest
+
+        bad = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "split": pa.array(["a/b", "ok"], pa.string()),
+            }
+        )
+        with pytest.raises(Exception, match="must not"):
+            write_corpus(
+                rd.from_arrow(bad), str(tmp_path / "bad"),
+                partition_cols=("split",),
+            )
+        withnull = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "split": pa.array(["ok", None], pa.string()),
+            }
+        )
+        with pytest.raises(Exception, match="null"):
+            write_corpus(
+                rd.from_arrow(withnull), str(tmp_path / "bad2"),
+                partition_cols=("split",),
+            )
